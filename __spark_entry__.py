@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query implementations live in ``fintrack_etl_spark.queries`` (relational
+core, SURVEY.md §2) and ``fintrack_etl_spark.queries_ext`` (text
+analysis / dedup / similarity-search extensions).
 """
 
 from __future__ import annotations
@@ -15,24 +18,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's headline report — totals per category
+    (``monthly_summary.py:32-38``) — in its fixture shape: the
+    pricing-summary rollup over lineitem.
+    """
+    from fintrack_etl_spark.queries import a1_group_sum_flagship
+
+    return a1_group_sum_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from fintrack_etl_spark import queries as core
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    merged = dict(core.QUERIES)
+    try:
+        from fintrack_etl_spark import queries_ext as ext
+
+        merged.update(ext.QUERIES)
+    except ImportError:
+        pass
+    return merged
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle twin per query (omitted → rows-only check)."""
+    from fintrack_etl_spark import queries as core
+
+    merged = dict(core.ORACLES)
+    try:
+        from fintrack_etl_spark import queries_ext as ext
+
+        merged.update(ext.ORACLES)
+    except ImportError:
+        pass
+    return merged

@@ -1,0 +1,139 @@
+"""Aggregations (reference parity: A1-A11, SURVEY.md §2.4 + extensions).
+
+The reference runs these in pandas on the driver
+(``monthly_summary.py``, ``compare_budget.py``) or as tiny PySpark aggs
+(``datatrack_spark_utils.py:132-186``). Here they are distributed
+group-bys — map-side partial aggregation and AQE partition coalescing
+come free from Catalyst; at 100 TB the only shuffle is on the group
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_sum(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    alias: str = "total",
+    desc: bool = True,
+) -> DataFrame:
+    """A1/A2 — totals per key(s), sorted (``monthly_summary.py:32-48``)."""
+    value = F.col(value) if isinstance(value, str) else value
+    out = df.groupBy(*keys).agg(F.sum(value).alias(alias))
+    order = F.desc(alias) if desc else F.asc(alias)
+    return out.orderBy(order, *[F.asc(k) for k in keys])
+
+
+def filtered_group_sum(
+    df: DataFrame,
+    predicate: Column,
+    keys: list[str],
+    value: Column | str,
+    alias: str = "total",
+) -> DataFrame:
+    """A3 — conditional aggregation (``monthly_summary.py:51-60``).
+
+    Expressed as ``sum(when(pred, v))`` so it stays one scan + one
+    shuffle even when several conditions are aggregated together.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum(F.when(predicate, value)).alias(alias))
+        .filter(F.col(alias).isNotNull())
+        .orderBy(F.desc(alias), *[F.asc(k) for k in keys])
+    )
+
+
+def group_max(df: DataFrame, keys: list[str], value: str, alias: str | None = None) -> DataFrame:
+    """A4 — watermark read: max per key (``datatrack_spark_utils.py:132-138``)."""
+    return df.groupBy(*keys).agg(F.max(value).alias(alias or f"max_{value}"))
+
+
+def global_max(df: DataFrame, value: str):
+    """A5 — scalar max (``datatrack_spark_utils.py:185-186``)."""
+    return df.select(F.max(value)).first()[0]
+
+
+def global_sums(df: DataFrame, values: dict[str, str]) -> DataFrame:
+    """A6 — one-row global totals (``compare_budget.py:101-102``)."""
+    return df.agg(*[F.sum(c).alias(a) for c, a in values.items()])
+
+
+def value_counts(df: DataFrame, keys: list[str], alias: str = "n") -> DataFrame:
+    """A7 — grouped counts desc (``inspect_bradesco_output.py:117,137``)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias)).orderBy(
+        F.desc(alias), *[F.asc(k) for k in keys]
+    )
+
+
+def mode_per_group(df: DataFrame, keys: list[str], value: str, alias: str | None = None) -> DataFrame:
+    """A8 — most frequent value per group (``bradesco_bill.py:324-328``).
+
+    count + row_number with a deterministic ``value asc`` tie-break
+    (SURVEY §7 risk register) rather than ``F.mode`` whose tie choice
+    is unspecified. Two shuffles on the same keys; Catalyst reuses the
+    partitioning for the window.
+    """
+    from pyspark.sql.window import Window
+
+    alias = alias or f"{value}_mode"
+    counts = df.filter(F.col(value).isNotNull()).groupBy(*keys, value).count()
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc(value))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, F.col(value).alias(alias))
+    )
+
+
+def describe_stats(df: DataFrame, value: str) -> DataFrame:
+    """A9 — count/mean/std/min/max (``inspect_bradesco_output.py:188-192``).
+
+    Explicit aggregates instead of ``df.describe()`` so the output
+    schema is typed (doubles, not strings) and oracle-comparable.
+    """
+    c = F.col(value)
+    return df.agg(
+        F.count(c).alias("n"),
+        F.round(F.avg(c), 2).alias("mean"),
+        F.round(F.stddev_samp(c), 2).alias("std"),
+        F.round(F.min(c), 2).alias("min"),
+        F.round(F.max(c), 2).alias("max"),
+    )
+
+
+def is_empty(df: DataFrame) -> bool:
+    """A11 — empty-input detection (``datatrack_spark_utils.py:97-99``).
+
+    ``df.isEmpty()`` (limit-1 scan), not ``rdd.isEmpty()``.
+    """
+    return df.isEmpty()
+
+
+# --- engine extensions (SURVEY §2.4 note): Spark built-ins exposed ----------
+
+
+def rollup_sum(df: DataFrame, keys: list[str], value: str, alias: str = "total") -> DataFrame:
+    """Extension — hierarchical subtotals via ``rollup``."""
+    return df.rollup(*keys).agg(F.sum(value).alias(alias))
+
+
+def cube_sum(df: DataFrame, keys: list[str], value: str, alias: str = "total") -> DataFrame:
+    """Extension — all grouping-set combinations via ``cube``."""
+    return df.cube(*keys).agg(F.sum(value).alias(alias))
+
+
+def approx_distinct(df: DataFrame, keys: list[str], value: str, alias: str = "approx_nd", rsd: float = 0.05) -> DataFrame:
+    """Extension — HyperLogLog++ distinct estimate; the 100 TB-safe
+    alternative to exact countDistinct's full shuffle."""
+    return df.groupBy(*keys).agg(F.approx_count_distinct(value, rsd).alias(alias))
+
+
+def pivot_sum(df: DataFrame, key: str, pivot_col: str, pivot_values: list[str], value: str) -> DataFrame:
+    """Extension — pivot with explicit value list (no discovery scan)."""
+    return df.groupBy(key).pivot(pivot_col, pivot_values).agg(F.sum(value))

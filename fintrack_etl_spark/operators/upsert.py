@@ -1,0 +1,76 @@
+"""MERGE / idempotent-replace semantics (reference parity: J3, D1, D2 —
+SURVEY.md §2.3/§2.9).
+
+The reference MERGEs into Iceberg with a freshness condition
+(``mesclar_dados``, ``datatrack_spark_utils.py:306-362``):
+
+    MERGE INTO target USING source ON pk...
+    WHEN MATCHED AND s.dt_ingestao_dados > t.dt_ingestao_dados
+        THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+
+Without the Iceberg runtime the same *result state* is a union +
+latest-wins window — one shuffle on the merge keys, no driver state,
+and exactly the plan a 1000-executor overwrite would run. Atomicity is
+the table format's job; results are what the correctness gate checks
+(SURVEY §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .windows import dedup_latest
+
+
+def merge_latest_wins(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """J3 fallback — returns the post-MERGE table state.
+
+    Target rows win ties (``>`` not ``>=`` in the reference's matched
+    condition), so precedence is (order_col desc, is_target desc).
+    """
+    tagged_t = target.withColumn("_src_rank", F.lit(0))
+    tagged_s = source.withColumn("_src_rank", F.lit(1))
+    unioned = tagged_t.unionByName(tagged_s)
+    order = [F.desc(order_col), F.asc("_src_rank")] + [F.asc(t) for t in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src_rank")
+    )
+
+
+def replace_by_source_key(
+    target: DataFrame,
+    source: DataFrame,
+    lineage_key: str = "landing_object_key",
+) -> DataFrame:
+    """D2 — exactly-once-per-file reload
+    (``forms_main.py:395-423``: DELETE WHERE key='…' then append).
+
+    Pure-Spark equivalent: anti-join the target on the lineage keys
+    present in the source, then union the source. Re-running the same
+    input yields identical table state (idempotency contract §3.2).
+    """
+    new_keys = source.select(lineage_key).distinct()
+    kept = target.join(F.broadcast(new_keys), lineage_key, "left_anti")
+    return kept.unionByName(source)
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal — whole-row or keyed.
+
+    Keyed flavor delegates to the latest-wins window (D1); whole-row is
+    ``dropDuplicates`` (hash-aggregate, map-side combined).
+    """
+    if keys:
+        return dedup_latest(df, keys)
+    return df.dropDuplicates()

@@ -1,0 +1,130 @@
+"""Window operators (reference parity: W1-W3, SURVEY.md §2.5 + extensions).
+
+W1 is the reference's keyed latest-wins dedup (SQL ``ROW_NUMBER()``,
+``datatrack_spark_utils.py:51-95``); W2 is the *implicit* window its PDF
+parsers run in driver Python — carrying section context down lines
+(``bb_statement.py:132-198``) — re-expressed as the classic
+``last(ignorenulls)`` running frame; W3 is per-group head sampling.
+
+Scale note: a window partitioned by a key shuffles once on that key;
+W2's global ``orderBy(line_no)`` variant must always be scoped by a
+document/partition key (``partition_keys``) so no single-task global
+sort appears at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """W1/D1 — keep the most recent row per key
+    (``deduplicar_dados``, ``datatrack_spark_utils.py:51-95``).
+
+    The reference gracefully degrades to unordered pick-one when the
+    order column is missing — we mirror that. ``tie_breakers`` make
+    the pick deterministic (oracle-stability, SURVEY §7).
+    """
+    order = []
+    if order_col and order_col in df.columns:
+        order.append(F.desc(order_col))
+    for t in tie_breakers or []:
+        order.append(F.asc(t))
+    if not order:  # stable fallback: all non-key columns asc
+        order = [F.asc(c) for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    order_col: str,
+    partition_keys: list[str],
+) -> DataFrame:
+    """W2 — last-non-null carry-down (section-context forward fill,
+    ``bb_statement.py:132-198``): ``last(c, ignorenulls=True)`` over an
+    unbounded-preceding running frame.
+    """
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def per_group_head(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    n: int = 5,
+) -> DataFrame:
+    """W3 — first N rows per group (``inspect_bradesco_output.py:195-201``)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
+# --- extensions (SURVEY §2.5 note) -----------------------------------------
+
+
+def with_rank(df: DataFrame, keys: list[str], order: list[Column], dense: bool = False, alias: str = "rnk") -> DataFrame:
+    """Extension — rank / dense_rank per group."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    fn = F.dense_rank() if dense else F.rank()
+    return df.withColumn(alias, fn.over(w))
+
+
+def with_lag_lead(df: DataFrame, value: str, keys: list[str], order_col: str) -> DataFrame:
+    """Extension — previous/next value per group (gap & delta analysis)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return df.withColumn(f"{value}_prev", F.lag(value).over(w)).withColumn(
+        f"{value}_next", F.lead(value).over(w)
+    )
+
+
+def running_sum(df: DataFrame, value: str, keys: list[str], order_col: str, alias: str = "running_total") -> DataFrame:
+    """Extension — cumulative sum per group (running balance)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap_minutes: int = 30,
+    alias: str = "session_id",
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Extension — batch sessionization: lag(ts) + cumsum over
+    gap-breaks (guide 'Common OLAP patterns'). Streaming analog is
+    ``session_window`` in streaming/windows.py.
+
+    ``cast("long")`` floors each timestamp to whole seconds — matching
+    DuckDB's ``date_diff('second', ...)`` boundary-count semantics for
+    oracle parity.
+    """
+    order = [ts_col] + list(tie_breakers or [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(alias, F.sum(is_new).over(run))

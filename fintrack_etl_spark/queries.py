@@ -1,0 +1,919 @@
+"""Query registry — relational core (SURVEY.md §2.2-2.9).
+
+Every entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DF``
+with a DuckDB oracle SQL twin. Column names, rounding (money → 2 dp)
+and tie-break keys are aligned on both sides so the driver's
+order-insensitive value-hash compares clean (SURVEY §7 risk register).
+
+Conventions:
+* fixture tables are read straight from ``{sf_dir}/{name}.parquet``;
+* monetary aggregates are ``round(x, 2)`` in BOTH engines;
+* every top-N / window order carries a unique tie-break key;
+* oracle casts integer sums to BIGINT (DuckDB sums ints to HUGEINT,
+  Spark to long).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import functions as FX
+from . import rules
+from .operators import aggregate as agg_ops
+from .operators import joins as join_ops
+from .operators import topk as topk_ops
+from .operators import upsert as upsert_ops
+from .operators import windows as win_ops
+from .operators.evolve import evolve_union
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .io import table
+
+    return table(spark, name, sf_dir)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1 — flagship: pricing-summary rollup (monthly_summary.py:32-38 shape,
+# TPC-H Q1 on the fixture schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_group_sum_flagship",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(avg(l_quantity), 2)                                  AS avg_qty,
+           round(avg(l_discount), 4)                                  AS avg_disc,
+           count(*)                                                   AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_group_sum_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — ``monthly_summary.py:32-38`` re-expressed at scale: one scan,
+    map-side partial agg, shuffle only on the two group keys."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "a2_group_sum_composite",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           count(*)                    AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def a2_group_sum_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — composite-key totals (``monthly_summary.py:42-48``)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a3_filtered_agg",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) IS NOT NULL
+    """,
+)
+def a3_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — conditional sum (``monthly_summary.py:51-60``): one scan,
+    ``sum(when(...))`` instead of filter+agg so several conditions can
+    share the shuffle."""
+    out = agg_ops.filtered_group_sum(
+        T(spark, sf_dir, "orders"),
+        F.col("o_orderstatus") == "F",
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    return out.withColumn("total", F.round("total", 2))
+
+
+@register(
+    "a4_watermark_max",
+    """
+    SELECT event_type, max(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a4_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — watermark read (``datatrack_spark_utils.py:132-138``)."""
+    return agg_ops.group_max(T(spark, sf_dir, "events"), ["event_type"], "ts", "max_ts")
+
+
+@register(
+    "a6_global_sums",
+    """
+    SELECT round(sum(value), 2) AS total_value,
+           round(avg(value), 2) AS avg_value,
+           count(*)             AS n
+    FROM events
+    """,
+)
+def a6_global_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — one-row global totals (``compare_budget.py:101-102``)."""
+    return T(spark, sf_dir, "events").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a7_value_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a7_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — value_counts (``inspect_bradesco_output.py:117,137``)."""
+    return agg_ops.value_counts(T(spark, sf_dir, "orders"), ["o_orderpriority"])
+
+
+@register(
+    "a8_mode_per_group",
+    """
+    SELECT l_returnflag, l_linestatus AS l_linestatus_mode
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY count(*) DESC, l_linestatus ASC
+               ) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    )
+    WHERE rn = 1
+    """,
+)
+def a8_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — most-frequent value per group (``bradesco_bill.py:324-328``),
+    deterministic tie-break."""
+    return agg_ops.mode_per_group(T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_linestatus")
+
+
+@register(
+    "a9_describe_stats",
+    """
+    SELECT count(l_extendedprice)                 AS n,
+           round(avg(l_extendedprice), 2)         AS mean,
+           round(stddev_samp(l_extendedprice), 2) AS std,
+           round(min(l_extendedprice), 2)         AS min,
+           round(max(l_extendedprice), 2)         AS max
+    FROM lineitem
+    """,
+)
+def a9_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — describe() as typed aggregates (``inspect_bradesco_output.py:188-192``)."""
+    return agg_ops.describe_stats(T(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "ext_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — hierarchical subtotals (SURVEY §2.4 note)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ext_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           count(*)                    AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — all grouping sets (SURVEY §2.4 note)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ext_approx_distinct",
+    None,  # HLL estimate is engine-specific — rows-only check
+)
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — approx_count_distinct: the 100 TB-safe distinct.
+    Sketch values differ across engines, so no value oracle."""
+    return agg_ops.approx_distinct(T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_budget_vs_actual",
+    """
+    WITH budget AS (
+        SELECT o_orderpriority AS categoria,
+               round(sum(o_totalprice) * 0.45, 2) AS orcado
+        FROM orders
+        WHERE o_orderpriority < '4'
+        GROUP BY o_orderpriority
+    ),
+    actual AS (
+        SELECT o.o_orderpriority AS categoria,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS realizado
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    )
+    SELECT coalesce(a.categoria, b.categoria)            AS categoria,
+           round(coalesce(b.orcado, 0.0), 2)             AS orcado,
+           round(coalesce(a.realizado, 0.0), 2)          AS realizado,
+           (b.orcado IS NULL)                            AS sem_orcamento,
+           round(coalesce(a.realizado, 0.0) - coalesce(b.orcado, 0.0), 2) AS diferenca,
+           CASE WHEN round(coalesce(a.realizado, 0.0) - coalesce(b.orcado, 0.0), 2) <= 0
+                THEN 'OK' ELSE 'ESTOURO' END             AS status,
+           round(CASE WHEN coalesce(b.orcado, 0.0) > 0
+                 THEN (round(coalesce(a.realizado, 0.0) - coalesce(b.orcado, 0.0), 2)
+                       / coalesce(b.orcado, 0.0)) * 100.0 END, 2) AS pct_esto
+    FROM actual a FULL OUTER JOIN budget b USING (categoria)
+    """,
+)
+def j1_budget_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — budget ⟗ actuals (``compare_budget.py:66-93``). Budget side
+    broadcast; fact join shuffles once on the orderkey."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    budget = (
+        orders.filter(F.col("o_orderpriority") < "4")
+        .groupBy(F.col("o_orderpriority").alias("categoria"))
+        .agg(F.round(F.sum("o_totalprice") * 0.45, 2).alias("orcado"))
+    )
+    actual = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("categoria"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("realizado"))
+    )
+    return join_ops.budget_vs_actual(budget, actual)
+
+
+@register(
+    "j2_mode_backfill",
+    """
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CASE WHEN l_linenumber = 1 THEN NULL ELSE l_linestatus END AS ls
+        FROM lineitem
+    ),
+    modes AS (
+        SELECT l_returnflag, ls AS ls_mode
+        FROM (
+            SELECT l_returnflag, ls,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY count(*) DESC, ls ASC) AS rn
+            FROM base WHERE ls IS NOT NULL
+            GROUP BY l_returnflag, ls
+        ) WHERE rn = 1
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+           coalesce(b.ls, m.ls_mode) AS ls
+    FROM base b LEFT JOIN modes m USING (l_returnflag)
+    """,
+)
+def j2_mode_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — NULL backfill from per-group mode (``bradesco_bill.py:322-330``):
+    mode table is tiny → broadcast join back."""
+    base = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.when(F.col("l_linenumber") == 1, None).otherwise(F.col("l_linestatus")).alias("ls"),
+    )
+    return join_ops.mode_backfill(base, "l_returnflag", "ls")
+
+
+@register(
+    "j3_merge_upsert",
+    """
+    WITH t AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    s AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    u AS (
+        SELECT *, 0 AS sr FROM t
+        UNION ALL
+        SELECT *, 1 AS sr FROM s
+    )
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, sr ASC, event_id ASC) = 1
+    """,
+)
+def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — MERGE latest-wins fallback (``mesclar_dados``,
+    ``datatrack_spark_utils.py:306-362``): union + one window shuffle on
+    the merge keys — the post-MERGE table state."""
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    target = win_ops.dedup_latest(
+        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    source = win_ops.dedup_latest(
+        ev.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    merged = upsert_ops.merge_latest_wins(
+        target, source, ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    return merged.select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "ext_setops",
+    """
+    SELECT 'intersect' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'union' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        UNION
+        SELECT o_custkey FROM orders
+    )
+    """,
+)
+def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — set operations (needed by MERGE fallback & multi-bank
+    consolidation; absent in reference, Spark built-ins)."""
+    rich = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    with_orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    parts = [
+        rich.intersect(with_orders).agg(F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("n")),
+        rich.exceptAll(with_orders.distinct()).distinct().agg(
+            F.lit("except").alias("op"), F.count(F.lit(1)).alias("n")
+        ),
+        rich.union(with_orders).distinct().agg(F.lit("union").alias("op"), F.count(F.lit(1)).alias("n")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W3 + extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_dedup_latest",
+    """
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id ASC) = 1
+    """,
+)
+def w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/D1 — keyed latest-wins dedup (``deduplicar_dados``,
+    ``datatrack_spark_utils.py:51-95``)."""
+    out = win_ops.dedup_latest(
+        T(spark, sf_dir, "events"), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    return out.select("event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@register(
+    "w2_forward_fill",
+    """
+    SELECT event_id, user_id, ts,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS last_purchase_value
+    FROM events
+    """,
+)
+def w2_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — last-non-null forward fill: the reference's PDF section
+    context carry (``bb_statement.py:132-198``) as a running frame."""
+    ev = T(spark, sf_dir, "events")
+    marked = ev.withColumn(
+        "last_purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    filled = win_ops.forward_fill(marked, ["last_purchase_value"], "ts", ["user_id"])
+    # forward_fill orders by ts only; re-derive with the event_id tie-break
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.last(F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True).over(w),
+            2,
+        ).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "w3_per_group_head",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem
+    QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 5
+    """,
+)
+def w3_per_group_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — N rows per group (``inspect_bradesco_output.py:195-201``)."""
+    out = win_ops.per_group_head(
+        T(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        n=5,
+    )
+    return out.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+    )
+
+
+@register(
+    "ext_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+    FROM orders
+    """,
+)
+def ext_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — running balance per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "ext_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                                        ORDER BY o_orderdate, o_orderkey), 2)
+               AS delta_prev,
+           round(lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+    FROM orders
+    """,
+)
+def ext_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — lag/lead deltas per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@register(
+    "ext_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(brk) AS BIGINT) AS n_sessions,
+           count(*)                 AS n_events
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — 30-minute-gap sessionization (batch analog of
+    ``session_window``)."""
+    s = win_ops.sessionize(
+        T(spark, sf_dir, "events"), "ts", ["user_id"], gap_minutes=30, tie_breakers=["event_id"]
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K / sorts (O1-O6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_top_abs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(valor, 2)      AS valor,
+           round(abs(valor), 2) AS valor_abs
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_returnflag = 'R'
+                    THEN -(l_extendedprice * (1 - l_discount))
+                    ELSE l_extendedprice * (1 - l_discount) END AS valor
+        FROM lineitem
+    )
+    ORDER BY abs(valor) DESC, l_orderkey, l_linenumber
+    LIMIT 15
+    """,
+)
+def o1_top_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — top-N by |value| (``monthly_summary.py:62-67``); returns
+    (refunds negative) keep sign semantics. Compiles to
+    TakeOrderedAndProject — no global sort at scale."""
+    valor = F.when(
+        F.col("l_returnflag") == "R",
+        -(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+    ).otherwise(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    df = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", valor.alias("valor"))
+    top = df.orderBy(F.abs(F.col("valor")).desc(), "l_orderkey", "l_linenumber").limit(15)
+    return top.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("valor", 2).alias("valor"),
+        F.round(F.abs("valor"), 2).alias("valor_abs"),
+    )
+
+
+@register(
+    "o2_filtered_topn",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_quantity > 45
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def o2_filtered_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — filter then top-N (``monthly_summary.py:70-73``)."""
+    out = topk_ops.filtered_top_n(
+        T(spark, sf_dir, "lineitem"),
+        F.col("l_quantity") > 45,
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        n=10,
+    )
+    return out.select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function queries (F1-F24)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_brl_roundtrip",
+    """
+    WITH brl AS (
+        SELECT o_orderpriority,
+               'R$ ' || translate(printf('%.2f', o_totalprice), ',.', '.,') AS brl_str
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           round(sum(CAST(replace(replace(regexp_replace(trim(brl_str), 'R\\$\\s*', ''),
+                                  '.', ''), ',', '.') AS DOUBLE)), 2) AS total_parsed,
+           count(*) AS n
+    FROM brl
+    GROUP BY o_orderpriority
+    """,
+)
+def f1_brl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F18 — pt-BR money format + parse round-trip
+    (``brl_to_float``, ``bb_statement.py:16-25``): native regexp chain,
+    no UDF."""
+    orders = T(spark, sf_dir, "orders")
+    brl_str = F.concat(
+        F.lit("R$ "), F.translate(F.format_number(F.col("o_totalprice"), 2), ",.", ".,")
+    )
+    parsed = FX.brl_to_double(brl_str)
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum(parsed), 2).alias("total_parsed"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "f7_multi_format_dates",
+    """
+    WITH raw AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0
+                    THEN strftime(o_orderdate, '%d/%m/%Y')
+                    ELSE strftime(o_orderdate, '%Y%m%d') END AS ds
+        FROM orders
+    ),
+    parsed AS (
+        SELECT CAST(coalesce(
+            try_strptime(ds, '%Y-%m-%d'),
+            try_strptime(ds, '%d/%m/%Y'),
+            try_strptime(ds, '%Y%m%d'),
+            try_strptime(ds, '%d%m%Y')) AS DATE) AS d
+        FROM raw
+    )
+    SELECT EXTRACT(year FROM d) AS yr, count(*) AS n
+    FROM parsed
+    GROUP BY 1
+    """,
+)
+def f7_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — multi-format date parse (``helpers.py:39-70``): stringify
+    each order date in one of two formats, parse back via the
+    coalesce-of-formats chain, count per year."""
+    orders = T(spark, sf_dir, "orders")
+    ds = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "dd/MM/yyyy")
+    ).otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+    parsed = FX.to_date_multi(ds)
+    return (
+        orders.select(parsed.alias("d"))
+        .groupBy(F.year("d").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f4_slugify",
+    """
+    SELECT regexp_replace(regexp_replace(regexp_replace(
+               lower(trim('  ' || c_mktsegment || ' / Segment!')),
+               '[^a-z0-9\\-_.]', '_', 'g'), '_+', '_', 'g'), '^_|_$', '', 'g') AS slug,
+           count(*) AS n
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def f4_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — slugify (``etls_raw/main.py:134-139``)."""
+    raw = F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" / Segment!"))
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy(FX.slugify(raw).alias("slug"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f11_normalize_cpf",
+    """
+    SELECT lpad(regexp_replace(CAST(c_custkey AS VARCHAR) || '-' ||
+                               CAST(c_custkey % 100 AS VARCHAR), '[.\\-\\s]', '', 'g'),
+                11, '0') AS cpf,
+           count(*) AS n
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def f11_normalize_cpf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — CPF normalization (``helpers.py:84-98``)."""
+    raw = F.concat(
+        F.col("c_custkey").cast("string"), F.lit("-"), (F.col("c_custkey") % 100).cast("string")
+    )
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy(FX.normalize_cpf(raw).alias("cpf"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_CATEGORIZE_DESC_SQL = """
+    CASE CAST(p_partkey % 8 AS INT)
+        WHEN 0 THEN 'POSTO IPIRANGA LTDA'
+        WHEN 1 THEN 'SUPERMERCADO BOM PRECO'
+        WHEN 2 THEN 'NETFLIX.COM MENSAL'
+        WHEN 3 THEN 'LOJA DAS FABRICAS PARC 02/04'
+        WHEN 4 THEN 'PAGTO DEBITO AUTOMATICO'
+        WHEN 5 THEN 'BOUTIQUE CHIC FORTALEZA'
+        WHEN 6 THEN 'UBER TRIP 123'
+        ELSE 'XYZ DESCONHECIDO'
+    END
+"""
+
+
+def _categorize_oracle() -> str:
+    exprs = rules.categorize_sql_case(f"({_CATEGORIZE_DESC_SQL})")
+    return f"""
+    SELECT {exprs['categoria']}           AS categoria,
+           {exprs['subcategoria']}        AS subcategoria,
+           {exprs['recorrente_suspeita']} AS recorrente_suspeita,
+           {exprs['parcelado_suspeito']}  AS parcelado_suspeito,
+           count(*) AS n
+    FROM part
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("f12_categorize", None)  # oracle attached below (computed string)
+def f12_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — category rule engine (``categories_bb.py:223-274``) compiled
+    to one native when-chain; synthetic merchant descriptions keyed off
+    ``p_partkey`` exercise rules + all three fallbacks."""
+    part = T(spark, sf_dir, "part")
+    desc = F.expr(_CATEGORIZE_DESC_SQL)
+    cat = rules.categorize(desc)
+    return (
+        part.select(cat.alias("c"))
+        .select("c.categoria", "c.subcategoria", "c.recorrente_suspeita", "c.parcelado_suspeito")
+        .groupBy("categoria", "subcategoria", "recorrente_suspeita", "parcelado_suspeito")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLES["f12_categorize"] = _categorize_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Incremental / idempotency (D2-D4) + schema evolution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d2_replace_by_key",
+    """
+    SELECT event_id % 7 AS source_file,
+           count(*)     AS n,
+           round(sum(CASE WHEN event_id % 7 = 3 THEN value * 2 ELSE value END), 2) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def d2_replace_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — idempotent per-source-file replace (``forms_main.py:395-423``):
+    anti-join out the reloaded file's rows, union the reload."""
+    ev = T(spark, sf_dir, "events").withColumn("source_file", F.col("event_id") % 7)
+    reload_src = ev.filter(F.col("source_file") == 3).withColumn("value", F.col("value") * 2)
+    new_state = upsert_ops.replace_by_source_key(ev, reload_src, "source_file")
+    return new_state.groupBy("source_file").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@register(
+    "d4_incremental_watermark",
+    """
+    SELECT event_type, count(*) AS n, max(ts) AS max_ts
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def d4_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — high-watermark incremental load
+    (``datatrack_spark_utils.py:146-188``): the predicate pushes to the
+    parquet scan (partition-prunes on a date-partitioned lake table)."""
+    from .operators.incremental import incremental_filter
+
+    ev = incremental_filter(T(spark, sf_dir, "events"), "ts", "2024-01-20 00:00:00")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ts"))
+
+
+@register(
+    "ext_schema_evolution",
+    """
+    WITH evolved AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority
+        FROM orders WHERE o_orderstatus <> 'O'
+    )
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM evolved
+    GROUP BY 1, 2
+    """,
+)
+def ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3 — schema evolution (``evoluir_schema``,
+    ``datatrack_spark_utils.py:221-302``): add-column + NULL-backfill +
+    reorder as a pure union."""
+    orders = T(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderstatus") != "O").select("o_orderkey", "o_orderpriority")
+    evolved = evolve_union(old, new)
+    return evolved.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "ext_tumbling_window",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*)              AS n,
+           round(sum(value), 2)  AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog — tumbling 1-day event-time window (batch
+    ``F.window``; the readStream variant lives in streaming/windows.py)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )

@@ -1,0 +1,68 @@
+"""Session factory (reference parity: I2, SURVEY.md §2.12).
+
+The reference builds sessions with S3A + Iceberg catalog conf and AQE
+enabled (``etls_raw/main.py:68-117``,
+``spark/conf/spark-defaults-development.conf:31-33``). We keep the AQE
+posture, fix its unit-less tuning bugs (``minPartitionSize=32`` →
+``32m``, ``skewedPartitionThresholdInBytes=300`` → ``256m``), and pin
+the session timezone to UTC so results hash-compare cleanly against
+DuckDB oracles.
+
+At cluster scale the same builder works unchanged — only ``master`` and
+the memory/shuffle knobs move to ``spark-submit`` conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the local[32] test harness. On a real cluster these
+# are overridden by spark-submit conf; shuffle.partitions should be
+# ~2-3x total executor cores (AQE coalesces the excess at runtime).
+_LOCAL_DEFAULTS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4m",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.files.maxRecordsPerFile": "1000000",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+}
+
+
+def get_spark(
+    app_name: str = "fintrack_etl_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster pass ``None`` with master supplied by spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_LOCAL_DEFAULTS)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        conf["spark.driver.memory"] = mem
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

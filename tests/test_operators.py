@@ -1,0 +1,140 @@
+"""Operator semantics tests: dedup, merge idempotency, schema
+evolution round-trips (SURVEY.md §5 engine test strategy)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fintrack_etl_spark.operators.evolve import align_to_schema, evolve_union, schema_diff
+from fintrack_etl_spark.operators.upsert import merge_latest_wins, replace_by_source_key
+from fintrack_etl_spark.operators.windows import dedup_latest, forward_fill, sessionize
+from fintrack_etl_spark.operators.aggregate import mode_per_group
+from fintrack_etl_spark.operators.joins import mode_backfill
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_dedup_latest_picks_newest(spark):
+    df = spark.createDataFrame(
+        [
+            ("k1", ts("2024-01-01T00:00:00"), 1),
+            ("k1", ts("2024-01-02T00:00:00"), 2),
+            ("k2", ts("2024-01-01T00:00:00"), 3),
+        ],
+        ["k", "dt", "v"],
+    )
+    out = {r["k"]: r["v"] for r in dedup_latest(df, ["k"], "dt").collect()}
+    assert out == {"k1": 2, "k2": 3}
+
+
+def test_dedup_latest_missing_order_col_degrades(spark):
+    df = spark.createDataFrame([("k1", 1), ("k1", 2)], ["k", "v"])
+    assert dedup_latest(df, ["k"], "absent").count() == 1
+
+
+def test_merge_latest_wins_target_wins_ties(spark):
+    t = spark.createDataFrame([("k1", ts("2024-01-02T00:00:00"), "target")], ["k", "dt", "who"])
+    s = spark.createDataFrame([("k1", ts("2024-01-02T00:00:00"), "source")], ["k", "dt", "who"])
+    out = merge_latest_wins(t, s, ["k"], "dt").collect()
+    assert len(out) == 1 and out[0]["who"] == "target"  # '>' not '>=' semantics
+
+
+def test_merge_idempotent(spark):
+    t = spark.createDataFrame(
+        [("k1", ts("2024-01-01T00:00:00"), 1), ("k2", ts("2024-01-05T00:00:00"), 2)],
+        ["k", "dt", "v"],
+    )
+    s = spark.createDataFrame(
+        [("k1", ts("2024-01-03T00:00:00"), 10), ("k3", ts("2024-01-01T00:00:00"), 30)],
+        ["k", "dt", "v"],
+    )
+    once = merge_latest_wins(t, s, ["k"], "dt")
+    twice = merge_latest_wins(once, s, ["k"], "dt")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == {"k1": 10, "k2": 2, "k3": 30}
+
+
+def test_replace_by_source_key_idempotent(spark):
+    t = spark.createDataFrame([("f1", 1), ("f1", 2), ("f2", 3)], ["landing_object_key", "v"])
+    s = spark.createDataFrame([("f1", 10)], ["landing_object_key", "v"])
+    once = replace_by_source_key(t, s)
+    twice = replace_by_source_key(once, s)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert {tuple(r) for r in once.collect()} == {("f1", 10), ("f2", 3)}
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [("d1", 1, "hdr"), ("d1", 2, None), ("d1", 3, None), ("d1", 4, "hdr2"), ("d2", 1, None)],
+        ["doc", "line", "grp"],
+    )
+    out = {(r["doc"], r["line"]): r["grp"] for r in forward_fill(df, ["grp"], "line", ["doc"]).collect()}
+    assert out == {
+        ("d1", 1): "hdr",
+        ("d1", 2): "hdr",
+        ("d1", 3): "hdr",
+        ("d1", 4): "hdr2",
+        ("d2", 1): None,
+    }
+
+
+def test_mode_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame([("g", "b"), ("g", "a"), ("g", "a"), ("g", "b")], ["k", "v"])
+    out = mode_per_group(df, ["k"], "v").collect()
+    assert out[0]["v_mode"] == "a"  # tie broken by value asc
+
+
+def test_mode_backfill(spark):
+    df = spark.createDataFrame(
+        [("c1", "ana"), ("c1", "ana"), ("c1", None), ("c2", None)],
+        ["card", "holder"],
+    )
+    out = mode_backfill(df, "card", "holder")
+    got = [r["holder"] for r in out.filter(F.col("card") == "c1").collect()]
+    assert got.count("ana") == 3
+    assert out.filter(F.col("card") == "c2").first()["holder"] is None
+
+
+def test_align_to_schema_backfills_and_reorders(spark):
+    target = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(1.0, "x")], ["c", "b"])
+    out = align_to_schema(df, target)
+    assert out.columns == ["a", "b", "c"]
+    row = out.first()
+    assert row["a"] is None and row["b"] == "x" and row["c"] == 1.0
+
+
+def test_evolve_union_adds_columns(spark):
+    t = spark.createDataFrame([(1, "x")], ["id", "old"])
+    s = spark.createDataFrame([(2, "y")], ["id", "new"])
+    out = evolve_union(t, s)
+    assert set(out.columns) == {"id", "old", "new"}
+    rows = {r["id"]: (r["old"], r["new"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: (None, "y")}
+    d = schema_diff(s.schema, t.schema)
+    assert d["add_to_target"] == ["new"] and d["backfill_in_source"] == ["old"]
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01T00:00:00"), 1),
+            ("u1", ts("2024-01-01T00:10:00"), 2),
+            ("u1", ts("2024-01-01T02:00:00"), 3),
+        ],
+        ["u", "t", "id"],
+    )
+    out = {r["id"]: r["session_id"] for r in sessionize(df, "t", ["u"], 30, tie_breakers=["id"]).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
