@@ -1,0 +1,396 @@
+"""Query registry — training-data-pipeline extensions (SURVEY.md §7
+Phase 4 / BASELINE.json north star): dedup, text analysis, similarity
+search, multimodal plumbing, over the ``documents`` / ``embeddings``
+fixtures. Same oracle conventions as queries.py.
+
+The fixture documents are all distinct, so dedup queries inject a
+deterministic "re-crawl": every doc with ``doc_id % 5 = 0`` reappears
+with ``doc_id + 100000`` — both engines apply the identical union.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import textops as TX
+from .operators import dedup_text as DD
+from .queries import T
+from .similarity import cosine_topk_bruteforce, cosine_topk_lsh, ivf_topk, label_centroids
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _with_recrawl(docs: DataFrame) -> DataFrame:
+    dup = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(dup)
+
+
+_RECRAWL_SQL = """
+        SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_dedup_exact",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL})
+    SELECT md5(text)    AS content_hash,
+           min(doc_id)  AS keep_id,
+           count(*)     AS n_copies
+    FROM docs
+    GROUP BY 1
+    """,
+)
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, min-id representative — one shuffle
+    on the content hash."""
+    return DD.exact_dup_groups(_with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text")
+
+
+@register(
+    "x2_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def x2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the canonicalized text."""
+    return T(spark, sf_dir, "documents").select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@register(
+    "x3_ngram_jaccard",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM tok WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (za.sz + zb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sz za ON doc_a = za.doc_id
+    JOIN sz zb ON doc_b = zb.doc_id
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.6
+    """,
+)
+def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs: shingle-join pruning (docs only
+    meet on a shared shingle), exact verification."""
+    return DD.ngram_jaccard_pairs(
+        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", n=3, threshold=0.6
+    )
+
+
+@register("x4_minhash_lsh", None)  # xxhash64 signatures are Spark-specific
+def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
+    Signature hashes are engine-specific → rows-only check; the exact
+    Jaccard twin (x3) is the value-checked verifier."""
+    return DD.minhash_lsh_candidates(
+        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("x5_simhash", None)  # hash-dependent → rows-only
+def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (prefix-block + hamming verify)."""
+    return DD.simhash_near_pairs(
+        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", max_hamming=8
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "x6_embedding_near_dup",
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    blocked AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               list_aggregate(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                              'string_agg', '') AS blk
+        FROM base
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.8
+    """,
+)
+def x6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bit block then exact cosine.
+    Deterministic re-ingest dups (vec_id % 50) guarantee findable
+    pairs in the random fixture."""
+    emb = T(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 50 == 0).withColumn("vec_id", F.col("vec_id") + 100000)
+    return DD.embedding_cosine_pairs(
+        emb.unionByName(dup), "vec_id", "embedding", threshold=0.8, block_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x7_token_stats",
+    """
+    WITH t AS (
+        SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)   AS total_tokens,
+           round(avg(n_tok), 2)         AS avg_tokens,
+           CAST(min(n_tok) AS BIGINT)   AS min_tokens,
+           CAST(max(n_tok) AS BIGINT)   AS max_tokens
+    FROM t
+    GROUP BY lang
+    """,
+)
+def x7_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace) aggregated per language."""
+    docs = T(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 2).alias("avg_tokens"),
+        F.min(n_tok).cast("long").alias("min_tokens"),
+        F.max(n_tok).cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "x8_quality_scores",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))            AS n_tokens,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b')) AS n_stopwords,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))          AS n_punct,
+               length(regexp_replace(text, '\\s', '', 'g'))              AS n_nospace,
+               length(text)                                              AS n_len
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           round(n_stopwords / n_tokens, 4) AS stop_ratio,
+           round(n_punct / n_len, 4)        AS punct_ratio,
+           round(n_nospace / n_tokens, 4)   AS avg_token_len,
+           CASE WHEN n_stopwords / n_tokens >= 0.05 AND n_tokens BETWEEN 10 AND 10000
+                THEN 'good' ELSE 'low_quality' END AS quality_label
+    FROM f
+    """,
+)
+def x8_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/punct/stopword ratios)."""
+    return TX.quality_features(T(spark, sf_dir, "documents"))
+
+
+def _langid_counts_sql() -> dict[str, str]:
+    out = {}
+    for lang, words in TX.LANG_STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = f"len(regexp_extract_all(lower(text), '{pat}'))"
+    return out
+
+
+_LC = _langid_counts_sql()
+
+
+@register(
+    "x9_lang_id",
+    f"""
+    WITH g AS (
+        SELECT lang,
+               CASE WHEN {_LC['en']} + {_LC['de']} + {_LC['pt']} = 0 THEN 'unknown'
+                    WHEN {_LC['en']} >= {_LC['de']} AND {_LC['en']} >= {_LC['pt']} THEN 'en'
+                    WHEN {_LC['de']} >= {_LC['pt']} THEN 'de'
+                    ELSE 'pt' END AS guess
+        FROM documents
+    )
+    SELECT lang, guess, count(*) AS n
+    FROM g GROUP BY 1, 2
+    """,
+)
+def x9_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-count argmax) vs the labeled
+    ``lang`` column — confusion counts."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "x10_bpe_estimate",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+               AS est_bpe_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def x10_bpe_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate per source (shard-sizing input)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.bpe_token_estimate("text")).cast("long").alias("est_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x11_knn_bruteforce",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine, rnk
+    FROM (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                   / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x*x)))) AS sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_dot_product(qv, cv)
+                                        / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                                           * sqrt(list_sum(list_transform(cv, x -> x*x)))) DESC,
+                                  neighbor_id) AS rnk
+        FROM q, c WHERE query_id <> neighbor_id
+    )
+    WHERE rnk <= 10
+    """,
+)
+def x11_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query (brute force — the ANN baseline)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@register("x12_knn_lsh", None)  # approximate — verified by recall test, not values
+def x12_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit-LSH-bucketed ANN (the scale path: bucket = join key)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb.filter(F.col("vec_id") < 5), emb, k=10, bits=8)
+
+
+@register("x13_knn_ivf", None)  # approximate — rows-only
+def x13_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: route to nprobe nearest label-centroids, search
+    only those partitions."""
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, nprobe=3)
+
+
+@register(
+    "x14_label_centroids",
+    """
+    SELECT label, CAST(i AS INT) + 1 AS dim,
+           round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 4) + 0.0 AS centroid
+    FROM embeddings, range(0, 64) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def x14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label (IVF coarse quantizer)."""
+    out = label_centroids(T(spark, sf_dir, "embeddings"))
+    return out.withColumn("dim", F.col("dim").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x15_multimodal_features",
+    """
+    SELECT meta_lang AS lang,
+           count(*) AS n,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+    FROM (
+        SELECT lang AS meta_lang, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def x15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents → opaque bytes + typed meta →
+    mapInPandas feature extraction (Arrow batches) → aggregate. The
+    extractor is the deterministic stub (codecs absent); the plumbing —
+    schema, batching, binary transport — is the real thing."""
+    from .multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(T(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    joined = feats.join(
+        documents_as_media(T(spark, sf_dir, "documents")).select(
+            "media_id", F.col("meta")["lang"].alias("lang")
+        ),
+        "media_id",
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_bytes").cast("long").alias("total_bytes")
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (engine
+extension mandated by BASELINE.json's north star; SURVEY.md §7 Phase 4).
+
+All expressions are native Columns (codegen'd, no Python in the hot
+path) and have exact DuckDB SQL twins so every operator is
+oracle-checkable. At 100 TB these run as a single scan + projection;
+the only shuffles are the explicit groupBys/joins in the dedup ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword probes per language for the n-gram language-ID heuristic.
+# Deliberately tiny — the point is the *shape* (regex-count scoring,
+# deterministic argmax), swappable for real tables.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "a", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "pt": ("de", "que", "e", "o", "para", "com", "uma"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Token count (whitespace); BPE-ish subword estimate is
+    ``bpe_token_estimate``."""
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """BPE-ish token-count estimate: word-piece regex (runs of letters,
+    digits, or single punctuation) — the cheap proxy for tokenizer cost
+    used when sizing LLM training shards."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+
+
+def pattern_count(text: Column | str, pattern: str) -> Column:
+    """Count regex matches in a string (JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    c = F.col(text) if isinstance(text, str) else text
+    return pattern_count(F.lower(c), pat)
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Language-ID heuristic: stopword-count argmax with deterministic
+    priority ties (en > de > pt > unknown)."""
+    c_en = stopword_count(text, "en")
+    c_de = stopword_count(text, "de")
+    c_pt = stopword_count(text, "pt")
+    return (
+        F.when((c_en + c_de + c_pt) == 0, "unknown")
+        .when((c_en >= c_de) & (c_en >= c_pt), "en")
+        .when(c_de >= c_pt, "de")
+        .otherwise("pt")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scoring: length / punctuation / stopword
+    ratios — the standard pre-training filter features."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_stop = stopword_count(t, "en")
+    n_punct = pattern_count(t, r"[^A-Za-z0-9\s]")
+    n_chars_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop / n_tok, 4).alias("stop_ratio"),
+        F.round(n_punct / F.length(t), 4).alias("punct_ratio"),
+        F.round(n_chars_nospace / n_tok, 4).alias("avg_token_len"),
+        F.when((n_stop / n_tok >= 0.05) & n_tok.between(10, 10000), "good")
+        .otherwise("low_quality")
+        .alias("quality_label"),
+    )
+
+
+def normalize_for_fingerprint(text: Column | str) -> Column:
+    """Canonical form for near-identity fingerprinting: lowercase,
+    non-alphanumeric runs → single space, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (whole-doc
+    rolling identity; shingle-level identity is in dedup_text)."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles from a token array — pure array
+    expression, no explode until the caller needs one.
+
+    Caller must guard ``size(toks) >= n``.
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(gram)

@@ -1,0 +1,147 @@
+"""Tests for training-data extensions: text ops, dedup family,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark import textops as TX
+from fintrack_etl_spark.operators import dedup_text as DD
+from fintrack_etl_spark.similarity import cosine_topk_bruteforce, cosine_topk_lsh, ivf_topk
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 1
+        (4, "completely different text about spark query engines and shuffle plans here"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark):
+    df = docs_df(spark).select(TX.token_count("text").alias("n"), "doc_id")
+    got = {r["doc_id"]: r["n"] for r in df.collect()}
+    assert got[5] == 2 and got[1] == 14
+
+
+def test_shingles(spark):
+    df = docs_df(spark).filter(F.col("doc_id") == 5).select(
+        TX.shingles(TX.tokens(F.col("text")), 2).alias("s")
+    )
+    assert df.first()["s"] == ["short text"]
+
+
+def test_exact_dup_groups(spark):
+    out = DD.exact_dup_groups(docs_df(spark), "doc_id", "text")
+    dups = {r["keep_id"]: r["n_copies"] for r in out.collect()}
+    assert dups[1] == 2  # docs 1+2 collapse, keep min id
+    assert out.count() == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = DD.ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert all(4 not in p for p in got)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every exact near-dup pair (the x3 verifier) must be a MinHash
+    LSH candidate at these parameters."""
+    df = docs_df(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.8).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_candidates(df, "doc_id", "text", 3, 32, 8).collect()
+    }
+    assert exact, "fixture should contain at least one >=0.8 pair"
+    assert exact <= cand, f"LSH missed exact pairs: {exact - cand}"
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    pairs = DD.simhash_near_pairs(docs_df(spark), "doc_id", "text", max_hamming=10)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    # identical docs → identical simhash → same block, hamming 0
+    assert got[(1, 2)] == 0
+    # unrelated docs never collide at this radius
+    assert all(4 not in p for p in got)
+
+
+def emb_df(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        base = [math.sin(i * 0.7 + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base], i % 2))
+    rows.append((100, rows[0][1], 0))  # exact dup of vec 0
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_bruteforce(spark):
+    emb = emb_df(spark)
+    out = cosine_topk_bruteforce(emb.filter(F.col("vec_id") == 0), emb, k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rnk"])
+    assert rows[0]["neighbor_id"] == 100 and abs(rows[0]["cosine"] - 1.0) < 1e-9
+    assert len(rows) == 3
+
+
+def test_cosine_topk_lsh_finds_exact_dup(spark):
+    emb = emb_df(spark)
+    out = cosine_topk_lsh(emb.filter(F.col("vec_id") == 0), emb, k=3, bits=4)
+    rows = sorted(out.collect(), key=lambda r: r["rnk"])
+    assert rows and rows[0]["neighbor_id"] == 100  # same bucket (identical vector)
+
+
+def test_ivf_topk_runs(spark):
+    emb = emb_df(spark)
+    out = ivf_topk(emb.filter(F.col("vec_id") == 0), emb, k=3, nprobe=2)
+    assert out.count() == 3
+
+
+def test_embedding_cosine_pairs(spark):
+    out = DD.embedding_cosine_pairs(emb_df(spark), "vec_id", "embedding", threshold=0.99)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 100) in got
+
+
+def test_multimodal_extract_features(spark):
+    from fintrack_etl_spark.multimodal import documents_as_media, extract_features
+
+    docs = docs_df(spark).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text"))
+    feats = extract_features(documents_as_media(docs))
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[5]["n_bytes"] == len("short text".encode())
+    assert rows[5]["head_hex"] == "short text".encode()[:4].hex()
+
+
+def test_multimodal_stubs_raise():
+    import pytest
+
+    from fintrack_etl_spark import multimodal as MM
+
+    for fn in (MM.decode_image, MM.resize_image, MM.sample_video_frames):
+        with pytest.raises(NotImplementedError):
+            fn(None) if fn is not MM.resize_image else fn(None, 1, 1)
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in a house",),
+            ("der hund und die katze ist nicht da",),
+            ("xyzzy plugh",),
+        ],
+        ["text"],
+    )
+    got = [r["g"] for r in df.select(TX.lang_guess("text").alias("g")).collect()]
+    assert got == ["en", "de", "unknown"]

@@ -36,7 +36,7 @@ def norm_rows(cols, rows):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = round(v, 6)
+                    v = round(v, 6) + 0.0  # also canonicalize -0.0
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
