@@ -1,0 +1,55 @@
+"""Shared line-level plumbing for the document parsers."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import normalize_space
+
+
+def explode_lines(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → one row per non-empty normalized line, keeping
+    original order in ``line_no``. The explode is narrow (no shuffle);
+    downstream windows shuffle once on the document id."""
+    return (
+        docs.select(doc_id, F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"))
+        .withColumn("ln", normalize_space(F.col("raw")))
+        .filter(F.col("ln") != "")
+        .drop("raw")
+    )
+
+
+def doc_window(doc_id: str = "doc_id"):
+    return Window.partitionBy(doc_id).orderBy("line_no")
+
+
+def running_last(col: Column, doc_id: str = "doc_id") -> Column:
+    """W2 — last non-null of ``col`` down the document."""
+    w = doc_window(doc_id).rowsBetween(Window.unboundedPreceding, 0)
+    return F.last(col, ignorenulls=True).over(w)
+
+
+def segment_id(is_boundary: Column, doc_id: str = "doc_id") -> Column:
+    """Run-id trick: cumulative count of boundary lines — lines between
+    two boundaries share the id of the boundary that opened them."""
+    w = doc_window(doc_id).rowsBetween(Window.unboundedPreceding, 0)
+    return F.sum(is_boundary.cast("int")).over(w)
+
+
+def collect_joined(df: DataFrame, keys: list[str], line_col: str = "ln", order_col: str = "line_no") -> DataFrame:
+    """Order-stable concat of grouped lines: sort_array over
+    (order, line) structs then join — deterministic regardless of
+    partitioning."""
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(line_col)))),
+                    lambda s: s[line_col],
+                ),
+                " ",
+            ).alias("joined")
+        )
+    )
