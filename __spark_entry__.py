@@ -34,12 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fintrack_etl_spark import queries as core
 
     merged = dict(core.QUERIES)
-    try:
-        from fintrack_etl_spark import queries_ext as ext
+    for mod_name in ("queries_ext", "queries_parse"):
+        try:
+            import importlib
 
-        merged.update(ext.QUERIES)
-    except ImportError:
-        pass
+            mod = importlib.import_module(f"fintrack_etl_spark.{mod_name}")
+            merged.update(mod.QUERIES)
+        except ImportError:
+            pass
     return merged
 
 
@@ -48,10 +50,12 @@ def oracle_sql() -> dict[str, str]:
     from fintrack_etl_spark import queries as core
 
     merged = dict(core.ORACLES)
-    try:
-        from fintrack_etl_spark import queries_ext as ext
+    for mod_name in ("queries_ext", "queries_parse"):
+        try:
+            import importlib
 
-        merged.update(ext.ORACLES)
-    except ImportError:
-        pass
+            mod = importlib.import_module(f"fintrack_etl_spark.{mod_name}")
+            merged.update(mod.ORACLES)
+        except ImportError:
+            pass
     return merged
