@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fintrack_etl_spark import queries as core
 
     merged = dict(core.QUERIES)
-    for mod_name in ("queries_ext", "queries_parse"):
+    for mod_name in ("queries_ext", "queries_parse", "queries_reports"):
         try:
             import importlib
 
@@ -50,7 +50,7 @@ def oracle_sql() -> dict[str, str]:
     from fintrack_etl_spark import queries as core
 
     merged = dict(core.ORACLES)
-    for mod_name in ("queries_ext", "queries_parse"):
+    for mod_name in ("queries_ext", "queries_parse", "queries_reports"):
         try:
             import importlib
 
