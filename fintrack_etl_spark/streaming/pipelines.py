@@ -1,0 +1,112 @@
+"""Streaming pipeline builders — each returns a streaming DataFrame
+built from declarative ops only, so Catalyst plans incremental
+execution and the state store handles watermark GC.
+
+Scale notes (1000-executor target):
+* watermarks bound state-store size — without one, a windowed agg's
+  state grows forever; every builder below requires a watermark;
+* shuffle partitions = state-store partitions for a streaming agg —
+  set once at session level (changing it breaks checkpoint resume);
+* ``availableNow`` triggers process a backlog in bounded batches and
+  then stop — the batch-parity escape hatch used by the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def file_source_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """D3 analog — file-arrival incremental source. The stream's
+    checkpoint replaces the reference's per-file ``_state.json``
+    (modifiedTime/size change detection): each file is processed
+    exactly once, new files picked up per trigger."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_agg_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with late-data watermark —
+    the streaming twin of ``ext_tumbling_window``. Watermark bounds
+    state; partial aggregation happens map-side before the keyed
+    shuffle, exactly like the batch plan."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value_col), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n", "total")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) — streaming twin of the batch
+    ``ext_sessionize`` lag/run-id construction, via the built-in
+    ``session_window`` (state merges adjacent sessions online)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_latest(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """D1 analog — keyed dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key while the
+    key is inside the watermark horizon (the streaming version of the
+    reference's row_number()==1 latest-wins)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def run_available_now(
+    stream: DataFrame, checkpoint_dir: str, out_table: str, output_mode: str = "append"
+) -> None:
+    """Drain the full backlog in bounded micro-batches then stop —
+    gives exactly the batch answer over the same input files, which is
+    how the tests oracle-check streaming against the batch twins.
+
+    ``output_mode``: 'complete' for aggregations (all windows emitted
+    at the end), 'append' for row-level ops like dedup.
+    """
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
