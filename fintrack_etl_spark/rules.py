@@ -66,10 +66,16 @@ PAYMENT_PATTERN = r"\b(PAGAMENTO|PGTO|PAGTO|CREDITO|ESTORNO|CANCELAMENTO)\b"
 
 
 def _any_match(d: Column, patterns: tuple[str, ...]) -> Column:
-    expr = F.lit(False)
-    for p in patterns:
-        expr = expr | d.rlike(p)
-    return expr
+    return d.rlike(_union_regex(patterns))
+
+
+def _union_regex(patterns: tuple[str, ...]) -> str:
+    """One alternation regex per rule: a single automaton run instead
+    of k separate rlike calls (identical match semantics — rlike is an
+    unanchored search and ``(?:a)|(?:b)`` ≡ ``a OR b``)."""
+    if len(patterns) == 1:
+        return patterns[0]
+    return "|".join(f"(?:{p})" for p in patterns)
 
 
 def categorize(
@@ -87,52 +93,57 @@ def categorize(
     3. city-suffix + commerce word → Compras/Loja física,
     4. payment words → Financeiro,
     5. else Outros.
+
+    Compiled for the hot path: ONE when-chain resolves the winning
+    rule index (each rule = one combined regex, short-circuit at the
+    first hit), then the four outputs decode from array literals —
+    so every regex runs at most once per row instead of once per
+    output column.
     """
     d = upper_squeeze(desc)
     parcelado = d.rlike(INSTALLMENT_PATTERN)
     rec_hint = _any_match(d, RECURRENCE_HINTS)
 
-    cat: Column | None = None
-    sub: Column | None = None
-    rec: Column | None = None
-    par: Column | None = None
+    n = len(rules)
+    idx: Column | None = None
+    for i, rule in enumerate(rules):
+        hit = d.rlike(_union_regex(rule.patterns))
+        idx = F.when(hit, i) if idx is None else idx.when(hit, i)
 
-    def chain(prev: Column | None, cond: Column, value: Column) -> Column:
-        return F.when(cond, value) if prev is None else prev.when(cond, value)
-
-    for rule in rules:
-        hit = _any_match(d, rule.patterns)
-        cat = chain(cat, hit, F.lit(rule.categoria))
-        sub = chain(sub, hit, F.lit(rule.subcategoria))
-        rec = chain(rec, hit, F.lit(True) if rule.force_recorrente else rec_hint)
-        par = chain(par, hit, parcelado)
-
-    # Fallback 2: installment purchase at an unmatched merchant.
     fb2 = parcelado
-    cat = cat.when(fb2, F.lit("Compras"))
-    sub = sub.when(fb2, F.lit("Parcelado (loja física)"))
-    rec = rec.when(fb2, F.lit(False))
-    par = par.when(fb2, F.lit(True))
-
-    # Fallback 3: city-suffixed physical store.
     fb3 = d.rlike(CITY_SUFFIX_PATTERN) & d.rlike(COMMERCE_WORD_PATTERN)
-    cat = cat.when(fb3, F.lit("Compras"))
-    sub = sub.when(fb3, F.lit("Loja física"))
-    rec = rec.when(fb3, F.lit(False))
-    par = par.when(fb3, F.lit(False))
-
-    # Fallback 4: payments / credits / refunds.
     fb4 = d.rlike(PAYMENT_PATTERN)
-    cat = cat.when(fb4, F.lit("Financeiro"))
-    sub = sub.when(fb4, F.lit("Pagamentos/Créditos/Estornos"))
-    rec = rec.when(fb4, F.lit(False))
-    par = par.when(fb4, parcelado)
+    idx = idx.when(fb2, n).when(fb3, n + 1).when(fb4, n + 2).otherwise(n + 3)
+
+    cats = [r.categoria for r in rules] + ["Compras", "Compras", "Financeiro", "Outros"]
+    subs = [r.subcategoria for r in rules] + [
+        "Parcelado (loja física)",
+        "Loja física",
+        "Pagamentos/Créditos/Estornos",
+        None,
+    ]
+    # recorrente: T=always, H=global recurrence hints, F=never
+    rec_codes = ["T" if r.force_recorrente else "H" for r in rules] + ["F", "F", "F", "H"]
+    # parcelado: T=always, F=never, P=installment regex
+    par_codes = ["P"] * n + ["T", "F", "P", "P"]
+
+    pos = idx + 1  # element_at is 1-based
+    cat_col = F.element_at(F.array(*[F.lit(c) for c in cats]), pos)
+    sub_col = F.element_at(F.array(*[F.lit(s).cast("string") for s in subs]), pos)
+    rec_code = F.element_at(F.array(*[F.lit(c) for c in rec_codes]), pos)
+    par_code = F.element_at(F.array(*[F.lit(c) for c in par_codes]), pos)
 
     return F.struct(
-        cat.otherwise(F.lit("Outros")).alias("categoria"),
-        sub.otherwise(F.lit(None).cast("string")).alias("subcategoria"),
-        rec.otherwise(rec_hint).alias("recorrente_suspeita"),
-        par.otherwise(parcelado).alias("parcelado_suspeito"),
+        cat_col.alias("categoria"),
+        sub_col.alias("subcategoria"),
+        F.when(rec_code == "T", F.lit(True))
+        .when(rec_code == "H", rec_hint)
+        .otherwise(F.lit(False))
+        .alias("recorrente_suspeita"),
+        F.when(par_code == "T", F.lit(True))
+        .when(par_code == "F", F.lit(False))
+        .otherwise(parcelado)
+        .alias("parcelado_suspeito"),
     )
 
 
