@@ -12,5 +12,17 @@ window (keyed by document id).
 from .bb_statement import parse_bb_statement
 from .bb_bill import parse_bb_bill
 from .bradesco_bill import parse_bradesco_bill
+from .resumo import (
+    parse_bb_bill_resumo,
+    parse_bb_statement_header,
+    parse_bradesco_resumo,
+)
 
-__all__ = ["parse_bb_statement", "parse_bb_bill", "parse_bradesco_bill"]
+__all__ = [
+    "parse_bb_statement",
+    "parse_bb_bill",
+    "parse_bradesco_bill",
+    "parse_bb_bill_resumo",
+    "parse_bb_statement_header",
+    "parse_bradesco_resumo",
+]

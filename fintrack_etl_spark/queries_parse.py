@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import rules
-from .parse import parse_bb_bill, parse_bb_statement, parse_bradesco_bill
+from .parse import (
+    parse_bb_bill,
+    parse_bb_bill_resumo,
+    parse_bb_statement,
+    parse_bb_statement_header,
+    parse_bradesco_bill,
+    parse_bradesco_resumo,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -299,3 +306,188 @@ def p3_bradesco_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("valor", 2).alias("valor"),
         "tipo",
     )
+
+
+# ---------------------------------------------------------------------------
+# P-RESUMO — document-level header extraction round-trips (F5/F6)
+# ---------------------------------------------------------------------------
+
+_MONTHS_ARR = (
+    "JANEIRO,FEVEREIRO,MARCO,ABRIL,MAIO,JUNHO,JULHO,AGOSTO,"
+    "SETEMBRO,OUTUBRO,NOVEMBRO,DEZEMBRO"
+).split(",")
+
+
+@register(
+    "p4_bb_bill_resumo_roundtrip",
+    f"""
+    SELECT s_suppkey AS doc_id,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'FORNECEDOR ALFA' ELSE 'FORNECEDOR BETA' END AS titular,
+           'AV CENTRAL ' || CAST(s_nationkey AS VARCHAR) || ', FORTALEZA CE - ' ||
+               lpad(CAST(s_suppkey AS VARCHAR), 8, '0')            AS endereco,
+           list_extract({_MONTHS_ARR!r}, CAST(s_suppkey % 12 AS INT) + 1) AS mes_referencia,
+           lpad(CAST(s_suppkey % 28 + 1 AS VARCHAR), 2, '0') || '/05/2024' AS vencimento,
+           round(abs(s_acctbal), 2)       AS valor_total,
+           round(abs(s_acctbal) + 1, 2)   AS limite_unico,
+           round(abs(s_acctbal) + 2, 2)   AS limite_utilizado,
+           round(abs(s_acctbal) + 3, 2)   AS limite_disponivel,
+           round(abs(s_acctbal) + 4, 2)   AS saldo_anterior,
+           round(-abs(s_acctbal) - 5, 2)  AS pagamentos_creditos,
+           round(abs(s_acctbal) + 6, 2)   AS compras_nacionais,
+           round(abs(s_acctbal) + 7, 2)   AS compras_internacionais,
+           round(abs(s_acctbal) + 8, 2)   AS tarifas_encargos_multas,
+           round(abs(s_acctbal) + 9, 2)   AS saldo_parcelado_futuro,
+           round(abs(s_acctbal) + 10, 2)  AS pagamento_minimo,
+           lpad(CAST(s_suppkey % 28 + 1 AS VARCHAR), 2, '0') || '/04/2024' AS fatura_fechada_em,
+           lpad(CAST(s_suppkey % 28 + 1 AS VARCHAR), 2, '0') || '/06/2024' AS fechamento_proxima_fatura,
+           lpad(CAST(s_suppkey % 28 + 1 AS VARCHAR), 2, '0') || '/07/2024' AS melhor_data_compra
+    FROM supplier
+    """,
+)
+def p4_bb_bill_resumo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render one FaturaResumo-bearing document per supplier, extract
+    the 18 header fields back (find_first probes, ``bb_bill.py:95-166``)."""
+    s = T(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    bal = F.abs(F.col("s_acctbal"))
+    months = F.array(*[F.lit(m) for m in _MONTHS_ARR])
+    dd = F.lpad((k % 28 + 1).cast("string"), 2, "0")
+    text = F.concat_ws(
+        "\n",
+        F.concat(
+            F.when(k % 2 == 0, F.lit("FORNECEDOR ALFA")).otherwise(F.lit("FORNECEDOR BETA")),
+            F.lit(" RUA DAS FLORES 100"),
+        ),
+        F.concat(
+            F.lit("AV CENTRAL "),
+            F.col("s_nationkey").cast("string"),
+            F.lit(", FORTALEZA CE - "),
+            F.lpad(k.cast("string"), 8, "0"),
+        ),
+        F.concat(F.lit("Cartao fatura de "), F.element_at(months, (k % 12).cast("int") + 1)),
+        F.concat(F.lit("Vencimento "), dd, F.lit("/05/2024")),
+        F.concat(F.lit("Valor R$ "), _brl(bal)),
+        F.concat(F.lit("Limite único R$ "), _brl(bal + 1)),
+        F.concat(F.lit("Limite único utilizado R$ "), _brl(bal + 2)),
+        F.concat(F.lit("Limite único disponível R$ "), _brl(bal + 3)),
+        F.concat(F.lit("Saldo fatura anterior R$ "), _brl(bal + 4)),
+        F.concat(F.lit("Pagamentos/Créditos R$ -"), _brl(bal + 5)),
+        F.concat(F.lit("Compras nacionais R$ "), _brl(bal + 6)),
+        F.concat(F.lit("Compras internacionais R$ "), _brl(bal + 7)),
+        F.concat(F.lit("Tarifas, encargos e multas R$ "), _brl(bal + 8)),
+        F.concat(F.lit("Saldo parcelado em faturas futuras R$ "), _brl(bal + 9)),
+        F.concat(F.lit("Pagamento mínimo R$ "), _brl(bal + 10)),
+        F.concat(F.lit("Fatura fechada em "), dd, F.lit("/04/2024")),
+        F.concat(F.lit("Fechamento da próxima fatura "), dd, F.lit("/06/2024")),
+        F.concat(F.lit("Melhor data de compra "), dd, F.lit("/07/2024")),
+    )
+    docs = s.select(k.alias("doc_id"), text.alias("text"))
+    out = parse_bb_bill_resumo(docs)
+    money = [
+        "valor_total", "limite_unico", "limite_utilizado", "limite_disponivel",
+        "saldo_anterior", "pagamentos_creditos", "compras_nacionais",
+        "compras_internacionais", "tarifas_encargos_multas",
+        "saldo_parcelado_futuro", "pagamento_minimo",
+    ]
+    return out.withColumns({c: F.round(c, 2) for c in money})
+
+
+@register(
+    "p5_bb_statement_header_roundtrip",
+    """
+    SELECT c_custkey                                   AS doc_id,
+           'CLIENTE EXEMPLO'                           AS cliente,
+           '01/' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || '/2025' AS periodo_inicio,
+           lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') || '/' ||
+               lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || '/2025'      AS periodo_fim,
+           lpad(CAST(c_custkey % 9999 AS VARCHAR), 4, '0') || '-X'               AS agencia,
+           lpad(CAST(c_custkey AS VARCHAR), 5, '0') || '-7'                      AS conta,
+           '2025-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0')          AS competencia
+    FROM customer
+    """,
+)
+def p5_bb_statement_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render one ExtratoHeader-bearing statement per customer and
+    decompose ``Período: dd a dd/mm/yyyy`` back into
+    inicio/fim/competência (``bb_statement.py:44-82``)."""
+    c = T(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dd = F.lpad((k % 28 + 1).cast("string"), 2, "0")
+    mm = F.lpad((k % 12 + 1).cast("string"), 2, "0")
+    text = F.concat_ws(
+        "\n",
+        F.lit("Extrato de Conta Corrente"),
+        F.lit("Cliente CLIENTE EXEMPLO"),
+        F.concat(F.lit("Período: 01 a "), dd, F.lit("/"), mm, F.lit("/2025")),
+        F.concat(
+            F.lit("Agência: "),
+            F.lpad((k % 9999).cast("string"), 4, "0"),
+            F.lit("-X Conta: "),
+            F.lpad(k.cast("string"), 5, "0"),
+            F.lit("-7"),
+        ),
+    )
+    docs = c.select(k.alias("doc_id"), text.alias("text"))
+    return parse_bb_statement_header(docs)
+
+
+@register(
+    "p6_bradesco_resumo_roundtrip",
+    """
+    SELECT p_partkey AS doc_id,
+           CASE WHEN p_partkey % 2 = 0 THEN 'NOME DA PESSOA UM' ELSE 'NOME DA PESSOA DOIS' END AS titular,
+           'VISA ' || CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'INFINITE' WHEN 1 THEN 'GOLD' ELSE 'PLATINUM' END AS produto,
+           round(p_retailprice, 2)                          AS total_fatura,
+           lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') || '/12/2025' AS vencimento,
+           lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') || '/01/2026' AS fechamento_proxima,
+           round(p_retailprice + 1, 2)                      AS limite_compras,
+           round(p_retailprice + 2, 2)                      AS limite_saque,
+           round(p_retailprice + 3, 2)                      AS pagamento_minimo,
+           round(p_retailprice + 4, 2)                      AS saldo_anterior,
+           round(p_retailprice + 5, 2)                      AS creditos_pagamentos,
+           round(p_retailprice + 6, 2)                      AS compras_debitos,
+           round(p_retailprice + 7, 2)                      AS total_resumo
+    FROM part
+    """,
+)
+def p6_bradesco_resumo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render one BradescoResumo-bearing bill per part; even keys carry
+    the CENTRO titular block, odd keys exercise the card-block titular
+    fallback (``bradesco_bill.py:58-104``)."""
+    p = T(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    price = F.col("p_retailprice")
+    dd = F.lpad((k % 28 + 1).cast("string"), 2, "0")
+    produto = F.concat(
+        F.lit("VISA "),
+        F.when(k % 3 == 0, "INFINITE").when(k % 3 == 1, "GOLD").otherwise("PLATINUM"),
+    )
+    titular_block = F.when(
+        k % 2 == 0, F.lit("NOME DA PESSOA UM\nCENTRO")
+    ).otherwise(F.lit("NOME DA PESSOA DOIS Cartão 4066 XXXX XXXX 1111"))
+    text = F.concat_ws(
+        "\n",
+        produto,
+        F.lit("bla"),
+        titular_block,
+        F.concat(F.lit("Total da fatura ..... R$ "), _brl(price), F.lit(" "), dd, F.lit("/12/2025")),
+        F.concat(F.lit("Previsão de fechamento da próxima fatura: "), dd, F.lit("/01/2026")),
+        F.concat(
+            F.lit("Limite de compras Limite de saque R$ "),
+            _brl(price + 1),
+            F.lit(" R$ "),
+            _brl(price + 2),
+        ),
+        F.concat(F.lit("Pagamento mínimo R$ "), _brl(price + 3)),
+        F.concat(F.lit("Saldo anterior ..... R$ "), _brl(price + 4)),
+        F.concat(F.lit("(-) Créditos/Pagamentos ..... R$ "), _brl(price + 5)),
+        F.concat(F.lit("(+) Compras/Débitos ..... R$ "), _brl(price + 6)),
+        F.concat(F.lit("(=) Total ..... R$ "), _brl(price + 7)),
+    )
+    docs = p.select(k.alias("doc_id"), text.alias("text"))
+    out = parse_bradesco_resumo(docs)
+    money = [
+        "total_fatura", "limite_compras", "limite_saque", "pagamento_minimo",
+        "saldo_anterior", "creditos_pagamentos", "compras_debitos", "total_resumo",
+    ]
+    return out.withColumns({c: F.round(c, 2) for c in money})

@@ -265,3 +265,23 @@ def r7_forms_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = normalize_forms(messy, "acme")
     return out.withColumn("valor", F.round("valor", 2))
+
+
+@register("r8_payments_report", None)
+def r8_payments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — ``check_bradesco_payments.py:7-13``: case-insensitive
+    substring predicate ('PAGTO') + sort by valor. The filter is a
+    native contains over upper() — pushable, codegen'd."""
+    lanc = reports.normalize_lancamentos(_lancamentos(spark, sf_dir))
+    return (
+        lanc.filter(F.upper(F.col("descricao")).contains("PAGTO"))
+        .select("lanc_id", "data", "descricao", "categoria", "valor")
+        .orderBy("valor", "lanc_id")
+    )
+
+
+ORACLES["r8_payments_report"] = f"""
+    WITH {_lanc_cte()}
+    SELECT lanc_id, data, descricao, categoria, valor
+    FROM lanc WHERE upper(descricao) LIKE '%PAGTO%'
+    """
