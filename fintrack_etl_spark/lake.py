@@ -1,0 +1,184 @@
+"""Lake-table DDL and catalog operators (SURVEY.md §2.1 S6-S9, S11,
+§2.9 D5).
+
+The reference creates Iceberg v2 tables via DataFrameWriterV2 with
+transform partitioning (``datatrack_spark_utils.py:376-481``), external
+Hive tables via DDL + MSCK (``:618-680``), and introspects JDBC
+catalogs to exclude LOB columns (``:771-829``). This container has no
+Hive metastore or Iceberg jar, so table DDL targets Spark's built-in
+catalog over parquet — identical query semantics, different commit
+atomicity (documented, not hidden).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# S8 — schema → DDL
+# ---------------------------------------------------------------------------
+
+
+def schema_to_ddl(df: DataFrame) -> str:
+    """``schema_to_ddl`` (``datatrack_spark_utils.py:365-374``) —
+    column list for CREATE TABLE, via the JVM's canonical toDDL."""
+    return df._jdf.schema().toDDL()
+
+
+# ---------------------------------------------------------------------------
+# S6/S7/S9 — partitioned table create / append
+# ---------------------------------------------------------------------------
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    mode: str = "append",
+    fmt: str = "parquet",
+) -> None:
+    """S9 — ``write_to_minio`` (``datatrack_spark_utils.py:618-624``):
+    hive-style partition directories; partition values become
+    directory keys so scans prune on them."""
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def create_external_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema_ddl: str,
+    partition_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """S9 — ``create_table_external_hive`` (``:627-680``): DDL-first
+    external table over an existing tree + partition recovery (the
+    MSCK REPAIR TABLE equivalent for datasource tables)."""
+    part = f"PARTITIONED BY ({', '.join(partition_cols)})" if partition_cols else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({schema_ddl}) USING {fmt} {part} LOCATION '{path}'"
+    )
+    if partition_cols:
+        recover_partitions(spark, name)
+
+
+def recover_partitions(spark: SparkSession, name: str) -> None:
+    """S9 — ``MSCK REPAIR TABLE`` (``:676-680``); datasource-table
+    spelling is RECOVER PARTITIONS."""
+    spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+
+
+def upsert_table_partitioned(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    path: str,
+    partition_cols: tuple[str, ...] = ("ingestao_year", "ingestao_month", "ingestao_day"),
+) -> None:
+    """S6 — ``upsert_iceberg_table_partitioned``
+    (``etls_raw/main.py:318-345``): create-if-absent else append, same
+    partition spec every time."""
+    if spark.catalog.tableExists(name):
+        df.write.mode("append").insertInto(name)
+    else:
+        write_partitioned(df, path, partition_cols, mode="overwrite")
+        create_external_table(spark, name, path, _data_ddl(df, partition_cols), partition_cols)
+
+
+def _data_ddl(df: DataFrame, partition_cols: tuple[str, ...]) -> str:
+    """DDL with partition columns last (hive layout requirement)."""
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    ordered = [c for c in df.columns if c not in partition_cols] + list(partition_cols)
+    return ", ".join(f"{c} {fields[c]}" for c in ordered)
+
+
+# ---------------------------------------------------------------------------
+# S11 — JDBC catalog introspection (LOB exclusion)
+# ---------------------------------------------------------------------------
+
+#: ``datatrack_spark_utils.py:771-829`` — types excluded from wide scans
+DEFAULT_EXCLUDED_TYPES: tuple[str, ...] = (
+    "BLOB",
+    "CLOB",
+    "NCLOB",
+    "BFILE",
+    "LONG",
+    "LONG RAW",
+    "RAW",
+    "XMLTYPE",
+    "BYTEA",
+    "TEXT",
+)
+
+
+def columns_excluding_types(
+    catalog_columns: DataFrame,
+    table_name: str,
+    excluded_types: tuple[str, ...] = DEFAULT_EXCLUDED_TYPES,
+    col_name: str = "column_name",
+    type_name: str = "data_type",
+    table_col: str = "table_name",
+) -> list[str]:
+    """S11 — ``remove_colunas_por_tipo`` (``:771-829``): build the
+    projection for a JDBC read from the source catalog's column
+    dictionary (``all_tab_columns`` / ``information_schema.columns``),
+    dropping LOB-typed columns. The catalog frame is tiny → collect is
+    driver-safe."""
+    rows = (
+        catalog_columns.filter(F.upper(F.col(table_col)) == table_name.upper())
+        .filter(~F.upper(F.col(type_name)).isin([t.upper() for t in excluded_types]))
+        .select(col_name)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def jdbc_read_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict,
+    columns: list[str] | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S11 — partitioned JDBC scan as configured per-table by the
+    reference's source-ingestion JSON (``create_source_ingestao.py:38-71``:
+    delta_colum with lowerBound/upperBound/numPartitions). The
+    projection is pushed into the dbtable subquery so LOBs never leave
+    the source database."""
+    projection = ", ".join(columns) if columns else "*"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"(SELECT {projection} FROM {table}) src")
+    )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+            .option("numPartitions", num_partitions or 8)
+        )
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# D5 — snapshot expiry (lake maintenance)
+# ---------------------------------------------------------------------------
+
+
+def expire_snapshots(spark: SparkSession, table: str, older_than=None, retain_last: int = 1):
+    """D5 — ``CALL system.expire_snapshots``
+    (``datatrack_spark_utils.py:756-768``). Iceberg-only maintenance:
+    without the Iceberg extension there are no snapshots to expire, so
+    this raises rather than silently pretending."""
+    raise NotImplementedError(
+        "expire_snapshots requires an Iceberg catalog; plain-parquet "
+        "tables have no snapshot lineage (see SURVEY.md §4 conclusion)"
+    )
