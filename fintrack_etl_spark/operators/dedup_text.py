@@ -144,6 +144,35 @@ def simhash64(toks: Column) -> Column:
     return out
 
 
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via the scale formulation: explode tokens, hash
+    each token ONCE, then one groupBy folding 64 bit-vote sums.
+
+    The array-expression variant (``simhash64``) folds the token array
+    64 times through non-codegen higher-order functions, re-hashing
+    every token per bit — ~10× slower. Here hashing is a single
+    codegen'd pass and the 64 votes ride map-side partial aggregation,
+    so the shuffle carries 64 ints per doc regardless of doc length —
+    the formulation that survives 100 TB.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    vote = lambda j: F.sum(
+        F.when(F.col("h").isNull(), 0)
+        .when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+    ).alias(f"b{j}")
+    votes = hashed.groupBy("id").agg(*[vote(j) for j in range(64)])
+    sh = F.lit(0).cast("long")
+    for j in range(64):
+        sh = sh + F.when(
+            F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))
+        ).otherwise(0)
+    return votes.select("id", sh.alias("sh"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -156,7 +185,7 @@ def simhash_near_pairs(
     prefix block), then verify hamming ≤ ``max_hamming`` via
     bit_count(xor). Multi-table permutation blocking is the full-recall
     variant; one block keeps the demo linear."""
-    base = df.select(F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("sh"))
+    base = simhash_table(df, id_col, text_col)
     blocked = base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

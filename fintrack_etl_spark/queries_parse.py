@@ -381,7 +381,7 @@ def p4_bb_bill_resumo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Fechamento da próxima fatura "), dd, F.lit("/06/2024")),
         F.concat(F.lit("Melhor data de compra "), dd, F.lit("/07/2024")),
     )
-    docs = s.select(k.alias("doc_id"), text.alias("text"))
+    docs = s.select(k.alias("doc_id"), text.alias("text")).repartition(spark.sparkContext.defaultParallelism)  # regex probes >> I/O
     out = parse_bb_bill_resumo(docs)
     money = [
         "valor_total", "limite_unico", "limite_utilizado", "limite_disponivel",
@@ -427,7 +427,7 @@ def p5_bb_statement_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
             F.lit("-7"),
         ),
     )
-    docs = c.select(k.alias("doc_id"), text.alias("text"))
+    docs = c.select(k.alias("doc_id"), text.alias("text")).repartition(spark.sparkContext.defaultParallelism)  # regex probes >> I/O
     return parse_bb_statement_header(docs)
 
 
@@ -484,7 +484,7 @@ def p6_bradesco_resumo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("(+) Compras/Débitos ..... R$ "), _brl(price + 6)),
         F.concat(F.lit("(=) Total ..... R$ "), _brl(price + 7)),
     )
-    docs = p.select(k.alias("doc_id"), text.alias("text"))
+    docs = p.select(k.alias("doc_id"), text.alias("text")).repartition(spark.sparkContext.defaultParallelism)  # regex probes >> I/O
     out = parse_bradesco_resumo(docs)
     money = [
         "total_fatura", "limite_compras", "limite_saque", "pagamento_minimo",

@@ -56,8 +56,16 @@ _DESC_SQL = """
 
 def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → lançamentos shape: data/descricao/valor + F12 fields +
-    a unique ``lanc_id`` tie-break key."""
-    o = T(spark, sf_dir, "orders")
+    a unique ``lanc_id`` tie-break key.
+
+    The scan is repartitioned before the categorize derivation: the
+    rule chain costs ~25 regex evals/row, so compute dominates I/O and
+    a small single-file (single row-group) input would otherwise pin
+    the whole derivation to one core. One tiny shuffle buys full
+    parallelism — the same call a 100 TB pipeline makes whenever
+    per-row compute outweighs data size.
+    """
+    o = T(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     desc = F.expr(_DESC_SQL)
     cat = rules.categorize(desc)
     signed = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice")).otherwise(
