@@ -76,7 +76,7 @@ def _doc_text(lines: DataFrame, doc_id: str, order: str, line: str, header: str 
 @register(
     "p1_bb_statement_roundtrip",
     """
-    SELECT o_custkey % 50                                    AS doc_id,
+    SELECT o_custkey % 500                                    AS doc_id,
            strftime(o_orderdate, '%d/%m/%Y')                 AS data,
            lpad(CAST(o_orderkey AS VARCHAR), 6, '0')         AS lote,
            CAST(NULL AS VARCHAR)                             AS documento,
@@ -109,7 +109,7 @@ def p1_bb_statement_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = F.concat(F.lit("REF "), lote, F.lit(" OK"))
     chunks = o.select(
-        (F.col("o_custkey") % 50).alias("doc_id"),
+        (F.col("o_custkey") % 500).alias("doc_id"),
         F.col("o_orderkey").alias("ord"),
         F.concat_ws("\n", launch, cont).alias("chunk"),
     )

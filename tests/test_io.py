@@ -1,0 +1,44 @@
+"""Source/sink tests (S2-S10)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark import io as fio
+
+
+def test_jsonl_gzip_roundtrip_with_shard_names(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("doc "), F.col("id")).alias("texto")
+    )
+    out = str(tmp_path / "shards")
+    fio.write_jsonl_gzip(df, out)
+    names = fio.rename_shards(spark, out)
+    assert names and names[0] == "shard-00000.jsonl.gz"
+    on_disk = sorted(os.path.basename(f) for f in glob.glob(f"{out}/shard-*.jsonl.gz"))
+    assert on_disk == sorted(names)
+    assert not glob.glob(f"{out}/part-*")  # all committed files renamed
+
+    back = fio.read_jsonl(spark, out)
+    assert back.count() == 1000
+    assert {r["id"] for r in back.select("id").limit(5).collect()} <= set(range(1000))
+
+
+def test_csv_roundtrip_multiline_headers(spark, tmp_path):
+    """S2 — embedded-newline headers survive a quoted CSV round-trip
+    (the Google-Forms shape, ``forms_main.py:225``)."""
+    out = str(tmp_path / "csv")
+    df = spark.createDataFrame([("a", 1.5)], ["Valor:\nExemplo: R$40,00", "x"])
+    fio.write_csv(df, out, single_file=True)
+    back = fio.read_csv(spark, out)
+    assert back.columns[0] == "Valor:\nExemplo: R$40,00"
+    assert back.count() == 1
+
+
+def test_ideal_partitions_caps(spark):
+    df = spark.range(10)
+    n = fio.ideal_partitions(df, target_mb=256, cap=4000)
+    assert 1 <= n <= 4000
