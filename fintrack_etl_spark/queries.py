@@ -771,14 +771,22 @@ def f11_normalize_cpf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CATEGORIZE_DESC_SQL = """
-    CASE CAST(p_partkey % 8 AS INT)
-        WHEN 0 THEN 'POSTO IPIRANGA LTDA'
+    CASE CAST(p_partkey % 16 AS INT)
+        WHEN 0 THEN 'UDEMY COURSE 4821'
         WHEN 1 THEN 'SUPERMERCADO BOM PRECO'
         WHEN 2 THEN 'NETFLIX.COM MENSAL'
         WHEN 3 THEN 'LOJA DAS FABRICAS PARC 02/04'
         WHEN 4 THEN 'PAGTO DEBITO AUTOMATICO'
         WHEN 5 THEN 'BOUTIQUE CHIC FORTALEZA'
         WHEN 6 THEN 'UBER TRIP 123'
+        WHEN 7 THEN 'WELLHUB ACADEMIA BR'
+        WHEN 8 THEN 'OPENAI CHATGPT SUBSCR'
+        WHEN 9 THEN 'MERCADOLIVRE*VENDA 881'
+        WHEN 10 THEN 'MERCADOPAGO LOJA DO ZE'
+        WHEN 11 THEN 'ITC PARKING SHOPPING'
+        WHEN 12 THEN 'TOKIO MARINE*AUTO 07/10'
+        WHEN 13 THEN 'IFD*RESTAURANTE TOP FORTALEZA'
+        WHEN 14 THEN 'IOF COMPRA INTERNACIONAL'
         ELSE 'XYZ DESCONHECIDO'
     END
 """

@@ -33,22 +33,78 @@ class CategoryRule:
     force_recorrente: bool = False
 
 
-# Representative default rule set with the reference's category taxonomy
-# (Educação, Saúde, Assinaturas, Compras, Financeiro, Mercado,
-# Transporte, Alimentação — ``categories_bb.py:16-215``). The engine is
-# data-driven: callers pass their own table.
+# The reference's exact ordered rule table (``categories_bb.py:16-215``)
+# carried as DATA — the patterns/taxonomy are the behavior contract to
+# match; only the compilation machinery is engine-specific. The engine
+# stays data-driven: callers pass their own table.
 DEFAULT_RULES: tuple[CategoryRule, ...] = (
-    CategoryRule("Educação", None, (r"\bCURSO\b", r"\bUNIVERSIDADE\b", r"\bESCOLA\b")),
-    CategoryRule("Saúde", "Farmácia", (r"\bFARMACIA\b", r"\bDROGARIA\b")),
-    CategoryRule("Saúde", "Academia/Bem-estar", (r"\bACADEMIA\b", r"\bGYM\b"), True),
-    CategoryRule("Assinaturas", "Streaming", (r"\bNETFLIX\b", r"\bSPOTIFY\b", r"\bSTREAM\b"), True),
-    CategoryRule("Assinaturas", "Software", (r"\bSOFTWARE\b", r"\bCLOUD\b", r"\bSAAS\b"), True),
-    CategoryRule("Compras", "E-commerce", (r"\bMARKETPLACE\b", r"\bECOMMERCE\b", r"\bSHOP\b")),
-    CategoryRule("Mercado", "Supermercado", (r"\bSUPERMERCADO\b", r"\bMERCADINHO\b", r"\bATACADO\b")),
-    CategoryRule("Transporte", "Apps/Taxi", (r"\bUBER\b", r"\bTAXI\b", r"\bRIDE\b")),
-    CategoryRule("Transporte", "Combustível", (r"\bPOSTO\b", r"\bCOMBUSTIVEL\b", r"\bGAS STATION\b")),
-    CategoryRule("Alimentação", "Restaurante", (r"\bRESTAURANT\b", r"\bLANCHONETE\b", r"\bPIZZARIA\b", r"\bBAR\b")),
-    CategoryRule("Financeiro", "Tarifas/Juros/IOF", (r"\bIOF\b", r"\bJUROS\b", r"\bTARIFA\b", r"\bANUIDADE\b", r"\bMULTA\b")),
+    CategoryRule("Educação", None, (r"\bFIAP\b", r"\bUDEMY\b", r"\bCOURSERA\b", r"\bCURSO\b")),
+    CategoryRule("Saúde", "Telemedicina/Serviços", (r"\bRDSAUDE\b", r"\bRDSAUDE ONLINE\b"), True),
+    CategoryRule("Saúde", "Academia/Bem-estar", (r"\bWELLHUB\b", r"\bGYMPASS\b"), True),
+    CategoryRule("Assinaturas", "Software/IA", (r"\bOPENAI\b", r"\bCHATGPT\b"), True),
+    CategoryRule(
+        "Assinaturas", "Google/Amazon (digital)", (r"\bDL\*GOOGLE\b", r"\bGOOGLE\b", r"\bAMAZON\b"), True
+    ),
+    CategoryRule("Compras", "E-commerce", (r"\bMERCADOLIVRE\b", r"\bMERCADO LIVRE\b")),
+    CategoryRule(
+        "Financeiro",
+        "Pagamentos/Carteira digital",
+        (r"\bMERCADOPAGO\b", r"\bMERCADO PAGO\b", r"\bPAYGO\b"),
+    ),
+    CategoryRule("Mercado", "Supermercado", (r"\bANCORA DISTRIBUIDORA\b",)),
+    CategoryRule(
+        "Mercado",
+        None,
+        (
+            r"\bPINHEIRO\b",
+            r"\bMERCADINHO SAO LUIZ\b",
+            r"\bMERCADO 901\b",
+            r"\bMERCADINHO\b",
+            r"\bSUPERMERCADO\b",
+        ),
+    ),
+    CategoryRule("Transporte", "Apps/Taxi", (r"\bUBER\b", r"HELP\.UBER", r"WWW\.UBER\.COM")),
+    CategoryRule(
+        "Transporte",
+        "Estacionamento",
+        (
+            r"\bPARKING\b",
+            r"\bITC PARKING\b",
+            r"\bESTACIONA\b",
+            r"\bTEIXEIRA ESTACIONA\b",
+            r"\bTEIXEIRA ESTACIONAME\b",
+        ),
+    ),
+    CategoryRule("Transporte", "Combustível", (r"\bSOBRAL E PALACIO\b",)),
+    CategoryRule("Lazer", "Esporte / Beach Tennis", (r"\bHABACUC\b", r"\bHABACUCBANDEIRA\b")),
+    CategoryRule("Lazer", "Shopping", (r"\bRIOMAR\b",)),
+    CategoryRule("Lazer", "Clube/Atividades", (r"\bSESC\b",)),
+    CategoryRule(
+        "Lazer", "Eventos", (r"\bPINK FESTAS\b", r"\bZP\*PLAY NAS FRIAS\b", r"\bPLAY NAS FRIAS\b")
+    ),
+    CategoryRule("Lazer", "Esporte", (r"\bPODIUM BT\b", r"\bPODIUM\b")),
+    CategoryRule(
+        "Casa",
+        "Varejo/Variedades",
+        (r"\bM V VARIEDADES\b", r"\bMUNDO E CIA\b", r"\bVARIEDADES\b", r"\bMUNDO\b"),
+    ),
+    CategoryRule(
+        "Seguros", "Auto", (r"\bBRADESCO AUT\*", r"\bTOKIO MARINE\*AUTO\b", r"\bTOKIO MARINE\b"), True
+    ),
+    CategoryRule("Compras", "Loja física", (r"\bDPSSA\b", r"\bCASA BLANCA\b")),
+    CategoryRule(
+        "Alimentação", "Delivery", (r"\bIFD\*", r"\bIFOOD\b", r"\bRAPPI\b", r"\bUBER EATS\b")
+    ),
+    CategoryRule(
+        "Alimentação",
+        "Restaurante/Lanchonete",
+        (r"\bRESTAURANT\b", r"\bGASTRONOMIA\b", r"\bDELI\b", r"\bALIMENTACAO\b"),
+    ),
+    CategoryRule(
+        "Financeiro",
+        "Tarifas/Juros/IOF",
+        (r"\bIOF\b", r"\bJUROS\b", r"\bENCARG\b", r"\bMULTA\b", r"\bTARIFA\b", r"\bANUIDADE\b"),
+    ),
 )
 
 #: Recurrence hints (``categories_bb.py:216``).
@@ -59,10 +115,10 @@ INSTALLMENT_PATTERN = r"\bPARC\s+\d{2}/\d{2}\b"
 
 #: City-suffix + commerce-word fallback (``categories_bb.py:252-254``).
 CITY_SUFFIX_PATTERN = r"\b(FORTALEZA|SAO PAULO|EUSEBIO|SALVADOR)\b$"
-COMMERCE_WORD_PATTERN = r"\b(COMERCIO|VAREJO|BOUTIQUE|LOJA|DISTRIBUIDORA)\b"
+COMMERCE_WORD_PATTERN = r"\b(COMERCIO|COMÉRCIO|VAREJO|BOUTIQUE|LOJA|DISTRIBUIDORA)\b"
 
 #: Payment/credit fallback (``categories_bb.py:263``).
-PAYMENT_PATTERN = r"\b(PAGAMENTO|PGTO|PAGTO|CREDITO|ESTORNO|CANCELAMENTO)\b"
+PAYMENT_PATTERN = r"\b(PAGAMENTO|PGTO|PAGTO|CREDITO|CR[ÉE]DITO|ESTORNO|CANCELAMENTO)\b"
 
 
 def _any_match(d: Column, patterns: tuple[str, ...]) -> Column:

@@ -103,11 +103,21 @@ def test_categorize(spark):
     from fintrack_etl_spark.rules import categorize
 
     cases = {
-        "NETFLIX.COM MENSAL": ("Assinaturas", "Streaming", True, False),
-        "SUPERMERCADO BOM PRECO": ("Mercado", "Supermercado", False, False),
+        # reference rule table hits (categories_bb.py:16-215)
+        "UDEMY COURSE 123": ("Educação", None, False, False),
+        "WELLHUB BR": ("Saúde", "Academia/Bem-estar", True, False),
+        "OPENAI CHATGPT SUBSCR": ("Assinaturas", "Software/IA", True, False),
+        "MERCADOLIVRE*VENDA PARC 02/04": ("Compras", "E-commerce", False, True),
+        "SUPERMERCADO BOM PRECO": ("Mercado", None, False, False),
+        "UBER TRIP 123": ("Transporte", "Apps/Taxi", False, False),
+        "TOKIO MARINE SEGUROS": ("Seguros", "Auto", True, False),
+        "IFD*RESTAURANTE TOP": ("Alimentação", "Delivery", False, False),
+        "TARIFA ANUIDADE DIF": ("Financeiro", "Tarifas/Juros/IOF", False, False),
+        # fallbacks (categorize_bb :242-274)
         "LOJA X PARC 02/04": ("Compras", "Parcelado (loja física)", False, True),
         "BOUTIQUE CHIC FORTALEZA": ("Compras", "Loja física", False, False),
         "PAGTO DEBITO": ("Financeiro", "Pagamentos/Créditos/Estornos", False, False),
+        "NETFLIX.COM MENSAL": ("Outros", None, True, False),  # rec hint only
         "XYZ DESCONHECIDO": ("Outros", None, False, False),
     }
     df = spark.createDataFrame([(s,) for s in cases], ["desc"])
