@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions import brl_to_double, normalize_space
 from ..rules import DEFAULT_RULES, categorize
-from .lines import explode_lines, running_last
+from .lines import explode_lines, extract_all_groups, group_template, running_last
 
 #: ``bb_bill.py:172`` (case-insensitive)
 CARD_RE = r"(?i)^(.*)\s+\(Cartão\s+(\d{4})\)\s*$"
@@ -38,53 +38,48 @@ def parse_bb_bill(
     lines = explode_lines(docs, doc_id, text_col)
     ln = F.col("ln")
 
+    # classify AND extract pre-shuffle: one rlike per pattern + one
+    # single-pass group split per matched line; group positions aligned
+    # across the two txn variants (data, desc, pais, valor) so the
+    # downstream projection is branch-free array indexing.
+    # country variant wins when both match (reference tries it first).
+    is_card = ln.rlike(CARD_RE)
+    is_txn_country = ln.rlike(TXN_COUNTRY_RE)
+    is_txn = ln.rlike(TXN_RE)
     classified = lines.select(
         doc_id,
         "line_no",
-        "ln",
-        ln.rlike(CARD_RE).alias("is_card"),
-        ln.rlike(TXN_COUNTRY_RE).alias("is_txn_country"),
-        ln.rlike(TXN_RE).alias("is_txn"),
+        is_card.alias("is_card"),
+        (is_txn_country | is_txn).alias("is_any_txn"),
+        F.when(is_card, extract_all_groups(ln, CARD_RE, group_template(1, 2))).alias("c"),
+        F.when(is_txn_country, extract_all_groups(ln, TXN_COUNTRY_RE, group_template(1, 2, 3, 4)))
+        .when(is_txn, extract_all_groups(ln, TXN_RE, group_template(1, 2, None, 3)))
+        .alias("g"),
     )
 
+    c = F.col("c")
     with_ctx = classified.select(
         doc_id,
         "line_no",
-        "ln",
         "is_card",
-        "is_txn_country",
-        "is_txn",
-        running_last(
-            F.when(F.col("is_card"), normalize_space(F.regexp_extract(ln, CARD_RE, 1))), doc_id
-        ).alias("titular_cartao"),
-        running_last(F.when(F.col("is_card"), F.regexp_extract(ln, CARD_RE, 2)), doc_id).alias(
-            "final_cartao"
+        "is_any_txn",
+        "g",
+        running_last(F.when(F.col("is_card"), normalize_space(c[0])), doc_id).alias(
+            "titular_cartao"
         ),
+        running_last(F.when(F.col("is_card"), c[1]), doc_id).alias("final_cartao"),
     )
 
-    # country variant wins when both match (reference tries it first)
-    txns = with_ctx.filter(~F.col("is_card") & (F.col("is_txn_country") | F.col("is_txn")))
-    pat = F.when(F.col("is_txn_country"), F.lit(0)).otherwise(F.lit(1))
-    data = F.when(pat == 0, F.regexp_extract(ln, TXN_COUNTRY_RE, 1)).otherwise(
-        F.regexp_extract(ln, TXN_RE, 1)
-    )
-    desc = F.when(pat == 0, F.regexp_extract(ln, TXN_COUNTRY_RE, 2)).otherwise(
-        F.regexp_extract(ln, TXN_RE, 2)
-    )
-    pais = F.when(pat == 0, F.regexp_extract(ln, TXN_COUNTRY_RE, 3))
-    valor = F.when(pat == 0, brl_to_double(F.regexp_extract(ln, TXN_COUNTRY_RE, 4))).otherwise(
-        brl_to_double(F.regexp_extract(ln, TXN_RE, 3))
-    )
-
-    parsed = txns.select(
+    g = F.col("g")
+    parsed = with_ctx.filter(~F.col("is_card") & F.col("is_any_txn")).select(
         doc_id,
         "line_no",
         "titular_cartao",
         "final_cartao",
-        data.alias("data"),
-        pais.alias("pais"),
-        normalize_space(desc).alias("descricao"),
-        valor.alias("valor"),
+        g[0].alias("data"),
+        F.nullif(g[2], F.lit("")).alias("pais"),
+        normalize_space(g[1]).alias("descricao"),
+        brl_to_double(g[3]).alias("valor"),
     )
 
     cat = categorize(F.col("descricao"), rules)

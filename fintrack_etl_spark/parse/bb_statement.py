@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import brl_to_double, normalize_space
-from .lines import collect_joined, explode_lines, running_last, segment_id
+from .lines import (
+    collect_joined,
+    explode_lines,
+    extract_all_groups,
+    group_template,
+    running_last,
+    segment_id,
+)
 
 #: ``bb_statement.py:97-103`` — groups: data, lote, doc, hist, valor, sinal
 LAUNCH_RE = r"^(\d{2}/\d{2}/\d{4})\s+(?:(\d{3,})\s+)?(?:(\d{3,})\s+)?(.*?)\s*([\d\.\,]+)\s+\(([+-])\)\s*$"
@@ -69,13 +76,27 @@ def parse_bb_statement(docs: DataFrame, doc_id: str = "doc_id", text_col: str = 
     lines = explode_lines(docs, doc_id, text_col).filter(~F.col("ln").isin(*HEADER_LINES))
 
     ln = F.col("ln")
-    classified = lines.select(
-        doc_id,
-        "line_no",
-        "ln",
-        _is_group(ln).alias("is_group"),
-        ln.rlike(LAUNCH_RE).alias("is_launch_raw"),
-    ).withColumn("is_launch", F.col("is_launch_raw") & ~F.col("is_group"))
+    # classify AND extract in the pre-shuffle stage: one rlike + one
+    # single-pass group split per launch line (vs 6 per-group extracts),
+    # so the regex work parallelizes with the scan instead of running on
+    # the (AQE-coalesced) post-window partitions
+    classified = (
+        lines.select(
+            doc_id,
+            "line_no",
+            "ln",
+            _is_group(ln).alias("is_group"),
+            ln.rlike(LAUNCH_RE).alias("is_launch_raw"),
+        )
+        .withColumn("is_launch", F.col("is_launch_raw") & ~F.col("is_group"))
+        .withColumn(
+            "g",
+            F.when(
+                F.col("is_launch"),
+                extract_all_groups(ln, LAUNCH_RE, group_template(1, 2, 3, 4, 5, 6)),
+            ),
+        )
+    )
 
     with_ctx = classified.select(
         doc_id,
@@ -83,21 +104,23 @@ def parse_bb_statement(docs: DataFrame, doc_id: str = "doc_id", text_col: str = 
         "ln",
         "is_group",
         "is_launch",
+        "g",
         running_last(F.when(F.col("is_group"), ln), doc_id).alias("grupo"),
         segment_id(F.col("is_group") | F.col("is_launch"), doc_id).alias("seg"),
     )
 
+    g = F.col("g")
     launches = with_ctx.filter("is_launch").select(
         doc_id,
         "line_no",
         "seg",
         "grupo",
-        F.regexp_extract(ln, LAUNCH_RE, 1).alias("data"),
-        F.nullif(F.regexp_extract(ln, LAUNCH_RE, 2), F.lit("")).alias("lote"),
-        F.nullif(F.regexp_extract(ln, LAUNCH_RE, 3), F.lit("")).alias("documento"),
-        normalize_space(F.regexp_extract(ln, LAUNCH_RE, 4)).alias("historico"),
-        brl_to_double(F.regexp_extract(ln, LAUNCH_RE, 5)).alias("valor_abs"),
-        F.regexp_extract(ln, LAUNCH_RE, 6).alias("sinal"),
+        g[0].alias("data"),
+        F.nullif(g[1], F.lit("")).alias("lote"),
+        F.nullif(g[2], F.lit("")).alias("documento"),
+        normalize_space(g[3]).alias("historico"),
+        brl_to_double(g[4]).alias("valor_abs"),
+        g[5].alias("sinal"),
     )
 
     conts = collect_joined(

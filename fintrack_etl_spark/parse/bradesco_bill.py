@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import brl_to_double, normalize_space
 from ..operators.joins import mode_backfill
-from .lines import explode_lines, running_last
+from .lines import explode_lines, extract_all_groups, group_template, running_last
 
 #: ``bradesco_bill.py:112-115``
 CARD_CTX_RE = r"(?i)^(.+?)\s+Cart[aã]o\s+\d{4}\s+X{4}\s+X{4}\s+(\d{4})$"
@@ -82,13 +82,12 @@ SANITIZE_CUTS = (
 )
 
 
-def _is_valid_card_ctx(ln: Column) -> Column:
-    """``maybe_update_ctx`` validations (``bradesco_bill.py:259-281``)."""
-    titular = normalize_space(F.regexp_extract(ln, CARD_CTX_RE, 1))
+def _valid_titular(titular: Column) -> Column:
+    """``maybe_update_ctx`` validations (``bradesco_bill.py:259-281``)
+    on an already-extracted, whitespace-normalized titular."""
     tl = F.lower(titular)
     return (
-        ln.rlike(CARD_CTX_RE)
-        & ~tl.isin("número do", "numero do")
+        ~tl.isin("número do", "numero do")
         & ~tl.contains("número do cartão")
         & ~tl.contains("numero do cartao")
         & (F.size(F.split(titular, r"\s+")) >= 2)
@@ -146,39 +145,16 @@ def parse_bradesco_bill(
     lines = explode_lines(docs, doc_id, text_col)
     ln = F.col("ln")
 
-    classified = lines.select(
-        doc_id,
-        "line_no",
-        "ln",
-        _is_valid_card_ctx(ln).alias("is_ctx"),
-        ln.rlike(CARD_NUMBER_RE).alias("is_cardnum"),
-    )
+    # All per-line work (context validation, ignore/sanitize, payment-vs-
+    # transaction dispatch, group extraction, desc/city split) happens in
+    # this pre-shuffle stage with single-pass group splits; only the two
+    # context forward-fills need the per-document window.
+    ctx = F.when(ln.rlike(CARD_CTX_RE), extract_all_groups(ln, CARD_CTX_RE, group_template(1, 2)))
+    titular_raw = normalize_space(ctx[0])
+    is_ctx = ctx.isNotNull() & _valid_titular(titular_raw)
+    is_cardnum = ln.rlike(CARD_NUMBER_RE)
 
-    with_ctx = classified.select(
-        doc_id,
-        "line_no",
-        "ln",
-        "is_ctx",
-        "is_cardnum",
-        running_last(
-            F.when(
-                F.col("is_ctx"),
-                F.upper(normalize_space(F.regexp_extract(ln, CARD_CTX_RE, 1))),
-            ),
-            doc_id,
-        ).alias("titular_cartao"),
-        running_last(
-            F.when(F.col("is_ctx"), F.regexp_extract(ln, CARD_CTX_RE, 2)).when(
-                F.col("is_cardnum"), F.regexp_extract(ln, CARD_NUMBER_RE, 1)
-            ),
-            doc_id,
-        ).alias("cartao_final"),
-    )
-
-    body = with_ctx.filter(~F.col("is_ctx") & ~F.col("is_cardnum")).filter(~_is_ignored(ln))
-    body = body.withColumn("s", _sanitize(ln)).filter(F.col("s") != "")
-    s = F.col("s")
-
+    s = _sanitize(ln)
     is_pay = s.rlike(PAY_RE)
     contaminated = (
         s.rlike(DATE_PREFIX_RE)
@@ -186,35 +162,67 @@ def parse_bradesco_bill(
     )
     is_txn = s.rlike(TXN_RE)
 
-    pay_raw = F.regexp_extract(s, PAY_RE, 3)
+    # PAY_RE is not end-anchored — extend the replace pattern to eat the
+    # tail so the single-pass split sees only the captured groups
+    gp = F.when(is_pay, extract_all_groups(s, PAY_RE + r".*$", group_template(1, 2, 3)))
+    gt = F.when(is_txn, extract_all_groups(s, TXN_RE, group_template(1, 2, 3)))
+
+    pay_raw = gp[2]
     pay_val = F.when(
         pay_raw.endswith("-"), -brl_to_double(F.regexp_replace(pay_raw, "-$", ""))
     ).otherwise(brl_to_double(pay_raw))
+    txn_val = brl_to_double(gt[2])
+    dc = split_desc_city(normalize_space(gt[1]))
 
-    txn_rest = normalize_space(F.regexp_extract(s, TXN_RE, 2))
-    txn_val = brl_to_double(F.regexp_extract(s, TXN_RE, 3))
-    dc = split_desc_city(txn_rest)
+    classified = lines.select(
+        doc_id,
+        "line_no",
+        is_ctx.alias("is_ctx"),
+        is_cardnum.alias("is_cardnum"),
+        F.when(is_ctx, F.upper(titular_raw)).alias("titular_ctx"),
+        F.when(is_ctx, ctx[1])
+        .when(is_cardnum, F.regexp_extract(ln, CARD_NUMBER_RE, 1))
+        .alias("cartao_ctx"),
+        (
+            ~_is_ignored(ln)
+            & (s != "")
+            & (is_pay | (~contaminated & is_txn & txn_val.isNotNull()))
+        ).alias("keep"),
+        F.when(is_pay, gp[0]).otherwise(gt[0]).alias("data"),
+        F.when(is_pay, normalize_space(gp[1])).otherwise(dc["descricao"]).alias("descricao"),
+        F.when(is_pay, F.lit(None).cast("string")).otherwise(dc["cidade"]).alias("cidade"),
+        F.when(is_pay, pay_val).otherwise(txn_val).alias("valor"),
+        F.when(is_pay, F.lit("pagamento"))
+        .when(txn_val >= 0, F.lit("compra"))
+        .otherwise(F.lit("ajuste"))
+        .alias("tipo"),
+    )
 
-    parsed = (
-        body.filter(is_pay | (~contaminated & is_txn & txn_val.isNotNull()))
-        .select(
-            doc_id,
-            "line_no",
-            "titular_cartao",
-            "cartao_final",
-            F.when(is_pay, F.regexp_extract(s, PAY_RE, 1))
-            .otherwise(F.regexp_extract(s, TXN_RE, 1))
-            .alias("data"),
-            F.when(is_pay, normalize_space(F.regexp_extract(s, PAY_RE, 2)))
-            .otherwise(dc["descricao"])
-            .alias("descricao"),
-            F.when(is_pay, F.lit(None).cast("string")).otherwise(dc["cidade"]).alias("cidade"),
-            F.when(is_pay, pay_val).otherwise(txn_val).alias("valor"),
-            F.when(is_pay, F.lit("pagamento"))
-            .when(txn_val >= 0, F.lit("compra"))
-            .otherwise(F.lit("ajuste"))
-            .alias("tipo"),
-        )
+    with_ctx = classified.select(
+        doc_id,
+        "line_no",
+        "is_ctx",
+        "is_cardnum",
+        "keep",
+        "data",
+        "descricao",
+        "cidade",
+        "valor",
+        "tipo",
+        running_last(F.col("titular_ctx"), doc_id).alias("titular_cartao"),
+        running_last(F.col("cartao_ctx"), doc_id).alias("cartao_final"),
+    )
+
+    parsed = with_ctx.filter(~F.col("is_ctx") & ~F.col("is_cardnum") & F.col("keep")).select(
+        doc_id,
+        "line_no",
+        "titular_cartao",
+        "cartao_final",
+        "data",
+        "descricao",
+        "cidade",
+        "valor",
+        "tipo",
     )
 
     if backfill_titular:

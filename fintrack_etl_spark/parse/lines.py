@@ -20,6 +20,28 @@ def explode_lines(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text
     )
 
 
+#: Group separator for single-pass regex extraction — a control char
+#: that cannot survive ``normalize_space`` input text.
+_SEP = "\x01"
+
+
+def extract_all_groups(ln: Column, pattern: str, replacement: str) -> Column:
+    """All capture groups of an anchored ``pattern`` in ONE regex
+    execution: ``regexp_replace`` rewrites the line to a ``\\x01``-joined
+    group template (e.g. ``"$1\\x01$2"``), then ``split``. Unmatched
+    optional groups become ``''`` — same contract as ``regexp_extract``.
+    ~N× cheaper than N per-group ``regexp_extract`` calls on the same
+    pattern; callers must guard with the pattern's ``rlike``."""
+    return F.split(F.regexp_replace(ln, pattern, replacement), _SEP, -1)
+
+
+def group_template(*slots: int | None) -> str:
+    """Build the ``extract_all_groups`` replacement: one ``$n`` per slot,
+    ``None`` for a padding slot (aligns group positions across regex
+    variants with different group counts)."""
+    return _SEP.join("" if s is None else f"${s}" for s in slots)
+
+
 def doc_window(doc_id: str = "doc_id"):
     return Window.partitionBy(doc_id).orderBy("line_no")
 

@@ -113,7 +113,9 @@ def p1_bb_statement_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("ord"),
         F.concat_ws("\n", launch, cont).alias("chunk"),
     )
-    docs = _doc_text(chunks, "doc_id", "ord", "chunk", header="Pix - Enviado")
+    docs = _doc_text(chunks, "doc_id", "ord", "chunk", header="Pix - Enviado").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # regex probes >> I/O: fan the ~500 docs out of the AQE-coalesced agg
     parsed = parse_bb_statement(docs)
     return parsed.select(
         "doc_id",
@@ -208,7 +210,9 @@ def p2_bb_bill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ln"),
         )
     )
-    docs = _doc_text(txn.unionByName(ctx), "doc_id", "ord", "ln")
+    docs = _doc_text(txn.unionByName(ctx), "doc_id", "ord", "ln").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # regex probes >> I/O
     parsed = parse_bb_bill(docs)
     return parsed.select(
         "doc_id",
@@ -294,7 +298,9 @@ def p3_bradesco_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ln"),
         )
     )
-    docs = _doc_text(txn.unionByName(ctx), "doc_id", "ord", "ln")
+    docs = _doc_text(txn.unionByName(ctx), "doc_id", "ord", "ln").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # regex probes >> I/O
     parsed = parse_bradesco_bill(docs)
     return parsed.select(
         "doc_id",
