@@ -45,6 +45,8 @@ HEADLINE = [
     "d2_replace_by_key",
     "ext_tumbling_window",
     "ext_cube",
+    "ext_asof_join",
+    "ext_time_bucket_rollup",
 ]
 
 

@@ -137,3 +137,48 @@ def approx_distinct(df: DataFrame, keys: list[str], value: str, alias: str = "ap
 def pivot_sum(df: DataFrame, key: str, pivot_col: str, pivot_values: list[str], value: str) -> DataFrame:
     """Extension — pivot with explicit value list (no discovery scan)."""
     return df.groupBy(key).pivot(pivot_col, pivot_values).agg(F.sum(value))
+
+
+def time_bucket_agg(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    keys: list[str],
+    value: str,
+) -> DataFrame:
+    """Extension — hypertable-style time-bucket aggregate: tumbling
+    ``F.window`` buckets (epoch-aligned, same origin as DuckDB/Timescale
+    ``time_bucket``) with the standard continuous-aggregate measures.
+    One shuffle on (bucket, keys); partial aggregation is map-side, so
+    at 100 TB the shuffle carries one row per (bucket, key) per task."""
+    return (
+        df.groupBy(F.window(ts_col, bucket).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value).alias("total"),
+            F.min(value).alias("vmin"),
+            F.max(value).alias("vmax"),
+        )
+        .select(F.col("w.start").alias("bucket"), *keys, "n", "total", "vmin", "vmax")
+    )
+
+
+def rollup_time_buckets(
+    fine: DataFrame,
+    coarse_bucket: str,
+    keys: list[str],
+) -> DataFrame:
+    """Extension — re-aggregate a fine time-bucket aggregate into a
+    coarser one WITHOUT touching raw data (the continuous-aggregate
+    rollup path: sum-of-sums, min-of-mins). Requires the coarse bucket
+    to be a multiple of the fine one so fine buckets nest exactly."""
+    return (
+        fine.groupBy(F.window("bucket", coarse_bucket).alias("w"), *keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .select(F.col("w.start").alias("bucket"), *keys, "n", "total", "vmin", "vmax")
+    )

@@ -8,7 +8,7 @@ broadcast so no shuffle lands on the big fact table at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .aggregate import mode_per_group
@@ -78,3 +78,78 @@ def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
     """Extension — NOT EXISTS (MERGE not-matched / idempotent replace D2)."""
     return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Extension — backward as-of join: attach to each left row the
+    right row with the greatest ``right_ts <= left_ts`` per key.
+
+    Spark-first formulation: tag both sides, union, ONE shuffle on the
+    join keys, forward-fill the right payload down event time, keep the
+    left rows. No range state, no per-key loops — at 100 TB this is a
+    single hash partitioning by key with a sort within partitions, and
+    skew handling falls out of AQE like any other shuffle. (The
+    point-in-time alternative — broadcast + windowed lookup — only wins
+    when the right side fits in memory; this version needs neither side
+    small.)
+
+    ``right_cols`` maps right column → output name; defaults to every
+    non-key, non-ts right column under an ``asof_`` prefix, plus
+    ``asof_ts`` for the matched timestamp. Ties on the timestamp are
+    resolved right-side-first (a quote at exactly the trade's time is
+    visible to it), matching ``ON right_ts <= left_ts`` semantics.
+    """
+    if right_cols is None:
+        right_cols = {
+            c: f"asof_{c}" for c in right.columns if c not in on and c != right_ts
+        }
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+    )
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+    )
+    r2 = right.select(
+        *on, F.col(right_ts).alias("__t"), F.lit(0).alias("__side"), payload.alias("__r")
+    )
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    m = F.col("__m")
+    return filled.filter(F.col("__side") == 1).select(
+        F.col("__l.*"),
+        m["__ts"].alias("asof_ts"),
+        *[m[src].alias(out) for src, out in right_cols.items()],
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Extension — band/range join: match each fact row to the range
+    rows with ``lo <= value < hi``. The ranges side is a dimension
+    (tiers, buckets, SLA bands) — explicitly broadcast so the physical
+    plan is a BroadcastNestedLoopJoin streaming over the fact table with
+    zero shuffle; the fact side never moves, which is the only strategy
+    that survives a 100 TB fact scan."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(ranges), cond, how)

@@ -901,6 +901,107 @@ def ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_asof_join",
+    """
+    WITH t AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         q AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT t.event_id, t.user_id, t.ts,
+           round(t.value, 2)  AS value,
+           q.ts               AS asof_ts,
+           round(q.value, 2)  AS asof_value
+    FROM t ASOF LEFT JOIN q
+      ON t.user_id = q.user_id AND q.ts <= t.ts
+    """,
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — backward as-of join (union + forward-fill, one
+    shuffle on the key): each purchase gets the latest preceding view's
+    value per user. Oracle uses DuckDB's native ASOF JOIN —
+    an independent implementation of the same semantics."""
+    ev = T(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase")
+    quotes = ev.filter(F.col("event_type") == "view")
+    out = join_ops.asof_join(
+        trades, quotes, on=["user_id"], right_cols={"value": "asof_value"}
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+        "asof_ts",
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
+    "ext_range_join",
+    """
+    WITH tiers AS (
+        SELECT i AS tier, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+        FROM range(12) r(i)
+    )
+    SELECT tier, lo, hi,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN tiers
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — band/range join: orders matched to broadcast price
+    tiers via ``lo <= value < hi`` (BroadcastNestedLoopJoin; the fact
+    side never shuffles), then per-tier totals."""
+    tiers = (
+        spark.range(12)
+        .select(
+            F.col("id").alias("tier"),
+            (F.col("id") * 50000.0).alias("lo"),
+            ((F.col("id") + 1) * 50000.0).alias("hi"),
+        )
+    )
+    orders = T(spark, sf_dir, "orders")
+    joined = join_ops.range_join(orders, tiers, "o_totalprice")
+    return joined.groupBy("tier", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "ext_time_bucket_rollup",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 2) AS vmin,
+           round(max(value), 2) AS vmax
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — hypertable-style continuous-aggregate rollup: 6-hour
+    time buckets re-aggregated to 1-day buckets (sum-of-sums/min-of-
+    mins; raw data touched once). Oracle computes the day aggregate
+    directly from raw events, so the nesting of the rollup path is what
+    gets value-checked."""
+    ev = T(spark, sf_dir, "events")
+    fine = agg_ops.time_bucket_agg(ev, "ts", "6 hours", ["event_type"], "value")
+    day = agg_ops.rollup_time_buckets(fine, "1 day", ["event_type"])
+    return day.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+    )
+
+
+@register(
     "ext_tumbling_window",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

@@ -138,3 +138,60 @@ def test_sessionize(spark):
     )
     out = {r["id"]: r["session_id"] for r in sessionize(df, "t", ["u"], 30, tie_breakers=["id"]).collect()}
     assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_asof_join_backward(spark):
+    from fintrack_etl_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01T00:00:00"), 10.0),
+            ("u1", ts("2024-01-01T00:10:00"), 20.0),
+            ("u2", ts("2024-01-01T00:05:00"), 99.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    trades = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01T00:05:00"), 1),   # after first quote
+            ("u1", ts("2024-01-01T00:10:00"), 2),   # exactly AT second quote -> <= matches it
+            ("u2", ts("2024-01-01T00:00:00"), 3),   # before any quote -> NULL
+        ],
+        ["user_id", "ts", "trade_id"],
+    )
+    out = {
+        r["trade_id"]: r["asof_value"]
+        for r in asof_join(trades, quotes, on=["user_id"], right_cols={"value": "asof_value"}).collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 3: None}
+
+
+def test_range_join_half_open_bands(spark):
+    from fintrack_etl_spark.operators.joins import range_join
+
+    fact = spark.createDataFrame([(0.0,), (49.9,), (50.0,), (150.0,)], ["v"])
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0)], ["tier", "lo", "hi"]
+    )
+    rows = range_join(fact, bands, "v").select("v", "tier").collect()
+    got = {(r["v"], r["tier"]) for r in rows}
+    assert got == {(0.0, 0), (49.9, 0), (50.0, 1)}  # 150.0 has no band; hi is exclusive
+
+
+def test_time_bucket_rollup_nests(spark):
+    from fintrack_etl_spark.operators.aggregate import rollup_time_buckets, time_bucket_agg
+
+    ev = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-01T01:00:00"), 1.0),
+            ("a", ts("2024-01-01T07:00:00"), 2.0),
+            ("a", ts("2024-01-02T01:00:00"), 4.0),
+        ],
+        ["k", "ts", "value"],
+    )
+    fine = time_bucket_agg(ev, "ts", "6 hours", ["k"], "value")
+    assert fine.count() == 3
+    day = {r["bucket"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+           for r in rollup_time_buckets(fine, "1 day", ["k"]).collect()}
+    assert day[ts("2024-01-01T00:00:00")] == (2, 3.0, 1.0, 2.0)
+    assert day[ts("2024-01-02T00:00:00")] == (1, 4.0, 4.0, 4.0)
