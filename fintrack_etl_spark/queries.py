@@ -258,6 +258,60 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.approx_distinct(T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey")
 
 
+@register(
+    "ext_pivot",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — pivot with an explicit value list (no discovery
+    scan: one aggregation pass, no second job to enumerate keys)."""
+    piv = agg_ops.pivot_sum(
+        T(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus", ["F", "O", "P"], "o_totalprice"
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.round(c, 2).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "ext_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — exact interpolated percentiles per group (both
+    engines use the linear-interpolation definition, so values match
+    to the cent). At 100 TB the approx_percentile sketch is the right
+    tool; the exact form is the oracle-checkable baseline."""
+    li = T(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            *[F.round(F.col("p")[i], 2).alias(n) for i, n in enumerate(("p25", "p50", "p75", "p99"))],
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J5)
 # ---------------------------------------------------------------------------
