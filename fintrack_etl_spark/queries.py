@@ -27,6 +27,7 @@ from .operators import aggregate as agg_ops
 from .operators import joins as join_ops
 from .operators import topk as topk_ops
 from .operators import upsert as upsert_ops
+from .operators import skew as skew_ops
 from .operators import windows as win_ops
 from .operators.evolve import evolve_union
 
@@ -256,6 +257,67 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — approx_count_distinct: the 100 TB-safe distinct.
     Sketch values differ across engines, so no value oracle."""
     return agg_ops.approx_distinct(T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey")
+
+
+@register(
+    "ext_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(sum(l_quantity), 2)      AS total,
+           round(min(l_quantity), 2)      AS vmin,
+           round(max(l_quantity), 2)      AS vmax
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — two-phase salted aggregate over a 3-value (maximally
+    skewed) key: the hot key's partials run on 16 salt buckets before a
+    tiny final combine. Oracle is the plain GROUP BY — salting must be
+    value-invisible."""
+    out = skew_ops.salted_group_agg(
+        T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity", buckets=16
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+    )
+
+
+@register(
+    "ext_salted_join",
+    """
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority, substr(o_orderpriority, 1, 1) AS prio_class
+        FROM orders
+    )
+    SELECT prio_class,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN dim USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — skew-safe join: orders (5 hot priority keys) salted
+    by o_orderkey hash across 8 buckets against the replicated dim, so
+    no reducer owns a whole hot key. Oracle is the plain join — salting
+    must be value-invisible."""
+    orders = T(spark, sf_dir, "orders")
+    dim = orders.select("o_orderpriority").distinct().withColumn(
+        "prio_class", F.substring("o_orderpriority", 1, 1)
+    )
+    joined = skew_ops.salted_join(
+        orders, dim.hint("shuffle_hash"), ["o_orderpriority"], "o_orderkey", buckets=8
+    )
+    return joined.groupBy("prio_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
 
 
 @register(

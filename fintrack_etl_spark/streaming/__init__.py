@@ -21,6 +21,7 @@ batch answer.
 from .pipelines import (
     file_source_stream,
     run_available_now,
+    running_totals_stream,
     sessionized_stream,
     stream_dedup_latest,
     windowed_agg_stream,
@@ -29,6 +30,7 @@ from .pipelines import (
 __all__ = [
     "file_source_stream",
     "run_available_now",
+    "running_totals_stream",
     "sessionized_stream",
     "stream_dedup_latest",
     "windowed_agg_stream",

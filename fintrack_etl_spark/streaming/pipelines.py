@@ -91,6 +91,41 @@ def stream_dedup_latest(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def running_totals_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for semantics the built-in streaming ops can't express
+    (here: per-key cumulative count+sum, emitted as an updated row per
+    key per micro-batch; the pattern generalizes to balances, sessions
+    with custom close rules, CDC folding).
+
+    State is one (n, total) pair per key — O(distinct keys), bounded;
+    Arrow batches keep the Python hop vectorized. Use the built-in agg
+    when plain sums suffice; this exists for the genuinely custom case.
+    """
+    import pandas as pd  # local import: only the executors need it here
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream: DataFrame, checkpoint_dir: str, out_table: str, output_mode: str = "append"
 ) -> None:

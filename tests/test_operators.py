@@ -195,3 +195,24 @@ def test_time_bucket_rollup_nests(spark):
            for r in rollup_time_buckets(fine, "1 day", ["k"]).collect()}
     assert day[ts("2024-01-01T00:00:00")] == (2, 3.0, 1.0, 2.0)
     assert day[ts("2024-01-02T00:00:00")] == (1, 4.0, 4.0, 4.0)
+
+
+def test_salted_group_agg_matches_plain(spark):
+    from fintrack_etl_spark.operators.skew import salted_group_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 1.0)], ["k", "v"]
+    )
+    got = {r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+           for r in salted_group_agg(df, ["k"], "v", buckets=4).collect()}
+    assert got == {"hot": (100, sum(range(100)), 0.0, 99.0), "cold": (1, 1.0, 1.0, 1.0)}
+
+
+def test_salted_join_matches_plain(spark):
+    from fintrack_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(i, "k%d" % (i % 2)) for i in range(50)], ["id", "k"])
+    small = spark.createDataFrame([("k0", "a"), ("k1", "b")], ["k", "label"])
+    got = salted_join(big, small, ["k"], "id", buckets=4)
+    plain = big.join(small, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))

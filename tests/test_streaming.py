@@ -92,3 +92,36 @@ def test_file_source_is_incremental(spark, events_dir, tmp_path):
     # same checkpoint, same files → zero new rows (file sink recovers)
     drain()
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_running_totals_stateful_stream(spark, events_dir, tmp_path):
+    """applyInPandasWithState cumulative totals: after draining the
+    backlog in 2-file micro-batches, each key's LAST emitted row must
+    equal the batch groupBy count/sum over the same files."""
+    from fintrack_etl_spark.streaming import running_totals_stream
+
+    schema = _schema(spark, events_dir)
+    stream = file_source_stream(spark, events_dir, schema, max_files_per_trigger=2)
+    totals = running_totals_stream(stream)
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    run_available_now(totals, os.path.join(str(tmp_path), "ck"), name, output_mode="update")
+
+    # update-mode memory sink appends one row per key per batch; the
+    # row with the max n per key is the final cumulative state
+    from pyspark.sql import Window
+
+    got = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    final = got.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    f = {r["user_id"]: (r["n"], r["total"]) for r in final.collect()}
+    b = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert set(f) == set(b)
+    for k in b:
+        assert f[k][0] == b[k][0]
+        assert abs(f[k][1] - b[k][1]) < 1e-6
