@@ -73,3 +73,30 @@ def test_columns_excluding_types(spark):
 def test_expire_snapshots_refuses_without_iceberg(spark):
     with pytest.raises(NotImplementedError):
         lake.expire_snapshots(spark, "any_table")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-bucketed tables joined on the bucket key must plan a
+    sort-merge join with NO Exchange on either side (the pay-shuffle-
+    once-at-write contract)."""
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.lake import write_bucketed
+
+    orders = table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = (
+        table(spark, "lineitem", sf_dir)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+    write_bucketed(orders, "t_bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "t_bkt_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bkt_orders").join(spark.table("t_bkt_lineitem"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
