@@ -152,7 +152,7 @@ _BILL_DESC_SQL = """
 def _p2_oracle() -> str:
     cat = rules.categorize_sql_case(f"({_BILL_DESC_SQL})")
     return f"""
-    SELECT p_partkey % 20                                   AS doc_id,
+    SELECT p_partkey % 199                                  AS doc_id,
            CASE WHEN p_partkey % 2 = 0 THEN 'TITULAR ALFA' ELSE 'TITULAR BETA' END
                                                             AS titular_cartao,
            CASE WHEN p_partkey % 2 = 0 THEN '1111' ELSE '2222' END
@@ -192,12 +192,12 @@ def p2_bb_bill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = F.concat_ws(" ", data, desc, pais_tok, F.lit("R$"), signed)
 
     txn = p.select(
-        (F.col("p_partkey") % 20).alias("doc_id"),
+        (F.col("p_partkey") % 199).alias("doc_id"),
         (h * F.lit(1_000_000_000) + F.col("p_partkey")).alias("ord"),
         line.alias("ln"),
     )
     ctx = (
-        p.select((F.col("p_partkey") % 20).alias("doc_id"), h.alias("h"))
+        p.select((F.col("p_partkey") % 199).alias("doc_id"), h.alias("h"))
         .distinct()
         .select(
             "doc_id",
