@@ -260,6 +260,47 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_sql_entry_q5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA' AND o_orderdate >= DATE '1995-01-01'
+    GROUP BY 1
+    """,
+)
+def ext_sql_entry_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — the SQL-string entry point (SURVEY §3.3: the
+    reference builds SQL strings over temp views,
+    ``datatrack_spark_utils.py:62-89``) on a TPC-H Q5-shaped 5-way
+    join. Catalyst broadcasts the dim chain
+    (region→nation→customer) and reorders the joins; only the
+    lineitem↔orders join shuffles."""
+    from .io import register_fixture_views
+
+    register_fixture_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*)                                          AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND o_orderdate >= DATE '1995-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+@register(
     "ext_salted_agg",
     """
     SELECT l_returnflag,
