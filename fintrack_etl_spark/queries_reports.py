@@ -58,28 +58,35 @@ def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → lançamentos shape: data/descricao/valor + F12 fields +
     a unique ``lanc_id`` tie-break key.
 
-    The scan is repartitioned before the categorize derivation: the
-    rule chain costs ~25 regex evals/row, so compute dominates I/O and
-    a small single-file (single row-group) input would otherwise pin
-    the whole derivation to one core. One tiny shuffle buys full
-    parallelism — the same call a 100 TB pipeline makes whenever
-    per-row compute outweighs data size.
+    Categorization goes through :func:`rules.categorize_dictionary`:
+    the ~25-rule regex chain runs on the DISTINCT descriptions only
+    and broadcast-joins back, instead of being inlined by Catalyst
+    into every consumer of the derived fields (4 outputs + downstream
+    filters + group keys), which at full width exceeds janino's
+    method-size limit and drops the stage to interpreted eval. The
+    same dictionary shape is what a 100 TB pipeline needs anyway —
+    regex once per merchant, zero shuffle on the fact side.
     """
     o = T(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     desc = F.expr(_DESC_SQL)
-    cat = rules.categorize(desc)
     signed = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice")).otherwise(
         -F.col("o_totalprice")
     )
-    return o.select(
+    base = o.select(
         F.col("o_orderkey").alias("lanc_id"),
         F.date_format("o_orderdate", "dd/MM/yyyy").alias("data"),
         desc.alias("descricao"),
         F.round(signed, 2).alias("valor"),
-        cat["categoria"].alias("categoria"),
-        cat["subcategoria"].alias("subcategoria"),
-        cat["recorrente_suspeita"].alias("recorrente_suspeita"),
-        cat["parcelado_suspeito"].alias("parcelado_suspeito"),
+    )
+    return rules.categorize_dictionary(base, "descricao").select(
+        "lanc_id",
+        "data",
+        "descricao",
+        "valor",
+        "categoria",
+        "subcategoria",
+        "recorrente_suspeita",
+        "parcelado_suspeito",
     )
 
 

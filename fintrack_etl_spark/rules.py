@@ -203,6 +203,62 @@ def categorize(
     )
 
 
+def categorize_dictionary(
+    df,
+    desc_col: str = "descricao",
+    rules: tuple[CategoryRule, ...] = DEFAULT_RULES,
+    fields: tuple[str, ...] = (
+        "categoria",
+        "subcategoria",
+        "recorrente_suspeita",
+        "parcelado_suspeito",
+    ),
+):
+    """Categorize by dictionary-encoding the regex work.
+
+    Merchant descriptions repeat heavily (|distinct| ≪ |rows|), so
+    instead of evaluating the ~25-rule regex chain on every fact row —
+    where Catalyst inlines the chain into every consumer (4 output
+    fields + downstream filters + group keys) and the resulting
+    expression can exceed janino's method-size limit, dropping the
+    whole stage to interpreted eval — run :func:`categorize` on the
+    DISTINCT descriptions only and broadcast-join the 4 derived fields
+    back onto the facts.
+
+    At 100 TB this is the only shape that works: the distinct() is a
+    map-side-partial shuffle of one string column, the dictionary is
+    tiny (merchant cardinality), and the join is broadcast — zero
+    shuffle on the fact table, and the regex chain runs once per
+    distinct merchant instead of once per row per consumer.
+
+    NULL descriptions get the chain's fallback ('Outros') exactly like
+    the row-at-a-time path (``categorize_bb``, reference
+    ``rules/categories_bb.py:223-274``).
+    """
+    key = F.coalesce(F.col(desc_col), F.lit(""))
+    cat = categorize(F.col("__cat_key"), rules)
+    # The lazy localCheckpoint pins the finished dictionary: while the
+    # categorize expressions stay visible in the logical plan, a
+    # downstream filter on a derived field (e.g. categoria <>
+    # 'Financeiro') is a pure function of the join key, so predicate
+    # pushdown + join-constraint propagation substitute the whole
+    # regex chain back onto the per-row fact scan — exactly the plan
+    # this operator exists to avoid. Behind the RDD barrier the four
+    # fields are opaque attributes and the chain can only ever run on
+    # |distinct keys| rows.
+    dictionary = (
+        df.select(key.alias("__cat_key"))
+        .distinct()
+        .select("__cat_key", *[cat[f].alias(f) for f in fields])
+        .localCheckpoint(eager=False)
+    )
+    return (
+        df.withColumn("__cat_key", key)
+        .join(F.broadcast(dictionary), "__cat_key", "left")
+        .drop("__cat_key")
+    )
+
+
 def categorize_sql_case(
     desc_expr: str,
     rules: tuple[CategoryRule, ...] = DEFAULT_RULES,
