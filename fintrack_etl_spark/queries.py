@@ -1183,3 +1183,192 @@ def ext_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — grouped analytics beyond the reference surface (§2.4 note:
+# grouping sets / distinct aggs are Spark built-ins worth exposing)
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                       AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("ext_grouping_sets", _GROUPING_SETS_SQL)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — GROUPING SETS through the SQL-string entry point
+    (same Catalyst pipeline as the DataFrame API, SURVEY §3.3).
+
+    Physical shape: ONE Expand (each input row emitted once per
+    grouping set) feeding ONE partial-agg → exchange → final-agg. At
+    100 TB the cost is 3× map-side rows into a map-side combine — not
+    three scans and not three shuffles. The fixture has no NULL keys,
+    so the 'ALL' coalesce labels are unambiguous on both engines.
+    """
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "ext_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def ext_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — multi-column EXACT distinct aggregation.
+
+    Catalyst rewrites N distinct aggregates into one Expand (row × N,
+    each copy keeping one distinct column) + a two-round aggregate —
+    one shuffle keyed (group, distinct-value), one keyed (group). The
+    declarative form survives 100 TB because dedup happens distributed
+    on the expanded key, never as a driver-side set. For cardinality
+    estimates at scale prefer ext_approx_distinct (HLL, no Expand).
+    """
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "ext_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+    FROM orders
+    """,
+)
+def ext_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — value-based (RANGE) window frame: per-customer
+    rolling 7-day spend.
+
+    The frame is bounded by event-time VALUE, not row count, so
+    duplicate timestamps need no tie-break (peers share a frame) and
+    the result is insensitive to intra-key row order. One shuffle on
+    o_custkey; both engines order on integer epoch seconds so the
+    604800-second bound is bit-identical.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d"),
+    )
+
+
+@register(
+    "ext_rank_family",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(ntile(4) OVER w AS INT)        AS quartile,
+           round(percent_rank() OVER w, 6)     AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def ext_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — ranking family (rank/dense_rank/ntile/percent_rank)
+    in one window pass: one shuffle on the partition key, explicit
+    o_orderkey tie-break so every rank is deterministic (SURVEY §7)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "ext_having_join_q18",
+    """
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT o.o_orderkey, c.c_name,
+           round(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o   ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def ext_having_join_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q18 shape: aggregate-then-join reduction.
+
+    The HAVING aggregate runs FIRST, shrinking lineitem to the few
+    qualifying orderkeys before any join touches orders/customer — the
+    ordering that matters at 100 TB (join the 0.1%, not the 100%).
+    AQE converts the shrunken side to a broadcast at runtime.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_EXISTS_SQL = """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+"""
+
+
+@register("ext_exists_subquery", _EXISTS_SQL)
+def ext_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — correlated EXISTS subquery via the SQL entry point.
+
+    Catalyst decorrelates it into a LEFT SEMI join (customer ⋉ orders):
+    the probe side streams, the filter pushes into the orders scan, and
+    no row from orders is ever materialized into the output — the plan
+    a hand-written semi_join would produce, derived from ANSI SQL.
+    """
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_SQL)
