@@ -1,0 +1,87 @@
+"""Distributed connected components — cluster assignment for near-dup
+groups.
+
+The dedup family (exact hash, MinHash-LSH, SimHash, n-gram Jaccard —
+``operators/dedup_text.py``) emits *pairs*; a training-data pipeline
+needs *clusters* ("keep one doc per duplicate group"). Transitive
+closure over the pair graph is the missing step, and at 100 TB it must
+run as a distributed fixpoint, not a driver-side union-find.
+
+Algorithm: min-label propagation (the standard large-graph CC used by
+GraphX/GraphFrames): every node starts labeled with its own id; each
+round a node takes the min of its label and its neighbors' labels;
+converged when no label changes. Rounds = graph diameter — near-dup
+graphs are dense clusters with tiny diameters, so 3-5 rounds typical.
+
+Scale notes:
+* each round is one self-join + one min-aggregate → 2 shuffles over
+  the EDGE set, which for dedup is ≪ the document set;
+* labels are ``localCheckpoint``-ed each round — without the cut, the
+  iterated plan doubles in depth every round and the driver dies
+  re-optimizing it long before the data is a problem;
+* convergence is detected with a ``limit(1).count()`` probe on changed
+  labels (early-exits the scan; no full count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node of the undirected pair graph with the MIN node
+    id reachable from it. Returns ``(node, cluster_id)`` for every node
+    that appears in at least one edge (callers attach singletons with a
+    left join + coalesce).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (diameter larger than expected — raise the cap
+    rather than silently returning partial clusters).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=False)  # pair generation runs once, not per round
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+            sym["a"].alias("node"), "cluster_id"
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint()  # cut the iterated lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def attach_clusters(
+    nodes: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Give every row of ``nodes`` its cluster id: the component label
+    where one exists, else its own id (singleton cluster)."""
+    comp = components.withColumnRenamed("node", id_col)
+    return (
+        nodes.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )

@@ -394,3 +394,86 @@ def x15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_bytes").cast("long").alias("total_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment + dataset splits (the steps after pair detection)
+# ---------------------------------------------------------------------------
+
+
+def _x16_oracle() -> str:
+    # Reuse the value-checked n-gram-Jaccard pair query as the edge
+    # source, then take its transitive closure with a recursive CTE —
+    # DuckDB's fixpoint is the oracle for the distributed label
+    # propagation.
+    pairs_sql = ORACLES["x3_ngram_jaccard"]
+    return f"""
+    WITH RECURSIVE jp AS ({pairs_sql}),
+    edges(a, b) AS (
+        SELECT doc_a, doc_b FROM jp UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    cc AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+    docs AS ({_RECRAWL_SQL})
+    SELECT d.doc_id,
+           CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM docs d LEFT JOIN cc ON d.doc_id = cc.node
+    """
+
+
+@register("x16_dedup_clusters", None)  # oracle attached below (needs x3's)
+def x16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step after pair detection:
+    n-gram-Jaccard pairs (x3) → distributed connected components
+    (min-label propagation, ``operators/graph.py``) → every document
+    labeled with its duplicate-cluster id (its own id if unique).
+    "Keep one per cluster" is then a trivial ``cluster_id`` groupBy.
+
+    DuckDB oracle: the same pair query closed transitively with a
+    recursive CTE — the declarative fixpoint checks the iterative one.
+    """
+    from .operators.graph import attach_clusters, connected_components
+
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return attach_clusters(docs.select("doc_id"), comps, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+
+
+ORACLES["x16_dedup_clusters"] = _x16_oracle()
+
+
+@register(
+    "x17_train_eval_split",
+    """
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'eval' END AS split,
+           lang,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def x17_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split — the standard content-hash
+    technique: route each doc by the first byte of md5(doc_id), 'cd'/256
+    ≈ 80/20. Engine-portable (md5 is md5 everywhere), reproducible
+    across runs and cluster sizes, and a pure map — no shuffle until
+    the per-(split, lang) count. The same expression works as a
+    partition-pruning predicate when train/eval land in separate
+    table partitions.
+    """
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", "train"
+    ).otherwise("eval")
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy(split.alias("split"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

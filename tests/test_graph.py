@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark.operators.graph import attach_clusters, connected_components
+
+
+def test_connected_components_two_chains_and_attach(spark):
+    # chain 1-2-3, pair 10-11, singleton 99 (no edges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    comps = connected_components(edges)
+    got = {r["node"]: r["cluster_id"] for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"])
+    labeled = attach_clusters(nodes, comps, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in labeled.collect()}
+    assert got[99] == 99  # singleton keeps its own id
+    assert got[3] == 1 and got[11] == 10
+
+
+def test_connected_components_long_path_converges(spark):
+    # path 0-1-2-...-9: diameter 9 forces several propagation rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], ["src", "dst"])
+    comps = connected_components(edges)
+    assert {r["cluster_id"] for r in comps.collect()} == {0}
+
+
+def test_connected_components_iteration_cap(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
