@@ -145,3 +145,50 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def upsert_sink_stream(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    table: str,
+    keys: list[str],
+    order_col: str,
+    tie_breakers: list[str] | None = None,
+):
+    """Streaming → keyed latest-wins table: the production lakehouse
+    sink pattern (``foreachBatch`` + MERGE), built on the same
+    ``merge_latest_wins`` the batch path uses (J3 fallback,
+    ``datatrack_spark_utils.py:306-362`` semantics).
+
+    Each micro-batch is first deduped within itself, then merged into
+    the managed table. End-to-end exactly-once comes from the pair
+    (checkpointed source offsets, deterministic idempotent merge): a
+    replayed batch re-merges to the identical table state, so crash
+    recovery cannot double-apply. The merged result is pinned with
+    ``localCheckpoint`` before the overwrite because the plan reads
+    the same table it replaces.
+
+    Returns the started query; callers ``awaitTermination()``.
+    """
+    from ..operators.upsert import merge_latest_wins
+    from ..operators.windows import dedup_latest
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        incoming = dedup_latest(batch_df, keys, order_col, tie_breakers)
+        if spark.catalog.tableExists(table):
+            merged = merge_latest_wins(
+                spark.table(table), incoming, keys, order_col, tie_breakers
+            ).localCheckpoint()
+            merged.write.mode("overwrite").saveAsTable(table)
+        else:
+            incoming.write.saveAsTable(table)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

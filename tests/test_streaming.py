@@ -125,3 +125,37 @@ def test_running_totals_stateful_stream(spark, events_dir, tmp_path):
     for k in b:
         assert f[k][0] == b[k][0]
         assert abs(f[k][1] - b[k][1]) < 1e-6
+
+
+def test_upsert_sink_stream_matches_batch_merge(spark, events_dir, tmp_path):
+    """foreachBatch upsert sink: after draining the backlog file-by-file,
+    the managed table must equal a single batch latest-wins dedup over
+    the same input — regardless of how the batches were cut."""
+    import os
+
+    from fintrack_etl_spark.operators.windows import dedup_latest
+    from fintrack_etl_spark.streaming.pipelines import (
+        file_source_stream,
+        upsert_sink_stream,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    schema = ev.schema
+    tbl = "upsert_sink_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    stream = file_source_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    q = upsert_sink_stream(
+        stream, os.path.join(str(tmp_path), "ck"), tbl,
+        keys=["user_id"], order_col="ts", tie_breakers=["event_id"],
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.table(tbl).select("user_id", "event_id").collect()}
+    want = {
+        tuple(r)
+        for r in dedup_latest(ev, ["user_id"], "ts", ["event_id"])
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
