@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Correctness is the oracle gate's job; these tests pin the *plans*:
+pushdown reaching the parquet scan, broadcasts where a dimension is
+small, top-N without a global sort, single-Expand grouping sets, and
+the regex dictionary keeping the rule chain off the fact path. A
+regression here is invisible at sf0.001 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark.io import table
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    li = table(spark, "lineitem", sf_dir)
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _phys(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan, plan
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs, rs
+
+
+def test_mode_backfill_join_is_broadcast(spark, sf_dir):
+    from fintrack_etl_spark.queries import j2_mode_backfill
+
+    plan = _phys(j2_mode_backfill(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topn_avoids_global_sort(spark, sf_dir):
+    from fintrack_etl_spark.queries import o1_top_abs
+
+    plan = _phys(o1_top_abs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_latest_prunes_with_window_group_limit(spark, sf_dir):
+    from fintrack_etl_spark.queries import w1_dedup_latest
+
+    plan = _phys(w1_dedup_latest(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    from fintrack_etl_spark.queries import ext_grouping_sets
+
+    plan = _phys(ext_grouping_sets(spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    from fintrack_etl_spark.queries import ext_exists_subquery
+
+    assert "LeftSemi" in _phys(ext_exists_subquery(spark, sf_dir))
+
+
+def test_categorize_dictionary_keeps_regex_off_fact_plan(spark, sf_dir):
+    """The rule chain must live only inside the checkpointed dictionary;
+    the report query's own plan (fact scan, join, aggregate) carries no
+    regex at all — at 100 TB that difference is the whole game."""
+    from fintrack_etl_spark.queries_reports import QUERIES
+
+    df = QUERIES["r3_recorrentes"](spark, sf_dir)
+    plan = _opt(df)
+    assert "RLIKE" not in plan, plan[:2000]
+    assert len(plan) < 20_000, len(plan)
