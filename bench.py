@@ -47,6 +47,10 @@ HEADLINE = [
     "ext_cube",
     "ext_asof_join",
     "ext_time_bucket_rollup",
+    "ext_grouping_sets",
+    "ext_having_join_q18",
+    "ext_rank_family",
+    "ext_exists_subquery",
 ]
 
 
