@@ -1,0 +1,124 @@
+"""Property-based tests (SURVEY §5) — the scalar library against
+generated pt-BR inputs, batched through ONE Spark job per property.
+
+Hypothesis drives the value generation; each property collects its
+examples first and evaluates them in a single DataFrame pass (a
+per-example Spark job would take minutes)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark import functions as FX
+
+_SETTINGS = dict(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _eval(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], ["c"])
+    return [r[0] for r in df.select(expr(F.col("c")).alias("out")).collect()]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.decimals(
+                min_value=-99_999_999, max_value=99_999_999, places=2, allow_nan=False
+            ),
+            st.booleans(),  # prefix with R$?
+            st.booleans(),  # thousands separators?
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_brl_to_double_roundtrip(spark, cases):
+    """Formatting any 2-dp amount the pt-BR way then parsing it returns
+    the amount exactly (floats with 2 dp are exactly representable in
+    the tested range)."""
+    rendered, expected = [], []
+    for amount, with_prefix, with_thousands in cases:
+        txt = f"{amount:,.2f}"  # 1,234,567.89
+        if with_thousands:
+            txt = txt.replace(",", "\x00").replace(".", ",").replace("\x00", ".")
+        else:
+            txt = txt.replace(",", "").replace(".", ",")
+        if with_prefix:
+            txt = ("R$ " if amount >= 0 else "R$ -") + txt.lstrip("-")
+        rendered.append(txt)
+        expected.append(float(amount))
+    got = _eval(spark, rendered, FX.brl_to_double)
+    assert got == expected, list(zip(rendered, got, expected))[:3]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=50))
+def test_brl_to_double_never_throws_on_garbage(spark, texts):
+    """ANSI mode is on; the parser must still map unparseable input to
+    NULL (try_cast semantics), never raise."""
+    got = _eval(spark, texts, FX.brl_to_double)
+    assert len(got) == len(texts)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(min_value=date(1950, 1, 2), max_value=date(2049, 12, 31)),
+            st.sampled_from(["%Y-%m-%d", "%d/%m/%Y", "%Y%m%d", "%d%m%Y"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_to_date_multi_parses_all_reference_formats(spark, cases):
+    rendered = [d.strftime(fmt) for d, fmt in cases]
+    got = _eval(spark, rendered, FX.to_date_multi)
+    assert got == [d for d, _ in cases], list(zip(rendered, got))[:3]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=99_999_999_999),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_normalize_cpf_idempotent_and_11_digits(spark, nums):
+    """Any digit string ≤11 long, with or without ./-/space noise,
+    normalizes to exactly 11 left-padded digits; normalizing twice is
+    the same as once."""
+    noisy = [f"{n:011d}"[:3] + "." + f"{n:011d}"[3:9] + "-" + f"{n:011d}"[9:] for n in nums]
+    once = _eval(spark, noisy, FX.normalize_cpf)
+    assert all(len(v) == 11 and v.isdigit() for v in once)
+    assert once == [f"{n:011d}" for n in nums]
+    twice = _eval(spark, once, FX.normalize_cpf)
+    assert twice == once
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet=" \tab-xyz_.", max_size=25), min_size=1, max_size=50))
+def test_slugify_output_alphabet_and_idempotence(spark, texts):
+    out = _eval(spark, texts, FX.slugify)
+    for v in out:
+        assert v is None or all(ch.islower() or ch.isdigit() or ch in "-_." for ch in v), v
+    assert _eval(spark, out, FX.slugify) == out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet=" \ta b\tc", max_size=25), min_size=1, max_size=50))
+def test_normalize_space_idempotent_no_runs(spark, texts):
+    out = _eval(spark, texts, FX.normalize_space)
+    for v in out:
+        assert "  " not in v and "\t" not in v and v == v.strip(), repr(v)
+    assert _eval(spark, out, FX.normalize_space) == out
