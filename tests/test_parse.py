@@ -202,3 +202,34 @@ def test_parsers_scale_over_many_docs(spark):
     out = parse_bb_statement(docs)
     assert out.count() == 50 * 4
     assert out.select("doc_id").distinct().count() == 50
+
+
+def test_pandas_fallback_matches_native(spark):
+    """The applyInPandas escape hatch must be value-identical to the
+    native DataFrame parser on every tricky shape: orphan continuation
+    (group opened, no launch), multi-line continuations, optional
+    lote/documento groups, trailing open launch at EOF."""
+    from fintrack_etl_spark.parse.bb_statement import parse_bb_statement
+    from fintrack_etl_spark.parse.pandas_fallback import parse_bb_statement_pandas
+
+    texts = [
+        (
+            1,
+            "Extrato de Conta Corrente\nPix - Enviado\norphan continuation 77\n"
+            "01/02/2024 000123 PAGAMENTO PIX 1.234,56 (-)\nREF 000123 OK\nmore detail\n"
+            "Saldo do dia\n02/02/2024 TARIFA  BANCARIA 10,00 (-)\n",
+        ),
+        (2, "Recebimento de Proventos\n03/03/2024 0009 000111 SALARIO ACME 5.899,51 (+)\n"),
+        (3, "no groups here\n04/04/2024 COMPRA PADARIA 33,00 (-)\ncont A\ncont B"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    native = parse_bb_statement(docs)
+    fallback = parse_bb_statement_pandas(docs)
+    assert native.columns == fallback.columns
+    assert [str(f.dataType) for f in native.schema.fields] == [
+        str(f.dataType) for f in fallback.schema.fields
+    ]
+    n = sorted(tuple(r) for r in native.collect())
+    f = sorted(tuple(r) for r in fallback.collect())
+    assert n == f
+    assert len(n) == 4
