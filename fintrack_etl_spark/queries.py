@@ -1372,3 +1372,32 @@ def ext_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_EXISTS_SQL)
+
+
+@register(
+    "ext_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    """,
+)
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — unpivot/melt (ext_pivot's inverse): wide measure
+    columns → long (measure, value) rows. Spark's ``unpivot`` expands
+    each row N-fold map-side with NO shuffle and NO extra scans — the
+    oracle's UNION-ALL formulation would scan the table four times;
+    the Expand-based plan is why you melt in the engine, not upstream.
+    """
+    return T(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )

@@ -85,3 +85,23 @@ def test_transform_is_required(spark):
 
     with pytest.raises(TypeError):
         Bad(spark)
+
+
+def test_observed_write_audits_without_rescan(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.pipeline import observed_write
+
+    o = table(spark, "orders", sf_dir).withColumn(
+        "valor", F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_totalprice"))
+    )
+    out = str(tmp_path / "audited")
+    got = observed_write(o, lambda d: d.write.mode("overwrite").parquet(out), "valor")
+
+    n = o.count()
+    n_null = o.filter(F.col("valor").isNull()).count()
+    total = o.agg(F.round(F.sum("valor"), 2)).first()[0]
+    assert got["n_rows"] == n and got["n_null_value"] == n_null
+    assert abs(got["total_value"] - total) < 0.01
+    assert spark.read.parquet(out).count() == n
