@@ -12,7 +12,9 @@ parity-debugging the native path — see
 Scale shape: ``groupBy(doc_id).applyInPandas`` shuffles once on the
 document id (same key as the native path's windows), then parses each
 document in a single Python pass. Arrow moves the batches; the loop
-cost is per-line Python — ~10-50× the native path — which is why it is
+cost is per-line Python — measured 3.2× the native path on the p1
+corpus at sf0.1 (0.38 s vs 1.22 s for 150 k launches, BASELINE.md §C),
+widening with grammar complexity — which is why it is
 the fallback, not the default (reference inverse:
 ``etls_raw/main.py:402-416`` parses on the DRIVER; here the loop at
 least runs ON THE EXECUTORS, so it scales out even in fallback mode).
