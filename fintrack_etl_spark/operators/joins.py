@@ -26,9 +26,15 @@ def budget_vs_actual(
 
     Full-outer on the category key; unmatched actuals flagged
     ``sem_orcamento``; derived ``diferenca``/``status``/``pct_esto``.
-    Budget tables are tiny → broadcast the budget side.
+
+    No broadcast hint on purpose: Spark cannot broadcast either side
+    of a FULL OUTER join (it would miss the unmatched build-side rows),
+    so a hint only logs a warning and falls back. Both inputs here are
+    post-aggregation category tables (|distinct categories| rows), so
+    the sort-merge exchange moves a few hundred bytes at any data
+    scale — the heavy lifting already happened in the upstream agg.
     """
-    joined = actual.join(F.broadcast(budget), key, "full_outer")
+    joined = actual.join(budget, key, "full_outer")
     orcado = F.coalesce(F.col(budget_col), F.lit(0.0))
     realizado = F.coalesce(F.col(actual_col), F.lit(0.0))
     diferenca = F.round(realizado - orcado, 2)
