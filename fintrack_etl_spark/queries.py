@@ -1401,3 +1401,30 @@ def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@register("ext_scalar_subquery", _SCALAR_SUBQ_SQL)
+def ext_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — correlated scalar-aggregate subquery (orders more
+    than 2× their customer's average) via the SQL entry point.
+
+    Catalyst decorrelates it into ONE aggregate over orders grouped by
+    the correlation key + ONE join back — the table is scanned twice
+    but shuffled once per side on o_custkey, instead of the naive
+    per-row subquery (O(n) scans). The hand-written equivalent
+    (groupBy + join) produces the same plan; the declarative form is
+    what an analyst actually writes.
+    """
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCALAR_SUBQ_SQL)

@@ -67,12 +67,20 @@ def cosine_topk_bruteforce(
     )
 
 
-def sign_lsh_bucket(vec: Column, bits: int = 8) -> Column:
-    """Sign-bit LSH bucket id from the first ``bits`` dimensions —
-    deterministic, hyperplane-free (axis-aligned) hashing."""
+def sign_lsh_bucket(vec: Column, bits: int = 8, offset: int = 0) -> Column:
+    """Sign-bit LSH bucket id from ``bits`` dimensions starting at
+    ``offset`` — deterministic, hyperplane-free (axis-aligned) hashing.
+    ``offset`` gives independent hash TABLES from disjoint dim windows
+    (near vectors that flip a sign in one window still collide in
+    another). Windows past the vector's length hash everything to
+    bucket 0 (``try_element_at`` → NULL → bit unset): harmless for
+    correctness, but an all-in-one-bucket table prunes nothing — size
+    ``tables × bits`` within the embedding dimension."""
     out = F.lit(0)
     for i in range(bits):
-        out = out + F.when(F.element_at(vec, i + 1) >= 0, F.lit(2**i)).otherwise(0)
+        out = out + F.when(
+            F.try_element_at(vec, F.lit(offset + i + 1)) >= 0, F.lit(2**i)
+        ).otherwise(0)
     return out
 
 
@@ -81,30 +89,43 @@ def cosine_topk_lsh(
     corpus: DataFrame,
     k: int = 10,
     bits: int = 8,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: search only the query's LSH bucket.
+    """Approximate top-k: search only buckets the query hashes into.
 
-    The bucket id becomes the equi-join key, so Spark prunes
-    |corpus|/2^bits of the work per query; recall trades off with
-    ``bits``. The 100 TB variant writes the corpus bucketed
-    (``bucketBy(2^bits, 'bucket')``) so probes are single-bucket scans.
+    ``tables`` independent hash tables (disjoint dimension windows)
+    union their candidates — the standard LSH recall lever: a near
+    neighbor that flips one sign bit in table 0 still collides in
+    table 1; exact duplicates collide in EVERY table. Work scales as
+    ``tables × |corpus| / 2^bits`` per query; recall rises as
+    ``1-(1-p)^tables``. The 100 TB variant writes the corpus bucketed
+    (``bucketBy(2^bits, 'bkt_0')``) so the primary probe is a
+    single-bucket scan.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv"))).withColumn("bkt", sign_lsh_bucket(F.col("qv"), bits))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv"))).withColumn("bkt", sign_lsh_bucket(F.col("cv"), bits))
-    sim = (
-        c.join(F.broadcast(q), "bkt")
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        tb = F.array(*[sign_lsh_bucket(v, bits, t * bits) for t in range(tables)])
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(f"{out_id}_v"),
+            F.posexplode(tb).alias("tbl", "bkt"),
+        )
+
+    q = bucketed(queries, "query_id")
+    c = bucketed(corpus, "neighbor_id")
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("sim", cosine(F.col("query_id_v"), F.col("neighbor_id_v")))
+        # a pair colliding in several tables scores identically — keep one
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        sim.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
     )
@@ -160,6 +181,97 @@ def ivf_topk(
     )
     sim = (
         c.join(F.broadcast(routed), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic distributed Lloyd k-means — the real IVF coarse
+    quantizer (``ivf_topk``'s label column is the fixture stand-in).
+
+    Init is the deterministic partition ``vec_id % k``; each round is
+    (a) centroid update — posexplode dims, per-(cid, dim) mean rounded
+    to 6 dp so results are partition-order independent — and (b)
+    assignment — corpus × broadcast(centroids), argmax cosine with a
+    cid tie-break. 2 shuffles/round over (corpus × dims) and
+    (corpus × k) rows; centroids are ``localCheckpoint``-pinned per
+    round to cut the iterated lineage (same discipline as
+    ``operators/graph.py``).
+
+    Returns ``(assignments (id, cid), centroids (cid, ccv))``.
+    """
+    v = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("cv"))
+    assigned = v.withColumn("cid", (F.col("_id") % k).cast("int"))
+    cents = None
+    for _ in range(iters):
+        cents = (
+            assigned.select("cid", F.posexplode("cv").alias("dim0", "x"))
+            .groupBy("cid", "dim0")
+            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim0", "m"))).alias("p"))
+            .select("cid", F.transform("p", lambda s: s["m"]).alias("ccv"))
+            .localCheckpoint()
+        )
+        win = Window.partitionBy("_id").orderBy(F.desc("sim"), F.asc("cid"))
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("sim", cosine(F.col("cv"), F.col("ccv")))
+            .withColumn("r", F.row_number().over(win))
+            .filter(F.col("r") == 1)
+            .select("_id", "cv", "cid")
+        )
+    return assigned.select(F.col("_id").alias(id_col), "cid"), cents
+
+
+def ivf_topk_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    kclusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over learned k-means partitions: cluster the corpus
+    once, route each query to its ``nprobe`` nearest centroids, search
+    only those partitions (~nprobe/kclusters of the data). At 100 TB
+    the assignment happens at ingest and ``cid`` is the table's
+    partition column, so a probe is partition-pruned I/O, not compute.
+    """
+    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv")))
+        .withColumn(
+            "rc",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim_c"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rc") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    c = corpus.join(assigns, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cid", _as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = (
+        c.join(F.broadcast(routed), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )

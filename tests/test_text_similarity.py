@@ -145,3 +145,58 @@ def test_lang_guess(spark):
     )
     got = [r["g"] for r in df.select(TX.lang_guess("text").alias("g")).collect()]
     assert got == ["en", "de", "unknown"]
+
+
+def test_ann_quality_contracts(spark, sf_dir):
+    """The rows-only ANN paths have no SQL oracle; their quality
+    contracts are relative and structural (the fixture's vectors are
+    weakly clustered, so absolute bucket-pruned recall is bounded by
+    the probed fraction — measured and recorded in BASELINE.md):
+
+    1. LSH finds EVERY exact duplicate (signature equality is
+       invariant in all tables) — its job in the dedup family;
+    2. more hash tables → monotonically more recall vs brute force;
+    3. learned k-means partitions beat the fixture label partitions.
+    """
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        ivf_topk,
+        ivf_topk_kmeans,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(queries, emb, k=5))
+
+    def recall(approx):
+        got = topk_sets(approx)
+        per_q = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(per_q) / len(per_q)
+
+    # 1. exact-duplicate recall is 1.0: re-crawled copies of the query
+    # vectors must all surface as rank-1 cosine≈1 neighbors
+    dup = queries.withColumn("vec_id", F.col("vec_id") + 100000)
+    corpus_with_dups = emb.unionByName(dup)
+    hits = topk_sets(cosine_topk_lsh(queries, corpus_with_dups, k=5, bits=8, tables=4))
+    for q in (r["vec_id"] for r in queries.collect()):
+        assert q + 100000 in hits.get(q, set()), f"LSH missed exact dup of {q}"
+
+    # 2. the tables lever is monotone
+    r1 = recall(cosine_topk_lsh(queries, emb, k=5, bits=8, tables=1))
+    r8 = recall(cosine_topk_lsh(queries, emb, k=5, bits=8, tables=8))
+    assert r8 >= r1, (r1, r8)
+
+    # 3. learned partitions beat fixture labels, with a floor
+    r_label = recall(ivf_topk(queries, emb, k=5, nprobe=2))
+    r_kmeans = recall(ivf_topk_kmeans(queries, emb, k=5, kclusters=8, nprobe=2))
+    assert r_kmeans >= r_label, (r_label, r_kmeans)
+    assert r_kmeans >= 0.4, r_kmeans
