@@ -1428,3 +1428,32 @@ def ext_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@register(
+    "ext_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — semi-structured column pipeline (F23): parse the
+    JSON ``props`` payload with an explicit schema via ``from_json``,
+    aggregate on an extracted field.
+
+    The schema-first parse matters at scale: ``from_json`` with a
+    declared StructType runs in the JVM per batch and prunes unused
+    JSON fields (Spark's nested-schema pruning), vs schema inference
+    which costs an extra full scan before the real one.
+    """
+    ev = T(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
