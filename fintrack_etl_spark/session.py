@@ -59,6 +59,12 @@ def get_spark(
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if mem:
         conf["spark.driver.memory"] = mem
+    elif master and master.startswith("local"):
+        # Spark's local-mode default is a 1 GiB driver JVM — with 32
+        # concurrent tasks the unified memory pool cannot hold even one
+        # modest shuffle per task (observed UNABLE_TO_ACQUIRE_MEMORY at
+        # 6M cached rows). Size it like the executor it actually is.
+        conf["spark.driver.memory"] = "8g"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
