@@ -1457,3 +1457,40 @@ def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
+
+
+@register(
+    "f18_brl_format",
+    """
+    WITH v AS (
+        SELECT o_orderkey,
+               round(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+                          ELSE -o_totalprice END, 2) AS valor
+        FROM orders
+    ),
+    cents AS (
+        SELECT o_orderkey, valor,
+               CAST(round(abs(valor) * 100) AS BIGINT) AS ac
+        FROM v
+    )
+    SELECT o_orderkey,
+           CASE WHEN valor < 0 THEN 'R$ -' ELSE 'R$ ' END
+           || translate(format('{:,}', ac // 100), ',', '.')
+           || ',' || lpad(CAST(ac % 100 AS VARCHAR), 2, '0') AS brl
+    FROM cents
+    """,
+)
+def f18_brl_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — pt-BR money rendering round-trip
+    (``compare_budget.py:108-111``). Spark renders with
+    ``format_number`` + separator translate; the oracle rebuilds the
+    string from integer cents (DuckDB cannot thousands-format floats),
+    so the comparison also proves the two formatters agree digit-for-
+    digit on every 2-dp value in the fixture.
+    """
+    signed = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice")).otherwise(
+        -F.col("o_totalprice")
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey", FX.brl_format(F.round(signed, 2)).alias("brl")
+    )
