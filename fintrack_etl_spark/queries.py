@@ -1494,3 +1494,76 @@ def f18_brl_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T(spark, sf_dir, "orders").select(
         "o_orderkey", FX.brl_format(F.round(signed, 2)).alias("brl")
     )
+
+
+@register(
+    "ext_gap_fill",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ),
+    j AS (
+        SELECT c.user_id, c.day, d.total
+        FROM cal c LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           last_value(total IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total,
+           total IS NOT NULL AS is_observed
+    FROM j
+    """,
+)
+def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — per-user daily totals densified over each user's
+    observed span (``operators/gapfill.py``): sequence+explode calendar,
+    left join, last-non-null forward fill. Two exchanges total; the
+    expansion is span×keys, not a global-calendar cross join.
+    """
+    from .operators.gapfill import gap_fill_daily
+
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return gap_fill_daily(daily, "user_id", "day", "total")
+
+
+@register(
+    "ext_min_max_by",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           round(max(o_totalprice), 2)       AS max_price,
+           round(min(o_totalprice), 2)       AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — argmin/argmax aggregation (``max_by``/``min_by``):
+    the single-pass "row of the extreme" idiom that replaces the
+    self-join-on-max anti-pattern (one shuffle instead of two scans +
+    a join). Deterministic on the fixture because per-group price
+    extremes are unique (verified at sf0.01 and sf0.1); for tie-prone
+    data use the W3 window form with an explicit tie-break instead.
+    """
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
