@@ -42,3 +42,34 @@ def test_ideal_partitions_caps(spark):
     df = spark.range(10)
     n = fio.ideal_partitions(df, target_mb=256, cap=4000)
     assert 1 <= n <= 4000
+
+
+def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from fintrack_etl_spark.io import read_jsonl_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        "THIS IS NOT JSON\n"
+        '{"a": 2, "b": "y"}\n'
+        '{"a": "not-an-int", "b": 3}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), "a BIGINT, b STRING")
+    assert sorted((r["a"], r["b"]) for r in good.collect()) == [(1, "x"), (2, "y")]
+    bad_lines = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_lines) == 2 and "THIS IS NOT JSON" in bad_lines
+
+
+def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
+    import glob
+
+    from fintrack_etl_spark.io import compact, read_parquet, table
+
+    out = str(tmp_path / "frag")
+    table(spark, "orders", sf_dir).repartition(40).write.parquet(out)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 40
+    before = read_parquet(spark, out).count()
+    n = compact(spark, out, target_mb=256)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n and n < 40
+    assert read_parquet(spark, out).count() == before
