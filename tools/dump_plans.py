@@ -1,0 +1,69 @@
+"""Generate PLANS.md — physical-plan skeletons for the headline queries.
+
+Each entry shows the operator tree (details stripped) plus exchange /
+codegen stats, so plan regressions are reviewable in diffs without
+re-running Spark. Regenerate with:  python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __spark_entry__ import queries
+from bench import HEADLINE
+from fintrack_etl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def skeleton(plan: str, max_lines: int = 40) -> str:
+    """Strip expression payloads: keep the operator tree shape."""
+    out = []
+    for line in plan.splitlines():
+        m = re.match(r"^([:+\-*( ]*)\(?(\d+)?\)?\s*([A-Za-z][A-Za-z0-9]+)", line)
+        if not m:
+            continue
+        indent, _, op = m.groups()
+        if op in ("WholeStageCodegen", "InputAdapter"):
+            continue
+        out.append((indent + op).rstrip())
+        if len(out) >= max_lines:
+            out.append("  ...")
+            break
+    return "\n".join(out)
+
+
+def main() -> None:
+    spark = get_spark("dump_plans")
+    qs = queries()
+    lines = [
+        "# PLANS — headline physical plans (sf0.01, auto-generated)",
+        "",
+        "Operator skeletons from `executedPlan` (expressions stripped);",
+        "`Exchange` rows are shuffles. Regenerate: `python tools/dump_plans.py`.",
+        "",
+    ]
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        n_bc = plan.count("BroadcastExchange")
+        lines += [
+            f"## {name}",
+            f"shuffles (non-broadcast): {n_ex - n_bc} · broadcasts: {n_bc}",
+            "```",
+            skeleton(plan),
+            "```",
+            "",
+        ]
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote PLANS.md ({len(HEADLINE)} queries)")
+
+
+if __name__ == "__main__":
+    main()
