@@ -192,3 +192,45 @@ def upsert_sink_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Stream-stream INNER interval join: match each left event to
+    right events for the same key that happened within ``max_lag``
+    AFTER it (click→conversion, order→payment attribution).
+
+    Both sides carry watermarks and the join condition bounds
+    right.ts ∈ [left.ts, left.ts + max_lag] — together these let the
+    state store evict a buffered row as soon as the other side's
+    watermark passes its join window, so state is O(events in the lag
+    window), not O(stream). Without the time bound Spark rejects the
+    plan (unbounded state); the bound is what makes the join runnable
+    forever.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("l_event") < F.col("r_event"))
+    )
+    return l.join(r, cond, "inner").select(
+        "l_key", "l_event", "r_event", "l_ts", "r_ts", F.round("r_value", 2).alias("r_value")
+    )

@@ -159,3 +159,30 @@ def test_upsert_sink_stream_matches_batch_merge(spark, events_dir, tmp_path):
     }
     assert got == want and len(got) > 0
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Drain a stream-stream interval self-join (click→follow-up within
+    30 min per user) and compare against the identical batch join."""
+    import os
+
+    from fintrack_etl_spark.streaming.pipelines import (
+        file_source_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    schema = ev.schema
+    ls = file_source_stream(spark, events_dir, schema)
+    rs = file_source_stream(spark, events_dir, schema)
+    joined = stream_interval_join(ls, rs)
+    name = "interval_join_t"
+    run_available_now(joined, os.path.join(str(tmp_path), "ck"), name, output_mode="append")
+    got = {tuple(r) for r in spark.table(name).select("l_event", "r_event").collect()}
+
+    from fintrack_etl_spark.streaming.pipelines import stream_interval_join as sij
+
+    batch = sij(ev, ev)  # same builder works on batch DataFrames
+    want = {tuple(r) for r in batch.select("l_event", "r_event").collect()}
+    assert got == want and len(got) > 0
