@@ -206,3 +206,23 @@ def expire_snapshots(spark: SparkSession, table: str, older_than=None, retain_la
         "expire_snapshots requires an Iceberg catalog; plain-parquet "
         "tables have no snapshot lineage (see SURVEY.md §4 conclusion)"
     )
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Partition-scoped idempotent reload (D2 at partition granularity):
+    replace ONLY the partitions present in ``df``, leave every other
+    partition untouched.
+
+    Uses dynamic partition-overwrite mode scoped to this single write
+    (the session default stays static, where ``overwrite`` would wipe
+    the whole table). This is the reference's DELETE-where-key +
+    append contract when the lineage key IS the partition key — at
+    100 TB it rewrites gigabytes, not the table, and re-running the
+    same input converges to identical state.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -100,3 +100,28 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
+def test_overwrite_partitions_touches_only_incoming(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.lake import overwrite_partitions
+
+    out = str(tmp_path / "dynpart")
+    o = table(spark, "orders", sf_dir).withColumn("prio", F.substring("o_orderpriority", 1, 1))
+    overwrite_partitions(o, out, ["prio"])
+    before = spark.read.parquet(out)
+    n_total = before.count()
+    n_p1 = before.filter("prio = '1'").count()
+
+    # reload ONLY priority-1 rows, halved: other partitions must survive
+    p1_half = o.filter("prio = '1'").filter(F.col("o_orderkey") % 2 == 0)
+    n_half = p1_half.count()
+    overwrite_partitions(p1_half, out, ["prio"])
+    after = spark.read.parquet(out)
+    assert after.filter("prio = '1'").count() == n_half
+    assert after.count() == n_total - n_p1 + n_half
+    # idempotency: same input again → same state
+    overwrite_partitions(p1_half, out, ["prio"])
+    assert spark.read.parquet(out).count() == n_total - n_p1 + n_half
