@@ -1567,3 +1567,74 @@ def ext_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
         )
     )
+
+
+@register(
+    "ext_array_agg",
+    """
+    SELECT o_orderpriority,
+           (array_agg(o_orderkey ORDER BY o_orderkey))[1:5] AS first_orders,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — ordered array aggregation: ``collect_list`` is
+    unordered by contract (partition arrival order), so the
+    deterministic form sorts INSIDE the aggregate result
+    (``array_sort`` post-agg) — the only ordering guarantee that
+    survives distributed execution. Slice keeps the payload bounded.
+    """
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first_orders"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "ext_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — native ``session_window`` (30-min inactivity gap)
+    sessionization in ONE aggregate: Spark merges overlapping per-row
+    windows inside the aggregation, no window-function pass, and the
+    identical operator runs on a stream with a watermark
+    (``streaming/pipelines.sessionized_stream``). The oracle is the
+    classic lag + cumulative-sum run-id formulation — two formulations,
+    one result.
+    """
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total",
+        )
+    )
