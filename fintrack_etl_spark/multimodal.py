@@ -84,14 +84,84 @@ def decode_image(media: DataFrame) -> DataFrame:
     raise NotImplementedError("image decode requires Pillow; plumbing in extract_features")
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — real implementation: Pillow ``Image.resize`` inside the
-    same mapInPandas pass as decode (never a second shuffle)."""
-    raise NotImplementedError("image resize requires Pillow")
+    """Resize plumbing with the DECODE STEP FAKED (Pillow absent): the
+    mapInPandas pass, output schema, and per-batch loop are the real
+    thing — swap ``_fake_resize`` for ``PIL.Image.open(...).resize(...)``
+    and nothing else changes. The fake is deterministic: it tiles the
+    source bytes into exactly ``width × height`` output bytes, so tests
+    can assert payload sizes and idempotence without a codec. Decode +
+    resize stay in ONE pass — never a second shuffle for the transform.
+    """
+
+    def _fake_resize(b: bytes | None) -> bytes | None:
+        if b is None or len(b) == 0:
+            return None
+        need = width * height
+        return (b * (need // len(b) + 1))[:need]
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf["content"].map(_fake_resize),
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
-    """STUB — real implementation: pyav/ffmpeg frame iterator per batch
-    in mapInPandas; one output row per sampled frame (media_id,
-    frame_ts, frame binary) — a flatMap-shaped pandas UDF."""
-    raise NotImplementedError("video frame sampling requires pyav/ffmpeg")
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame_ts", T.DoubleType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n_seconds: float = 1.0, frame_bytes: int = 256
+) -> DataFrame:
+    """Frame-sampling plumbing with the CODEC FAKED (pyav/ffmpeg
+    absent): the flatMap-shaped pandas UDF — one INPUT row fanning out
+    to N OUTPUT rows per sampled frame — is the real contract; swap the
+    fake splitter for an ``av.open`` frame iterator and the schema,
+    batching, and fan-out shape are unchanged. The fake is
+    deterministic: the payload is cut into fixed-size "frames", one per
+    ``every_n_seconds`` of pretended footage.
+    """
+
+    def _frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_no": [], "frame_ts": [], "frame": []}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                if b is None:
+                    continue
+                n = max(1, len(b) // frame_bytes)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["frame_ts"].append(round(i * every_n_seconds, 6))
+                    out["frame"].append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)

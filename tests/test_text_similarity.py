@@ -129,9 +129,45 @@ def test_multimodal_stubs_raise():
 
     from fintrack_etl_spark import multimodal as MM
 
-    for fn in (MM.decode_image, MM.resize_image, MM.sample_video_frames):
-        with pytest.raises(NotImplementedError):
-            fn(None) if fn is not MM.resize_image else fn(None, 1, 1)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(None)
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """Real mapInPandas plumbing around the faked codec: every media
+    row yields a width×height payload, deterministically."""
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.multimodal import documents_as_media, resize_image
+
+    media = documents_as_media(table(spark, "documents", sf_dir)).limit(20)
+    out = resize_image(media, 8, 4).collect()
+    assert len(out) == 20
+    assert all(len(r["pixels"]) == 32 for r in out if r["pixels"] is not None)
+    again = resize_image(media, 8, 4).collect()
+    assert {r["media_id"]: r["pixels"] for r in out} == {
+        r["media_id"]: r["pixels"] for r in again
+    }
+
+
+def test_multimodal_frame_sample_fanout(spark, sf_dir):
+    """flatMap shape: one input row → one output row per frame; frame
+    count follows payload size; timestamps step by the sample period."""
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.multimodal import documents_as_media, sample_video_frames
+
+    media = documents_as_media(table(spark, "documents", sf_dir)).limit(10)
+    frames = sample_video_frames(media, every_n_seconds=0.5, frame_bytes=64)
+    per = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_ts").alias("last_ts")
+    )
+    sizes = {r["media_id"]: r["n_bytes"] for r in media.select(
+        "media_id", F.octet_length("content").alias("n_bytes")).collect()}
+    for r in per.collect():
+        expect = max(1, sizes[r["media_id"]] // 64)
+        assert r["n"] == expect
+        assert abs(r["last_ts"] - 0.5 * (expect - 1)) < 1e-9
 
 
 def test_lang_guess(spark):
