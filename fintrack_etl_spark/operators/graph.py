@@ -19,8 +19,10 @@ Scale notes:
 * labels are ``localCheckpoint``-ed each round — without the cut, the
   iterated plan doubles in depth every round and the driver dies
   re-optimizing it long before the data is a problem;
-* convergence is detected with a ``limit(1).count()`` probe on changed
-  labels (early-exits the scan; no full count).
+* convergence costs ONE tiny aggregate per round: each node's label is
+  ``min(self, neighbors)`` so per-node labels never increase, and the
+  global label SUM strictly decreases until the fixpoint — equal sums
+  on consecutive rounds ⇔ converged. No join-probe needed.
 """
 
 from __future__ import annotations
@@ -53,23 +55,18 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    prev_sum = None
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
             sym["a"].alias("node"), "cluster_id"
         )
-        new_labels = (
+        labels = (
             labels.union(nbr).groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
         ).localCheckpoint()  # cut the iterated lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:  # labels are monotone non-increasing per
+            return labels  # node → equal sums ⇔ fixpoint
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
