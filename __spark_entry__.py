@@ -30,32 +30,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    All four modules ship in the package — an import failure in any of
+    them is a real bug and must surface, not silently shrink the
+    correctness gate to the queries that still import.
+    """
     from fintrack_etl_spark import queries as core
+    from fintrack_etl_spark import queries_ext, queries_parse, queries_reports
 
     merged = dict(core.QUERIES)
-    for mod_name in ("queries_ext", "queries_parse", "queries_reports"):
-        try:
-            import importlib
-
-            mod = importlib.import_module(f"fintrack_etl_spark.{mod_name}")
-            merged.update(mod.QUERIES)
-        except ImportError:
-            pass
+    for mod in (queries_ext, queries_parse, queries_reports):
+        merged.update(mod.QUERIES)
     return merged
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle twin per query (omitted → rows-only check)."""
     from fintrack_etl_spark import queries as core
+    from fintrack_etl_spark import queries_ext, queries_parse, queries_reports
 
     merged = dict(core.ORACLES)
-    for mod_name in ("queries_ext", "queries_parse", "queries_reports"):
-        try:
-            import importlib
-
-            mod = importlib.import_module(f"fintrack_etl_spark.{mod_name}")
-            merged.update(mod.ORACLES)
-        except ImportError:
-            pass
+    for mod in (queries_ext, queries_parse, queries_reports):
+        merged.update(mod.ORACLES)
     return merged

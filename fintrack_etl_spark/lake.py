@@ -102,9 +102,23 @@ def upsert_table_partitioned(
 ) -> None:
     """S6 — ``upsert_iceberg_table_partitioned``
     (``etls_raw/main.py:318-345``): create-if-absent else append, same
-    partition spec every time."""
+    partition spec every time.
+
+    ``insertInto`` is POSITIONAL, and the table's layout puts partition
+    columns last (``_data_ddl``) — so the frame is realigned to the
+    table's declared column order by NAME before the append, matching
+    the reference's by-name ``writeTo().append()`` semantics. Without
+    this, any caller whose partition columns aren't already trailing
+    would get silently column-scrambled data.
+    """
     if spark.catalog.tableExists(name):
-        df.write.mode("append").insertInto(name)
+        target_cols = spark.table(name).columns
+        missing = [c for c in target_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append to {name}: dataframe is missing table columns {missing}"
+            )
+        df.select(*target_cols).write.mode("append").insertInto(name)
     else:
         write_partitioned(df, path, partition_cols, mode="overwrite")
         create_external_table(spark, name, path, _data_ddl(df, partition_cols), partition_cols)

@@ -19,10 +19,13 @@ Scale notes:
 * labels are ``localCheckpoint``-ed each round — without the cut, the
   iterated plan doubles in depth every round and the driver dies
   re-optimizing it long before the data is a problem;
-* convergence costs ONE tiny aggregate per round: each node's label is
-  ``min(self, neighbors)`` so per-node labels never increase, and the
-  global label SUM strictly decreases until the fixpoint — equal sums
-  on consecutive rounds ⇔ converged. No join-probe needed.
+* convergence is probed from the SAME aggregate that computes the new
+  labels: the node's previous label rides along as one extra min()
+  column, and "no node changed" is a ``limit(1)``-style ``isEmpty`` on
+  ``new != old`` — no extra shuffle, no extra join, and (unlike a
+  numeric label-sum probe) sound for ANY node-id type including
+  strings, where ``sum`` would be NULL on every round and a NULL==NULL
+  comparison would fake instant convergence.
 """
 
 from __future__ import annotations
@@ -55,18 +58,27 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
-    prev_sum = None
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
             sym["a"].alias("node"), "cluster_id"
         )
-        labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
+        # The node's current label joins the candidate pool tagged is_old;
+        # one groupBy yields BOTH the new label (min over old ∪ neighbor)
+        # and the old label (min over the is_old singleton) — convergence
+        # is then a limit(1) probe on "any new != old", type-agnostic.
+        cand = labels.withColumn("is_old", F.lit(True)).unionByName(
+            nbr.withColumn("is_old", F.lit(False))
+        )
+        agg = (
+            cand.groupBy("node")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("is_old"), F.col("cluster_id"))).alias("_old"),
+            )
         ).localCheckpoint()  # cut the iterated lineage
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:  # labels are monotone non-increasing per
-            return labels  # node → equal sums ⇔ fixpoint
-        prev_sum = cur_sum
+        labels = agg.drop("_old")
+        if agg.filter(F.col("cluster_id") != F.col("_old")).isEmpty():
+            return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -73,9 +73,20 @@ def salted_join(
     ``dist_col`` (any roughly-uniform column, e.g. the fact table's
     primary key), the small side is replicated once per salt value, and
     the join runs on ``on + [salt]`` — each hot key's rows land on
-    ``buckets`` different reducers. Value-identical to
-    ``big.join(small, on, how)``.
+    ``buckets`` different reducers.
+
+    Value-identical to ``big.join(small, on, how)`` ONLY for
+    ``inner``/``left``: for right/full-outer (and semi/anti) the
+    ``buckets``×-replicated small side would emit its unmatched rows
+    once per salt value, changing results — so those modes are
+    rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated small side duplicates unmatched rows under "
+            "right/full_outer/semi/anti"
+        )
     salted_big = big.withColumn(
         _SALT, F.pmod(F.xxhash64(dist_col), F.lit(buckets)).cast("int")
     )

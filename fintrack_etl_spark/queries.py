@@ -1602,7 +1602,8 @@ def ext_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            >= 1800 * 1000000
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1625,7 +1626,10 @@ def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operator runs on a stream with a watermark
     (``streaming/pipelines.sessionized_stream``). The oracle is the
     classic lag + cumulative-sum run-id formulation — two formulations,
-    one result.
+    one result. The oracle's break predicate is an exact
+    microsecond-difference ``>= 1800s`` (not ``date_diff('second') >
+    1800``, which counts second-boundary crossings and disagrees with
+    the native operator for gaps in ``[1800s, 1801s)``).
     """
     ev = T(spark, sf_dir, "events")
     return (

@@ -29,6 +29,25 @@ def test_connected_components_long_path_converges(spark):
     assert {r["cluster_id"] for r in comps.collect()} == {0}
 
 
+def test_connected_components_string_node_ids(spark):
+    """String ids broke the old numeric sum-probe (sum(label) is NULL →
+    NULL == NULL faked convergence after one round). The changed-label
+    probe must keep propagating until the true fixpoint."""
+    # path a-b-c-d-e: needs >1 round; plus a separate pair (x, y)
+    edges = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_c", "doc_b"), ("doc_d", "doc_c"),
+         ("doc_e", "doc_d"), ("doc_y", "doc_x")],
+        ["src", "dst"],
+    )
+    comps = connected_components(edges)
+    got = {r["node"]: r["cluster_id"] for r in comps.collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_d": "doc_a", "doc_e": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+
+
 def test_connected_components_iteration_cap(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(9)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="converge"):

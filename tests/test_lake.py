@@ -45,14 +45,41 @@ def test_partitioned_create_and_recover(spark, sample, tmp_path):
 
 
 def test_upsert_create_then_append(spark, sample, tmp_path):
+    """The fixture's partition columns are NOT trailing (id, year, month,
+    day, value) — the by-name realignment before the positional
+    insertInto must keep every value in its own column on append."""
     path = str(tmp_path / "u")
     try:
         lake.upsert_table_partitioned(sample, spark, "t_upsert_test", path)
         assert spark.table("t_upsert_test").count() == 100
         lake.upsert_table_partitioned(sample, spark, "t_upsert_test", path)
-        assert spark.table("t_upsert_test").count() == 200  # append, not replace
+        got = spark.table("t_upsert_test")
+        assert got.count() == 200  # append, not replace
+        # value fidelity, not just counts: every row must satisfy the
+        # generator invariants value == id*1.5 and year == id%3
+        bad = got.filter(
+            (F.col("value") != F.col("id") * 1.5)
+            | (F.col("ingestao_year") != F.col("id") % 3)
+            | (F.col("ingestao_month") != 1)
+            | (F.col("ingestao_day") != 2)
+        )
+        assert bad.count() == 0, bad.limit(5).collect()
+        # each id appears exactly twice (once per upsert call)
+        assert got.groupBy("id").count().filter("count != 2").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_upsert_test")
+
+
+def test_upsert_append_missing_column_raises(spark, sample, tmp_path):
+    path = str(tmp_path / "u2")
+    try:
+        lake.upsert_table_partitioned(sample, spark, "t_upsert_test2", path)
+        with pytest.raises(ValueError, match="missing table columns"):
+            lake.upsert_table_partitioned(
+                sample.drop("value"), spark, "t_upsert_test2", path
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_upsert_test2")
 
 
 def test_columns_excluding_types(spark):
