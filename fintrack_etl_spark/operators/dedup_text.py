@@ -37,12 +37,30 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def stop_shingles(ex: DataFrame, max_df: int) -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_df``, from an
+    exploded ``(id, s)`` table.
+
+    One hash-groupBy — map-side partial aggregation absorbs the hot
+    keys, so computing the df table is itself skew-safe. The output is
+    SMALL by construction: at most (total shingle occurrences)/max_df
+    rows, so it broadcasts.
+    """
+    return (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
@@ -51,23 +69,61 @@ def ngram_jaccard_pairs(
     intersection count → |A∪B| = |A|+|B|−∩.
 
     At 100 TB this is the *verification* stage; candidate pruning
-    should come from ``minhash_lsh_candidates`` first. Skew note: a
-    stop-shingle shared by everything would explode the join — callers
-    can pre-filter high-doc-frequency shingles.
+    should come from ``minhash_lsh_candidates`` first.
+
+    **Stop-shingle skew guard** (``max_df``): a shingle shared by d
+    documents emits d(d−1)/2 join rows — one boilerplate shingle in
+    every doc turns the self-join quadratic. With ``max_df`` set,
+    shingles with doc-frequency > max_df are removed from the JOIN KEYS
+    (anti-join against the small df>cap table), and the intersection
+    count they would have contributed is restored EXACTLY afterwards:
+    each doc carries the (small, broadcastable) sorted set of hot
+    shingle hashes it contains, and the pair's hot-overlap is
+    ``size(array_intersect(...))`` at verification time. Jaccard is
+    therefore exact for every pair that shares at least one rare
+    shingle. The only pairs missed are those whose ENTIRE overlap is
+    stop-shingles — at threshold t that requires ≥ t/(1+t) of the
+    smaller doc to be boilerplate shared with > max_df other docs,
+    i.e. the no-signal documents df-pruning exists to ignore.
+    Hot-set members are xxhash64(shingle) (8 bytes each, collision
+    ~2⁻⁶⁴) so the broadcast payload stays bounded.
     """
     sh = _shingled(df, id_col, text_col, n).cache()
-    sizes = sh.select("id", F.size("sh").alias("sz"))
     ex = sh.select("id", F.explode("sh").alias("s"))
+    empty_hot = F.array().cast("array<bigint>")
+    if max_df is None:
+        sizes = sh.select("id", F.size("sh").alias("sz"), empty_hot.alias("hot"))
+        rare = ex
+    else:
+        hot = stop_shingles(ex, max_df)
+        rare = ex.join(F.broadcast(hot), "s", "left_anti")
+        hot_sets = (
+            ex.join(F.broadcast(hot), "s", "left_semi")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_set(F.xxhash64("s"))).alias("hot"))
+        )
+        sizes = (
+            sh.select("id", F.size("sh").alias("sz"))
+            .join(hot_sets, "id", "left")
+            .withColumn("hot", F.coalesce("hot", empty_hot))
+        )
     pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        rare.alias("a")
+        .join(rare.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter_rare"))
     )
-    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    inter = F.col("inter_rare") + F.size(F.array_intersect("hot_a", "hot_b"))
+    jac = inter / (F.col("sza") + F.col("szb") - inter)
     return (
-        pairs.join(sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
-        .join(sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        pairs.join(
+            sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sza"), F.col("hot").alias("hot_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("szb"), F.col("hot").alias("hot_b")),
+            "doc_b",
+        )
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -173,26 +229,55 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", sh.alias("sh"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def _rotl64(c, r: int):
+    """Rotate a 64-bit value left by ``r`` — pure JVM bit expressions."""
+    if r % 64 == 0:
+        return c
+    return F.shiftleft(c, r % 64).bitwiseOR(F.shiftrightunsigned(c, 64 - (r % 64)))
+
+
+def simhash_near_pairs_from_table(
+    base: DataFrame,
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the top ``prefix_bits`` of the
-    simhash (docs within small hamming distance usually share the
-    prefix block), then verify hamming ≤ ``max_hamming`` via
-    bit_count(xor). Multi-table permutation blocking is the full-recall
-    variant; one block keeps the demo linear."""
-    base = simhash_table(df, id_col, text_col)
-    blocked = base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    """Multi-table permutation blocking over an ``(id, sh)`` simhash
+    table (Manku/Jain/Sarma, WWW'07 §3 — the rotate-and-block scheme).
+
+    Table t rotates every simhash left by ``t·prefix_bits`` bits and
+    blocks on the (now-leading) ``prefix_bits`` — i.e. the tables block
+    on each of the ``n_tables`` disjoint bit-chunks in turn. Pigeonhole
+    recall guarantee: a pair at hamming ≤ ``n_tables − 1`` has at least
+    one untouched chunk, hence collides in that table — recall is 1.0
+    (exact, not probabilistic) for hamming < n_tables, best-effort
+    between n_tables−1 and ``max_hamming``. Candidates are verified
+    with ``bit_count(xor)`` and deduped across tables.
+
+    Scale shape: the per-table join key is (t, blk) so all tables ride
+    ONE shuffle; work is ~``n_tables · Σ bucket²``, linear while
+    buckets stay small (prefix_bits ≥ 16 → 65k buckets/table).
+    """
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftrightunsigned(_rotl64(F.col("sh"), t * prefix_bits), 64 - prefix_bits).alias("blk"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    blocked = base.select("id", "sh", F.explode(tables).alias("tb")).select(
+        "id", "sh", F.col("tb.t").alias("t"), F.col("tb.blk").alias("blk")
+    )
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         blocked.alias("a")
         .join(
             blocked.alias("b"),
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .filter(ham <= max_hamming)
         .select(
@@ -200,6 +285,26 @@ def simhash_near_pairs(
             F.col("b.id").alias("doc_b"),
             ham.alias("hamming"),
         )
+        .distinct()  # a pair may collide in several tables
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs over text: ``simhash_table`` then
+    multi-table permutation blocking (see
+    ``simhash_near_pairs_from_table`` for the recall contract)."""
+    return simhash_near_pairs_from_table(
+        simhash_table(df, id_col, text_col),
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        n_tables=n_tables,
     )
 
 

@@ -114,9 +114,19 @@ def x2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs: shingle-join pruning (docs only
-    meet on a shared shingle), exact verification."""
+    meet on a shared shingle), exact verification. The stop-shingle
+    skew guard is ON (max_df=100): shingles in >100 docs never become
+    join keys, their contribution to each pair's intersection is
+    restored exactly via the broadcast hot-set — same answer as the
+    unguarded oracle, without the quadratic blowup a boilerplate
+    shingle would cause at scale."""
     return DD.ngram_jaccard_pairs(
-        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", n=3, threshold=0.6
+        _with_recrawl(T(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.6,
+        max_df=100,
     )
 
 

@@ -49,6 +49,74 @@ def test_ngram_jaccard_finds_near_dups(spark):
     assert all(4 not in p for p in got)
 
 
+def boilerplate_docs_df(spark, n_docs=60):
+    """Adversarial corpus for the stop-shingle guard: every doc starts
+    with the same boilerplate sentence (each of its shingles has
+    df == n_docs), followed by a unique tail. Docs 0 and 1 additionally
+    share a rare 5-token sentence (df == 2 shingles) plus the
+    boilerplate — a true near-dup pair whose overlap is mixed
+    hot + rare."""
+    boiler = "subscribe to our newsletter for updates and offers"
+    shared = "alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(n_docs):
+        tail = f"unique token run number{i} payload{i} end{i}"
+        mid = shared if i < 2 else f"filler{i} words{i} here{i} now{i} done{i}"
+        rows.append((i, f"{boiler} {mid} {tail}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_stop_shingles_identifies_boilerplate(spark):
+    df = boilerplate_docs_df(spark)
+    sh = DD._shingled(df, "doc_id", "text", 3)  # aliases id_col to "id"
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    hot = {r["s"] for r in DD.stop_shingles(ex, max_df=10).collect()}
+    # the all-doc boilerplate shingles are caught...
+    assert "subscribe to our" in hot and "our newsletter for" in hot
+    # ...and nothing rare is: every flagged shingle really is hot
+    df_counts = {r["s"]: r["cnt"] for r in ex.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(df_counts[s] > 10 for s in hot)
+    # the guard prunes the quadratic join input: the hot shingles are
+    # the ones that would each emit n_docs*(n_docs-1)/2 join rows
+    rare_ex = ex.join(F.broadcast(DD.stop_shingles(ex, 10)), "s", "left_anti")
+    worst = rare_ex.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).agg(F.max("cnt")).first()[0]
+    assert worst <= 10
+
+
+def test_ngram_jaccard_guard_is_exact_on_mixed_overlap(spark):
+    """With the guard on, any pair sharing >=1 rare shingle gets its
+    EXACT Jaccard (hot overlap restored via the hot-set correction) —
+    identical output to the unguarded operator, while the join keys
+    exclude the df=60 boilerplate shingles. (Threshold sits above the
+    ~0.21 jaccard that boilerplate alone yields between any two docs —
+    below that floor the unguarded join also returns the
+    boilerplate-only pairs, which the guard by design does not; that
+    case is covered by the drops-boilerplate-only test.)"""
+    df = boilerplate_docs_df(spark)
+    unguarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3, max_df=10).collect()
+    }
+    assert (0, 1) in guarded  # the true near-dup survives the guard
+    assert guarded == unguarded
+
+
+def test_ngram_jaccard_guard_drops_boilerplate_only_pairs(spark):
+    """Pairs whose ENTIRE overlap is stop-shingles are the documented
+    miss: at a low threshold the unguarded join manufactures a pair for
+    every two docs (quadratic — the skew bomb), the guarded one emits
+    only pairs connected by rare shingles."""
+    df = boilerplate_docs_df(spark, n_docs=30)
+    unguarded = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.01).count()
+    guarded = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.01, max_df=10).count()
+    assert unguarded == 30 * 29 / 2  # every pair shares the boilerplate
+    assert guarded == 1  # only (0, 1) share any rare shingle
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     """Every exact near-dup pair (the x3 verifier) must be a MinHash
     LSH candidate at these parameters."""
@@ -72,6 +140,59 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert got[(1, 2)] == 0
     # unrelated docs never collide at this radius
     assert all(4 not in p for p in got)
+
+
+def test_simhash_multitable_recall_contract(spark):
+    """Pigeonhole recall contract (Manku et al.): with n_tables disjoint
+    16-bit chunks, EVERY pair at hamming <= n_tables-1 must be found,
+    wherever the differing bits fall — including bits inside the
+    single-table prefix block, which the old one-table blocking missed.
+    Exact ground truth comes from an all-pairs bit_count(xor) on the
+    same hashes (fine at test size)."""
+    base_hash = 0x0123456789ABCDEF
+
+    def flip(h, bits):
+        for b in bits:
+            h ^= 1 << b
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    rows = [
+        (0, flip(base_hash, [])),
+        (1, flip(base_hash, [63])),          # flips INSIDE table-0's prefix block
+        (2, flip(base_hash, [0, 21, 42])),   # 3 flips spread across 3 chunks
+        (3, flip(base_hash, [5, 6, 7])),     # 3 flips inside one chunk
+        (4, flip(base_hash, [60, 40, 20])),  # 3 flips, three different chunks
+        (5, flip(base_hash, list(range(0, 40)))),  # far away
+        (6, 0x7EDCBA9876543210),             # unrelated
+    ]
+    base = spark.createDataFrame(rows, ["id", "sh"])
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_near_pairs_from_table(
+            base, max_hamming=3, prefix_bits=16, n_tables=4
+        ).collect()
+    }
+    a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), ham.alias("hamming"))
+        .filter(ham <= 3)
+        .collect()
+    }
+    assert exact, "ground truth must be non-empty"
+    assert got == exact, f"missed: {set(exact) - set(got)}; extra: {set(got) - set(exact)}"
+    # the single-table regression: doc 1 differs only in the prefix
+    # block, so one-table blocking cannot find (0, 1)
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.simhash_near_pairs_from_table(
+            base, max_hamming=3, prefix_bits=16, n_tables=1
+        ).collect()
+    }
+    assert (0, 1) in got and (0, 1) not in single
 
 
 def emb_df(spark):
