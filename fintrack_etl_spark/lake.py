@@ -124,6 +124,44 @@ def upsert_table_partitioned(
         create_external_table(spark, name, path, _data_ddl(df, partition_cols), partition_cols)
 
 
+def evolve_table_add_columns(df: DataFrame, spark: SparkSession, name: str) -> list[str]:
+    """§1.3 — catalog-side schema evolution (``evoluir_schema``,
+    ``datatrack_spark_utils.py:221-302``): columns present in the
+    incoming frame but absent from the managed table are added with
+    ``ALTER TABLE ... ADD COLUMNS`` (existing rows read them as NULL —
+    a metadata-only DDL, no rewrite of existing files at any scale),
+    then the frame is appended realigned to the table's evolved column
+    order, with NULLs for table columns the frame doesn't carry.
+
+    Returns the list of added column names. Type changes are NOT
+    evolved (parquet-backed tables can't safely widen in place);
+    a name collision with a different type raises.
+    """
+    target = spark.table(name).schema
+    target_types = {f.name: f.dataType.simpleString() for f in target.fields}
+    add, clash = [], []
+    for f in df.schema.fields:
+        have = target_types.get(f.name)
+        if have is None:
+            add.append(f)
+        elif have != f.dataType.simpleString():
+            clash.append(f"{f.name}: table={have} frame={f.dataType.simpleString()}")
+    if clash:
+        raise ValueError(f"evolve {name}: incompatible column types: {clash}")
+    if add:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in add)
+        spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({ddl})")
+    evolved_cols = spark.table(name).columns
+    aligned = df.select(
+        *[
+            F.col(c) if c in df.columns else F.lit(None).cast(target_types[c]).alias(c)
+            for c in evolved_cols
+        ]
+    )
+    aligned.write.mode("append").insertInto(name)
+    return [f.name for f in add]
+
+
 def _data_ddl(df: DataFrame, partition_cols: tuple[str, ...]) -> str:
     """DDL with partition columns last (hive layout requirement)."""
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}

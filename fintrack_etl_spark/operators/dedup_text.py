@@ -185,6 +185,38 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_pairs_exact_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set — the second
+    stage of the LSH → verify dedup pipeline.
+
+    Each candidate row ``(doc_a, doc_b)`` is joined with both docs'
+    shingle sets and scored with ``size(array_intersect)`` — work is
+    O(|candidates| × doc length), never all-pairs. With a candidate
+    generator whose recall covers the threshold (e.g.
+    ``minhash_lsh_candidates``), the output equals
+    ``ngram_jaccard_pairs`` on the same corpus.
+    """
+    sh = _shingled(df, id_col, text_col, n).select(
+        "id", "sh", F.size("sh").alias("sz")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("sza") + F.col("szb") - inter)
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("szb")), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def simhash64(toks: Column) -> Column:
     """64-bit SimHash of a token array as a pure array expression: per
     bit j, sign of Σ_tokens (±1 by bit j of xxhash64(token))."""

@@ -130,14 +130,26 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x4_minhash_lsh", None)  # xxhash64 signatures are Spark-specific
+@register("x4_minhash_lsh", None)  # oracle attached below (reuses x3's)
 def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
-    Signature hashes are engine-specific → rows-only check; the exact
-    Jaccard twin (x3) is the value-checked verifier."""
-    return DD.minhash_lsh_candidates(
-        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).orderBy("doc_a", "doc_b")
+    """MinHash+LSH → exact-verify dedup pipeline
+    (shingle→minhash→band→bucket-join→array_intersect Jaccard).
+
+    The full production shape: LSH prunes the pair space to ~linear,
+    exact verification keeps only true near-dups — so the output is
+    value-identical to the all-shared-shingle x3 query and shares its
+    DuckDB oracle. The oracle therefore ALSO gates LSH recall: a
+    banding miss of any ≥-threshold pair would show up as a missing
+    row. (32 hashes × 8 bands; the statistical recall contract is
+    pinned in tests/test_text_similarity.py as well.)
+    """
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    cand = DD.minhash_lsh_candidates(docs, "doc_id", "text", n=3, num_hashes=32, bands=8)
+    return DD.verify_pairs_exact_jaccard(cand, docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+# LSH+verify is value-identical to the exact all-shared-shingle query.
+ORACLES["x4_minhash_lsh"] = ORACLES["x3_ngram_jaccard"]
 
 
 @register("x5_simhash", None)  # hash-dependent → rows-only
@@ -338,11 +350,36 @@ def x11_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
-@register("x12_knn_lsh", None)  # approximate — verified by recall test, not values
+_PLANTED_DUP_RANK1_SQL = """
+    SELECT vec_id + 100000      AS query_id,
+           vec_id               AS neighbor_id,
+           CAST(1.0 AS DOUBLE)  AS cosine,
+           1                    AS rnk
+    FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def _planted_dup_queries(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Re-ingest duplicates (vec_id % 50 → +100000) as ANN queries over
+    the corpus-plus-duplicates — the deterministic self-recall probe."""
+    dup = emb.filter(F.col("vec_id") % 50 == 0).withColumn("vec_id", F.col("vec_id") + 100000)
+    return dup, emb.unionByName(dup)
+
+
+@register("x12_knn_lsh", _PLANTED_DUP_RANK1_SQL)
 def x12_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bit-LSH-bucketed ANN (the scale path: bucket = join key)."""
+    """Sign-bit-LSH-bucketed ANN (the scale path: bucket = join key),
+    value-gated by the planted-duplicate self-recall contract: every
+    re-ingested exact duplicate must retrieve its original at rank 1
+    with cosine 1.0. Deterministic by construction — an exact dup has
+    identical sign bits, so it collides in EVERY hash table, and
+    nothing can outrank cosine 1.0. A bucketing/probe bug (wrong join
+    key, dropped table, off-by-one dim window) breaks the contract.
+    Statistical recall-vs-brute-force is pinned in pytest (hash-
+    dependent, so not value-oracle-able)."""
     emb = T(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb.filter(F.col("vec_id") < 5), emb, k=10, bits=8)
+    dup, corpus = _planted_dup_queries(emb)
+    return cosine_topk_lsh(dup, corpus, k=10, bits=8).filter(F.col("rnk") == 1)
 
 
 @register("x13_knn_ivf", None)  # approximate — rows-only
@@ -489,17 +526,24 @@ def x17_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x18_knn_ivf_kmeans", None)  # learned partitions → rows-only
+@register("x18_knn_ivf_kmeans", _PLANTED_DUP_RANK1_SQL)
 def x18_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over learned k-means partitions (deterministic Lloyd,
     ``similarity.kmeans_centroids``) — the production coarse quantizer;
     measured recall@5 0.57 vs 0.30 for the fixture-label partitions at
     the same nprobe (tests/test_text_similarity.py quality contracts).
-    """
+
+    Value-gated by the planted-duplicate self-recall contract, which
+    for k-means IVF is deterministic by construction: routing and
+    assignment run the SAME argmax-cosine over the same centroids, so
+    a query identical to a corpus vector always probes that vector's
+    own partition (nprobe ≥ 1) and retrieves it at rank 1 / cosine 1.0.
+    (Label-routed IVF — x13 — has no such guarantee: label partitions
+    carry no geometric signal, so it stays rows-only.)"""
     from .similarity import ivf_topk_kmeans
 
     emb = T(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return ivf_topk_kmeans(queries, emb, k=10, kclusters=8, nprobe=2).orderBy(
-        "query_id", "rnk"
+    dup, corpus = _planted_dup_queries(emb)
+    return ivf_topk_kmeans(dup, corpus, k=10, kclusters=8, nprobe=2).filter(
+        F.col("rnk") == 1
     )

@@ -497,3 +497,42 @@ def p6_bradesco_resumo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "saldo_anterior", "creditos_pagamentos", "compras_debitos", "total_resumo",
     ]
     return out.withColumns({c: F.round(c, 2) for c in money})
+
+
+# ---------------------------------------------------------------------------
+# S1 — binary document scan → decode → text (the step before every parser)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p7_binary_pdf_scan",
+    """
+    SELECT doc_id,
+           md5(text)                   AS fp,
+           CAST(length(text) AS INT)   AS n_chars
+    FROM documents
+    """,
+)
+def p7_binary_pdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 binary path (``extractors/bb_statement.py:28-31``): documents
+    are wrapped in the deterministic ``%FAKEPDF`` binary envelope (the
+    codec-free fixture format), pushed through the real Arrow-batched
+    ``binary_docs_to_text`` decode (``parse/pdf_source.py`` — the same
+    mapInPandas pipeline a ``binaryFile`` scan of real PDFs feeds), and
+    value-checked as a byte-exact round-trip: md5 + length of every
+    decoded text must match the source table. The filesystem
+    ``binaryFile`` scan itself is covered in tests/test_pdf_source.py
+    (parquet fixtures can't carry loose files)."""
+    from .parse.pdf_source import binary_docs_to_text, encode_fake_pdf
+
+    docs = T(spark, sf_dir, "documents")
+    binary = docs.select(
+        F.format_string("/docs/%d.pdf", F.col("doc_id")).alias("path"),
+        encode_fake_pdf(F.col("text")).alias("content"),
+    )
+    decoded = binary_docs_to_text(binary)
+    return decoded.filter(F.col("decode_error").isNull()).select(
+        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )

@@ -54,6 +54,16 @@ _DESC_SQL = """
 """
 
 
+#: Session-scoped cache of the categorized lançamentos frame, keyed by
+#: (applicationId, sf_dir). Every report query shares one dictionary:
+#: the regex chain Catalyst-compiles ONCE per session and the
+#: lazy-localCheckpoint'ed dictionary RDD materializes once, instead of
+#: each report paying the 3-8 s janino compile of the 25-rule chain
+#: again (the dominant cost of a sequential report sweep — the data
+#: itself executes in ~0.1 s at sf0.1).
+_LANC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → lançamentos shape: data/descricao/valor + F12 fields +
     a unique ``lanc_id`` tie-break key.
@@ -67,6 +77,10 @@ def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
     same dictionary shape is what a 100 TB pipeline needs anyway —
     regex once per merchant, zero shuffle on the fact side.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LANC_CACHE.get(key)
+    if cached is not None:
+        return cached
     o = T(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     desc = F.expr(_DESC_SQL)
     signed = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice")).otherwise(
@@ -78,7 +92,7 @@ def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
         desc.alias("descricao"),
         F.round(signed, 2).alias("valor"),
     )
-    return rules.categorize_dictionary(base, "descricao").select(
+    out = rules.categorize_dictionary(base, "descricao").select(
         "lanc_id",
         "data",
         "descricao",
@@ -88,6 +102,8 @@ def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recorrente_suspeita",
         "parcelado_suspeito",
     )
+    _LANC_CACHE[key] = out
+    return out
 
 
 def _lanc_cte() -> str:

@@ -152,3 +152,42 @@ def test_overwrite_partitions_touches_only_incoming(spark, sf_dir, tmp_path):
     # idempotency: same input again → same state
     overwrite_partitions(p1_half, out, ["prio"])
     assert spark.read.parquet(out).count() == n_total - n_p1 + n_half
+
+
+def test_evolve_table_add_columns_roundtrip(spark):
+    """ALTER TABLE ADD COLUMNS evolution (``evoluir_schema`` parity):
+    old rows read the new column as NULL, appended rows NULL-fill the
+    columns they don't carry, and VALUES land in the right columns."""
+    try:
+        spark.sql("DROP TABLE IF EXISTS t_evolve_test")
+        spark.range(3).select(
+            "id", (F.col("id") * 1.5).alias("value")
+        ).write.saveAsTable("t_evolve_test")
+        new = spark.range(3, 5).select(
+            # deliberately NOT table order, and missing `value`
+            F.concat(F.lit("tag"), F.col("id")).alias("tag"), "id"
+        )
+        added = lake.evolve_table_add_columns(new, spark, "t_evolve_test")
+        assert added == ["tag"]
+        got = {r.id: r for r in spark.table("t_evolve_test").collect()}
+        assert set(got) == {0, 1, 2, 3, 4}
+        assert got[1].value == 1.5 and got[1].tag is None  # old row, NULL new col
+        assert got[4].tag == "tag4" and got[4].value is None  # new row, NULL old col
+        # second evolve with no new columns is a plain append
+        assert lake.evolve_table_add_columns(new, spark, "t_evolve_test") == []
+        assert spark.table("t_evolve_test").count() == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_evolve_test")
+
+
+def test_evolve_table_type_clash_raises(spark):
+    try:
+        spark.sql("DROP TABLE IF EXISTS t_evolve_clash")
+        spark.range(2).select("id", F.lit(1.0).alias("value")).write.saveAsTable(
+            "t_evolve_clash"
+        )
+        bad = spark.range(2).select("id", F.lit("s").alias("value"))
+        with pytest.raises(ValueError, match="incompatible column types"):
+            lake.evolve_table_add_columns(bad, spark, "t_evolve_clash")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_evolve_clash")

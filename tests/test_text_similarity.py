@@ -357,3 +357,20 @@ def test_ann_quality_contracts(spark, sf_dir):
     r_kmeans = recall(ivf_topk_kmeans(queries, emb, k=5, kclusters=8, nprobe=2))
     assert r_kmeans >= r_label, (r_label, r_kmeans)
     assert r_kmeans >= 0.4, r_kmeans
+
+
+def test_lsh_verify_equals_exact_jaccard(spark):
+    """The LSH→verify pipeline (x4's shape) must reproduce the exact
+    all-shared-shingle operator wherever banding recall covers the
+    threshold — here on a corpus with exact and near dups."""
+    df = docs_df(spark)
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6).collect()
+    }
+    cand = DD.minhash_lsh_candidates(df, "doc_id", "text", 3, num_hashes=32, bands=8)
+    verified = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in DD.verify_pairs_exact_jaccard(cand, df, "doc_id", "text", 3, 0.6).collect()
+    }
+    assert exact and verified == exact
