@@ -69,30 +69,39 @@ def main() -> None:
     elif extra:
         names = [n for n in extra.split(",") if n in qs]
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def run(name: str, warm: bool) -> float:
         df = qs[name](spark, sf_dir)
         # executes the full physical plan JVM-side (no Python-side row
         # transfer) and reuses the cached plan across runs
         rdd = df._jdf.queryExecution().toRdd()
-        if warmup:
+        if warm:
             rdd.count()
         t0 = time.time()
         rdd.count()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
 
+    timings = {name: run(name, warmup) for name in names}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # Full-registry pass (BENCH_FULL=0 to skip): every queries() entry,
+    # single timed execution each — the regression radar for the
+    # non-headline families (parsers, reports, dedup/ANN, DDL).
+    out: dict[str, object] = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.environ.get("BENCH_FULL", "1") != "0" and not extra:
+        t0 = time.time()
+        full = {name: run(name, warm=False) for name in qs}
+        out["full_total_sec"] = round(sum(full.values()), 3)
+        out["full_wall_sec"] = round(time.time() - t0, 3)  # incl. planning
+        out["full_n_queries"] = len(full)
+        out["full_queries"] = full
+
+    print(json.dumps(out))
     spark.stop()
 
 
