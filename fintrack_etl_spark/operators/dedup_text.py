@@ -150,6 +150,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-dup pairs.
 
@@ -160,7 +161,7 @@ def minhash_lsh_candidates(
     ``ngram_jaccard_pairs`` on the candidate subset to verify.
     """
     rows_per_band = num_hashes // bands
-    sh = _shingled(df, id_col, text_col, n)
+    sh = _shingled(df, id_col, text_col, n) if shingled is None else shingled
     sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     band_cols = [
         F.struct(
@@ -192,6 +193,7 @@ def verify_pairs_exact_jaccard(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair set — the second
     stage of the LSH → verify dedup pipeline.
@@ -203,7 +205,7 @@ def verify_pairs_exact_jaccard(
     ``minhash_lsh_candidates``), the output equals
     ``ngram_jaccard_pairs`` on the same corpus.
     """
-    sh = _shingled(df, id_col, text_col, n).select(
+    sh = (_shingled(df, id_col, text_col, n) if shingled is None else shingled).select(
         "id", "sh", F.size("sh").alias("sz")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -214,6 +216,29 @@ def verify_pairs_exact_jaccard(
         .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("szb")), "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """The full LSH→verify dedup pipeline with ONE shingling pass: the
+    tokenize+shingle projection is cached and shared by the signature
+    stage and the verification joins — at corpus scale that's one scan
+    of the documents instead of two (shingling is the dominant map-side
+    cost; the cache holds only (id, shingle-array))."""
+    sh = _shingled(df, id_col, text_col, n).cache()
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, shingled=sh
+    )
+    return verify_pairs_exact_jaccard(
+        cand, df, id_col, text_col, n, threshold, shingled=sh
     )
 
 

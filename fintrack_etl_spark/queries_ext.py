@@ -144,8 +144,9 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_text_similarity.py as well.)
     """
     docs = _with_recrawl(T(spark, sf_dir, "documents"))
-    cand = DD.minhash_lsh_candidates(docs, "doc_id", "text", n=3, num_hashes=32, bands=8)
-    return DD.verify_pairs_exact_jaccard(cand, docs, "doc_id", "text", n=3, threshold=0.6)
+    return DD.minhash_lsh_verified(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.6
+    )
 
 
 # LSH+verify is value-identical to the exact all-shared-shingle query.

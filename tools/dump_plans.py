@@ -19,6 +19,18 @@ from fintrack_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
 
+#: Non-headline queries whose plan shape is worth pinning in review:
+#: the dedup/ANN pipelines (skew guards, broadcasts) and the scale
+#: twins added in round 2.
+SUPPLEMENT = [
+    "x3_ngram_jaccard",
+    "x4_minhash_lsh",
+    "x12_knn_lsh",
+    "x16_dedup_clusters",
+    "ext_percentiles_approx",
+    "p7_binary_pdf_scan",
+]
+
 
 def skeleton(plan: str, max_lines: int = 40) -> str:
     """Strip expression payloads: keep the operator tree shape."""
@@ -47,7 +59,7 @@ def main() -> None:
         "`Exchange` rows are shuffles. Regenerate: `python tools/dump_plans.py`.",
         "",
     ]
-    for name in HEADLINE:
+    for name in HEADLINE + SUPPLEMENT:
         df = qs[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
@@ -62,7 +74,7 @@ def main() -> None:
         ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote PLANS.md ({len(HEADLINE)} queries)")
+    print(f"wrote PLANS.md ({len(HEADLINE) + len(SUPPLEMENT)} queries)")
 
 
 if __name__ == "__main__":
