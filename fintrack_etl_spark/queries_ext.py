@@ -487,7 +487,7 @@ def x16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import attach_clusters, connected_components
 
     docs = _with_recrawl(T(spark, sf_dir, "documents"))
-    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6, max_df=100)
     comps = connected_components(pairs, "doc_a", "doc_b")
     return attach_clusters(docs.select("doc_id"), comps, "doc_id").select(
         "doc_id", "cluster_id"
