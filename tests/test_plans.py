@@ -77,3 +77,53 @@ def test_categorize_dictionary_keeps_regex_off_fact_plan(spark, sf_dir):
     plan = _opt(df)
     assert "RLIKE" not in plan, plan[:2000]
     assert len(plan) < 20_000, len(plan)
+
+
+def test_stop_shingle_guard_joins_are_broadcast(spark):
+    """The skew guard must never itself become a skew source: the hot
+    table (tiny by construction, ≤ occurrences/max_df rows) rides
+    BroadcastExchange into both the anti-join (key pruning) and the
+    semi-join (hot-set build) — the big exploded side never shuffles
+    for either."""
+    from fintrack_etl_spark.operators import dedup_text as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tail{i} x{i} y{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = _phys(DD.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.6, max_df=5))
+    assert "BroadcastExchange" in plan, plan
+    # no sort-merge anywhere on the guard path: anti/semi joins against
+    # the hot table must be broadcast variants
+    for line in plan.splitlines():
+        if "LeftAnti" in line or "LeftSemi" in line:
+            assert "Broadcast" in line, line
+
+
+def test_ann_corpus_side_never_shuffles(spark, sf_dir):
+    """cosine_topk_lsh / bruteforce broadcast the (small) query side;
+    the corpus must reach its join with zero non-broadcast Exchange
+    below it — at 100 TB a corpus shuffle is the difference between a
+    scan and a cluster-wide re-write."""
+    from fintrack_etl_spark.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    emb = table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    for out in (cosine_topk_bruteforce(q, emb, 5), cosine_topk_lsh(q, emb, 5)):
+        plan = _phys(out)
+        # query side broadcasts; the corpus joins without a sort-merge
+        # (no corpus-wide shuffle to meet the queries). The window
+        # top-k after the join may shuffle — it carries |q| × top-k
+        # rows, not the corpus.
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_planted_dup_contract_query_plans(spark, sf_dir):
+    """x12's physical plan: one broadcast of the (tiny) dup-query side,
+    corpus scanned once, no sort-merge join."""
+    from fintrack_etl_spark.queries_ext import x12_knn_lsh
+
+    plan = _phys(x12_knn_lsh(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
