@@ -23,7 +23,10 @@ from .pipelines import (
     run_available_now,
     running_totals_stream,
     sessionized_stream,
+    stream_dedup_by_content,
     stream_dedup_latest,
+    stream_interval_join,
+    upsert_sink_stream,
     windowed_agg_stream,
 )
 
@@ -32,6 +35,9 @@ __all__ = [
     "run_available_now",
     "running_totals_stream",
     "sessionized_stream",
+    "stream_dedup_by_content",
     "stream_dedup_latest",
+    "stream_interval_join",
+    "upsert_sink_stream",
     "windowed_agg_stream",
 ]

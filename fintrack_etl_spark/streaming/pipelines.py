@@ -234,3 +234,33 @@ def stream_interval_join(
     return l.join(r, cond, "inner").select(
         "l_key", "l_event", "r_event", "l_ts", "r_ts", F.round("r_value", 2).alias("r_value")
     )
+
+
+def stream_dedup_by_content(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 day",
+    normalized: bool = False,
+) -> DataFrame:
+    """Streaming twin of the exact-dedup ingest (x1/x2 shapes): hash
+    each arriving document's content (md5, or the normalized
+    fingerprint) and keep the first copy per hash while the hash is
+    inside the watermark horizon — a re-crawled duplicate arriving
+    within the horizon is dropped online, at ingest, instead of by a
+    nightly batch dedup over the whole corpus.
+
+    State is one small row per distinct content hash in the horizon
+    (the hash, not the document, is the state key), watermark-GC'd —
+    the only formulation whose state stays bounded on an unbounded
+    crawl. Exact-once the horizon; duplicates farther apart than the
+    watermark are the batch x1 job's business.
+    """
+    from ..textops import fingerprint as _fp
+
+    key = _fp(F.col(text_col)) if normalized else F.md5(F.col(text_col))
+    return (
+        docs.withColumn("content_hash", key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -186,3 +186,43 @@ def test_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     batch = sij(ev, ev)  # same builder works on batch DataFrames
     want = {tuple(r) for r in batch.select("l_event", "r_event").collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_content_dedup_matches_batch_x1(spark, sf_dir, tmp_path):
+    """Streaming content dedup (ingest-side x1): re-crawled duplicate
+    documents arriving within the watermark horizon are dropped online;
+    the surviving set of content hashes equals the batch exact-dedup's
+    distinct groups over the same files."""
+    from fintrack_etl_spark.operators.dedup_text import exact_dup_groups
+    from fintrack_etl_spark.streaming import stream_dedup_by_content
+
+    docs = table(spark, "documents", sf_dir)
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    land = str(tmp_path / "docs_land")
+    (
+        docs.unionByName(recrawl)
+        # spread < the 1-day watermark horizon: out-of-order arrival
+        # across files must stay within-watermark, not late-data
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 86000),
+        )
+        .repartition(3)
+        .write.parquet(land)
+    )
+
+    stream = file_source_stream(spark, land, _schema(spark, land), max_files_per_trigger=1)
+    name = f"cdedup_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        stream_dedup_by_content(stream), os.path.join(str(tmp_path), "ck"), name
+    )
+    got = spark.table(name)
+
+    batch_groups = exact_dup_groups(spark.read.parquet(land), "doc_id", "text")
+    assert got.count() == batch_groups.count()  # one survivor per content group
+    assert got.select("content_hash").distinct().count() == got.count()
+    assert _rows(got.select("content_hash"), "content_hash") == _rows(
+        batch_groups.select("content_hash"), "content_hash"
+    )
