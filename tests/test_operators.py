@@ -216,3 +216,61 @@ def test_salted_join_matches_plain(spark):
     got = salted_join(big, small, ["k"], "id", buckets=4)
     plain = big.join(small, ["k"])
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_reference(rows, max_tokens):
+    """Driver-side greedy packer: the semantics contract."""
+    out, cum = {}, 0
+    for doc_id, tok in sorted(rows):
+        out[doc_id] = (cum // max_tokens)
+        cum += tok
+    return out
+
+
+def test_pack_documents_matches_greedy_reference(spark):
+    from fintrack_etl_spark.operators.packing import pack_documents_by_tokens
+
+    rows = [(i, 50 + (i * 37) % 400) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_documents_by_tokens(df, max_tokens=1000, num_partitions=7)
+    got = {r.doc_id: r.shard_id for r in packed.collect()}
+    assert got == _greedy_reference(rows, 1000)
+
+
+def test_pack_documents_shard_budget_contract(spark):
+    """Every shard ≤ max_tokens + one document of overshoot; every
+    shard but the last ≥ max_tokens − the largest document; shard ids
+    are contiguous from 0."""
+    from fintrack_etl_spark.operators.packing import (
+        pack_documents_by_tokens,
+        shard_summary,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, 10 + (i * 97) % 900) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    max_tokens, max_doc = 5000, max(t for _, t in rows)
+    s = shard_summary(
+        pack_documents_by_tokens(df, max_tokens=max_tokens, num_partitions=5)
+    ).collect()
+    ids = [r.shard_id for r in s]
+    assert ids == list(range(len(ids)))
+    for r in s[:-1]:
+        assert max_tokens - max_doc <= r.n_tokens <= max_tokens + max_doc
+    assert s[-1].n_tokens <= max_tokens + max_doc
+    assert sum(r.n_tokens for r in s) == sum(t for _, t in rows)
+
+
+def test_pack_documents_deterministic_across_partitionings(spark):
+    from fintrack_etl_spark.operators.packing import pack_documents_by_tokens
+
+    rows = [(i, 1 + (i * 13) % 200) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    a = {r.doc_id: r.shard_id for r in pack_documents_by_tokens(df, 777, num_partitions=3).collect()}
+    b = {r.doc_id: r.shard_id for r in pack_documents_by_tokens(df.repartition(11), 777, num_partitions=8).collect()}
+    assert a == b
