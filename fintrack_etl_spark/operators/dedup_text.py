@@ -219,6 +219,49 @@ def verify_pairs_exact_jaccard(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``n``-gram with the evaluation set (the standard 13-gram collision
+    rule used for pre-training data hygiene).
+
+    Scale shape: the eval side is SMALL (benchmarks are thousands of
+    docs, not billions) — its distinct shingle hashes broadcast, so the
+    train side is one scan + a broadcast semi-join-style aggregation,
+    no shuffle of the corpus and no pair explosion. Shingles travel as
+    ``xxhash64`` (8 bytes) rather than strings.
+
+    Output: train rows + ``eval_ngram_hits`` (distinct collided
+    n-grams) + ``contaminated`` (hits ≥ ``min_hits``).
+    """
+    eval_sh = (
+        _shingled(eval_set, id_col, text_col, n)
+        .select(F.explode("sh").alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    train_sh = _shingled(train, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("s")
+    ).select("id", F.xxhash64("s").alias("h"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count_distinct("h").alias("eval_ngram_hits"))
+    )
+    return (
+        train.join(hits, train[id_col] == hits["id"], "left")
+        .drop("id")
+        .withColumn("eval_ngram_hits", F.coalesce("eval_ngram_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("eval_ngram_hits") >= min_hits)
+    )
+
+
 def minhash_lsh_verified(
     df: DataFrame,
     id_col: str,

@@ -106,11 +106,22 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-gram (word) shingles from a token array — pure array
     expression, no explode until the caller needs one.
 
-    Caller must guard ``size(toks) >= n``.
+    TOTAL for any input: a sub-``n`` token array yields an empty array
+    behind a ``when`` guard. The guard is load-bearing, not cosmetic —
+    ``sequence(0, size-n)`` turns DESCENDING when size < n, and
+    Catalyst freely re-evaluates this expression outside the caller's
+    row filter (e.g. ``InferFiltersFromGenerate`` copies it into an
+    inferred ``size(...) > 0`` predicate), where a bare ``element_at``
+    past the array end is an ANSI runtime error. ``try_element_at``
+    for the same reason; with the guard its indices are always valid.
     """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
-    return F.array_distinct(gram)
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )

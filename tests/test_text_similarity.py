@@ -374,3 +374,25 @@ def test_lsh_verify_equals_exact_jaccard(spark):
         for r in DD.verify_pairs_exact_jaccard(cand, df, "doc_id", "text", 3, 0.6).collect()
     }
     assert exact and verified == exact
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """13-gram decontamination: a train doc embedding a verbatim eval
+    passage is flagged; clean docs are not; hit counts are distinct
+    collided n-grams."""
+    eval_passage = " ".join(f"evaltok{i}" for i in range(20))  # 8 distinct 13-grams
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words here " + eval_passage + " suffix words"),
+            (2, " ".join(f"clean{i}" for i in range(30))),
+            (3, " ".join(f"evaltok{i}" for i in range(12))),  # <13 tokens of overlap
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame([(100, eval_passage)], ["doc_id", "text"])
+    got = {r.doc_id: r for r in DD.decontaminate(train, eval_set).collect()}
+    assert got[1].contaminated and got[1].eval_ngram_hits == 8
+    assert not got[2].contaminated and got[2].eval_ngram_hits == 0
+    assert not got[3].contaminated  # a sub-13-gram prefix is not a collision
+    # original columns survive untouched
+    assert set(got[1].asDict()) == {"doc_id", "text", "eval_ngram_hits", "contaminated"}
