@@ -120,11 +120,17 @@ def sessionize(
 
     ``cast("long")`` floors each timestamp to whole seconds — matching
     DuckDB's ``date_diff('second', ...)`` boundary-count semantics for
-    oracle parity.
+    oracle parity. The intermediate ``timestamp_ltz`` cast makes the
+    epoch conversion total over BOTH timestamp kinds: parquet written
+    with ``isAdjustedToUTC=false`` reads as ``TIMESTAMP_NTZ`` (Spark 4
+    infers NTZ by default), and a direct NTZ→BIGINT cast is an
+    AnalysisException; NTZ→LTZ interprets the wall-clock in the session
+    timezone (pinned UTC in session.py) and is an identity for LTZ.
     """
     order = [ts_col] + list(tie_breakers or [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(alias, F.sum(is_new).over(run))

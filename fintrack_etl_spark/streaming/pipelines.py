@@ -18,6 +18,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ).
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet written with
+    ``isAdjustedToUTC=false`` reads as NTZ under Spark 4's default NTZ
+    inference — so every watermark-carrying builder funnels its event
+    time through this cast. NTZ wall-clock is reinterpreted in the
+    session timezone (pinned UTC in session.py); for LTZ the cast is an
+    identity, so callers with already-correct schemas are unaffected.
+    """
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+
+
 def file_source_stream(
     spark: SparkSession,
     path: str,
@@ -48,7 +62,8 @@ def windowed_agg_stream(
     state; partial aggregation happens map-side before the keyed
     shuffle, exactly like the batch plan."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _with_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value_col), 2).alias("total"))
         .select(F.col("w.start").alias("window_start"), *group_cols, "n", "total")
@@ -66,7 +81,8 @@ def sessionized_stream(
     ``ext_sessionize`` lag/run-id construction, via the built-in
     ``session_window`` (state merges adjacent sessions online)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _with_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -88,7 +104,11 @@ def stream_dedup_latest(
     ``dropDuplicatesWithinWatermark`` keeps one row per key while the
     key is inside the watermark horizon (the streaming version of the
     reference's row_number()==1 latest-wins)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return (
+        _with_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
 
 
 def running_totals_stream(
@@ -214,12 +234,12 @@ def stream_interval_join(
     plan (unbounded state); the bound is what makes the join runnable
     forever.
     """
-    l = left.select(
+    l = _with_event_time(left, ts_col).select(
         F.col(key).alias("l_key"),
         F.col(ts_col).alias("l_ts"),
         F.col("event_id").alias("l_event"),
     ).withWatermark("l_ts", watermark)
-    r = right.select(
+    r = _with_event_time(right, ts_col).select(
         F.col(key).alias("r_key"),
         F.col(ts_col).alias("r_ts"),
         F.col("event_id").alias("r_event"),
@@ -260,7 +280,8 @@ def stream_dedup_by_content(
 
     key = _fp(F.col(text_col)) if normalized else F.md5(F.col(text_col))
     return (
-        docs.withColumn("content_hash", key)
+        _with_event_time(docs, ts_col)
+        .withColumn("content_hash", key)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
