@@ -80,6 +80,67 @@ def advance_watermark(
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (engine extension)
+# ---------------------------------------------------------------------------
+# The reference recomputes its reports from scratch every run
+# (``monthly_summary.py``); at 100 TB a continuous aggregate must
+# instead fold each new batch into a persisted per-key STATE whose
+# components are mergeable (n, sum, min, max — the classic commutative
+# monoid), never rescanning history. Folding a delta costs one shuffle
+# of |delta| rows + a merge of |affected keys| state rows; the final
+# metrics (avg etc.) are derived from state at read time.
+
+#: State columns maintained per key.
+AGG_STATE_COLS = ("n", "total", "min_v", "max_v")
+
+
+def partial_aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Collapse rows into mergeable per-key state (map-side partial
+    aggregation happens automatically before the keyed shuffle)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_aggregate_state(state: DataFrame, delta_state: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a delta's partial state into the persisted state.
+
+    Full-outer on the keys so brand-new keys appear and untouched keys
+    pass through; each component merges with its own monoid op. The
+    join shuffles only state rows (|keys|-bounded), not facts.
+    """
+    d = delta_state.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in AGG_STATE_COLS]
+    )
+    merged = state.join(d, keys, "full_outer")
+    zero = F.lit(0)
+    return merged.select(
+        *keys,
+        (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("__d_n"), zero)).alias("n"),
+        (F.coalesce(F.col("total"), F.lit(0.0)) + F.coalesce(F.col("__d_total"), F.lit(0.0))).alias(
+            "total"
+        ),
+        F.least(F.col("min_v"), F.col("__d_min_v")).alias("min_v"),
+        F.greatest(F.col("max_v"), F.col("__d_max_v")).alias("max_v"),
+    )
+
+
+def finalize_aggregate(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the read-time metrics from state (avg = total / n)."""
+    return state.select(
+        *keys,
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round(F.col("total") / F.col("n"), 2).alias("avg_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+    )
+
+
 def unprocessed_files(listing: DataFrame, state: DataFrame) -> DataFrame:
     """D3 — file-level change detection
     (``extract_movimentacoes_folder.py:50-104``): a file is work iff its

@@ -1,0 +1,105 @@
+"""Multi-dimensional data layout — z-order clustered writes.
+
+Engine extension (no reference counterpart — the reference partitions
+only by ingestion date, ``etls_raw/main.py:338-341``). At 100 TB the
+dominant cost of every ad-hoc query is the scan, and the only lever
+after partition pruning is FILE skipping: parquet footers carry per-file
+min/max for every column, and Spark prunes files whose stats can't
+satisfy the predicate. A single-column sort gives tight min/max on that
+one column and useless (full-range) stats on every other; interleaving
+the bits of several columns' quantile ranks (a z-order / Morton curve)
+gives *moderately* tight ranges on ALL of them, so a conjunctive
+predicate over any subset of the clustered dimensions skips files.
+
+Design for scale:
+
+* Quantile cut points come from ``approxQuantile`` — one pass with a
+  Greenwald-Khanna sketch, driver receives ``nbins-1`` doubles per
+  column (bytes, not rows). Equal-POPULATION bins keep the curve
+  balanced under skew, where equal-width binning would collapse most
+  rows into one cell.
+* Binning + bit interleaving are pure native Column arithmetic
+  (comparisons, shifts, adds) — whole-stage-codegen'd, zero Python.
+* The write is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``:
+  one range shuffle sized to the target file count, each output file
+  covering a contiguous z-range ⇒ tight per-file min/max on every
+  clustered dimension.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_cuts(df: DataFrame, col: str, nbins: int, relative_error: float = 0.001) -> list[float]:
+    """Equal-population bin edges (``nbins - 1`` interior cut points)
+    via the GK sketch — a single pass, constant driver memory."""
+    probs = [i / nbins for i in range(1, nbins)]
+    return df.stat.approxQuantile(col, probs, relative_error)
+
+
+def bin_by_cuts(col: Column | str, cuts: list[float]) -> Column:
+    """Rank a value into ``len(cuts) + 1`` quantile bins as a native
+    sum of comparisons (monotone, NULL-safe: NULL ranks into bin 0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    terms = [F.when(c > F.lit(x), 1).otherwise(0) for x in cuts]
+    return reduce(lambda a, b: a + b, terms, F.lit(0))
+
+
+def zvalue(bin_cols: list[Column], bits_per_dim: int) -> Column:
+    """Interleave the low ``bits_per_dim`` bits of each bin rank into
+    one Morton key — dimension i contributes bit j to position
+    ``j * ndims + i``, so all dimensions advance at the same rate along
+    the curve."""
+    d = len(bin_cols)
+    out = F.lit(0)
+    for i, b in enumerate(bin_cols):
+        bl = b.cast("long")
+        for j in range(bits_per_dim):
+            out = out + F.shiftleft(F.shiftright(bl, j).bitwiseAND(F.lit(1)), j * d + i)
+    return out
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_dim: int = 4,
+    alias: str = "__zkey",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Attach the z-order key for ``cols`` (each binned into
+    ``2**bits_per_dim`` equal-population bins)."""
+    nbins = 1 << bits_per_dim
+    bins = [bin_by_cuts(c, quantile_cuts(df, c, nbins, relative_error)) for c in cols]
+    return df.withColumn(alias, zvalue(bins, bits_per_dim))
+
+
+def cluster_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int,
+    bits_per_dim: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered along the
+    z-order curve of ``cols``. Row content is unchanged — only layout
+    moves — so any query over the clustered copy is value-identical to
+    the original; conjunctive predicates over the clustered dimensions
+    now skip whole files on footer stats.
+
+    The range shuffle is the only exchange; at 100 TB run it
+    per-partition (cluster within each date partition) so the sort
+    never becomes global.
+    """
+    keyed = with_zorder_key(df, cols, bits_per_dim)
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

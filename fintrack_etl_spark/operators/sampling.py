@@ -1,0 +1,84 @@
+"""Deterministic sampling — stratified rates without randomness.
+
+Engine extension for the training-data pipeline (no reference
+counterpart): corpus curation constantly downsamples by stratum —
+"keep 100% of lang='pt', 10% of lang='en', 1% of boilerplate" — and at
+100 TB the sample must be (a) a pure map over the corpus (no shuffle,
+no global state), (b) reproducible across runs, engines and cluster
+sizes, and (c) consistent per KEY, so re-crawled copies of a document
+land on the same side of the cut.
+
+The uniform variate is the md5 hex prefix of the key compared against a
+per-stratum threshold string — the same technique as the x17 train/eval
+split (``queries_ext.py``), extended from one global cut to a
+broadcast-joined rate per stratum. md5 is md5 everywhere, hex-string
+ordering is byte ordering, so the DuckDB oracle reproduces the sample
+EXACTLY — sampling stays value-checkable, not just "about the right
+size".
+
+``sampleBy``/``TABLESAMPLE`` can't give this: their variates come from
+a seeded per-partition RNG, so membership changes with partitioning and
+cannot be reproduced by another engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Hex digits of the md5 prefix compared against the threshold.
+#: 4 digits = 65536 distinct rate steps (resolution 0.0015%).
+_HEX_DIGITS = 4
+
+
+def rate_threshold_hex(rate: float, digits: int = _HEX_DIGITS) -> str:
+    """Map a sampling rate in [0, 1] to the hex-string threshold such
+    that ``md5_prefix < threshold`` keeps ≈rate of uniformly hashed
+    keys (exactly ``round(rate * 16**digits)`` buckets)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    buckets = round(rate * (1 << (4 * digits)))
+    if buckets >= (1 << (4 * digits)):
+        # keep-everything: the comparison is LEXICOGRAPHIC, so the
+        # natural "one past the top" value ("1" + zeros) would sort
+        # BEFORE most prefixes; 'g' sorts after every hex digit.
+        return "g"
+    return format(buckets, f"0{digits}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    spark: SparkSession,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff ``md5(key)`` falls under its stratum's
+    threshold. Plan shape: one broadcast hash join against the tiny
+    rates table + a native string compare — the fact side is never
+    shuffled, and the same predicate works as a pushable filter when
+    the sample is materialized repeatedly.
+    """
+    rows = [(s, rate_threshold_hex(r)) for s, r in rates.items()]
+    thr = spark.createDataFrame(rows, [strata_col, "__thr"])
+    default_thr = F.lit(rate_threshold_hex(default_rate))
+    return (
+        df.join(F.broadcast(thr), strata_col, "left")
+        .filter(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_DIGITS)
+            < F.coalesce(F.col("__thr"), default_thr)
+        )
+        .select(*df.columns)  # drop __thr, restore input column order
+    )
+
+
+def stratified_sample_sql_predicate(
+    strata_expr: str, key_expr: str, rates: dict[str, float], default_rate: float = 0.0
+) -> str:
+    """The same membership predicate as ANSI SQL (DuckDB oracle twin)."""
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN '{rate_threshold_hex(r)}'" for s, r in rates.items()
+    )
+    thr = f"CASE {cases} ELSE '{rate_threshold_hex(default_rate)}' END"
+    return f"substring(md5(CAST({key_expr} AS VARCHAR)), 1, {_HEX_DIGITS}) < ({thr})"

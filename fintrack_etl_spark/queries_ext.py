@@ -548,3 +548,120 @@ def x18_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_kmeans(dup, corpus, k=10, kclusters=8, nprobe=2).filter(
         F.col("rnk") == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: deterministic sampling, continuous aggregates, layout
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.5, "de": 1.0}
+_SAMPLE_DEFAULT = 0.1
+
+
+@register("ext_stratified_sample", None)  # oracle attached below
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus downsampling
+    (``operators/sampling.py``): per-lang keep rates, membership decided
+    by md5(doc_id) vs a broadcast per-stratum threshold — a pure map
+    over the corpus (zero fact-side shuffle until the audit groupBy),
+    reproducible across engines, runs and partitionings. The audit
+    output (count + exact char sum per lang) value-checks MEMBERSHIP,
+    not just sample size: a different sample with the right cardinality
+    still fails the hash compare."""
+    from .operators.sampling import stratified_sample
+
+    docs = T(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, spark, "lang", "doc_id", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def _stratified_oracle() -> str:
+    from .operators.sampling import stratified_sample_sql_predicate
+
+    pred = stratified_sample_sql_predicate("lang", "doc_id", _SAMPLE_RATES, _SAMPLE_DEFAULT)
+    return f"""
+    SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    FROM documents
+    WHERE {pred}
+    GROUP BY lang
+    """
+
+
+ORACLES["ext_stratified_sample"] = _stratified_oracle()
+
+
+@register(
+    "ext_incremental_agg_merge",
+    """
+    SELECT event_type,
+           count(*)                   AS n,
+           round(sum(value), 2)       AS total,
+           round(sum(value) / count(*), 2) AS avg_v,
+           round(min(value), 2)       AS min_v,
+           round(max(value), 2)       AS max_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ext_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (``operators/incremental.py``):
+    history (event_id % 5 != 0) is collapsed once into mergeable per-key
+    state (n/sum/min/max); the new batch (event_id % 5 = 0) folds in as
+    a state merge — one |delta| shuffle + a |keys|-row full-outer, no
+    rescan of history. The DuckDB oracle aggregates everything from
+    scratch: merged state must equal the from-scratch answer exactly —
+    the algebraic property that makes incremental view maintenance
+    sound."""
+    from .operators.incremental import finalize_aggregate, merge_aggregate_state, partial_aggregate
+
+    ev = T(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    state = partial_aggregate(history, ["event_type"], "value")
+    new_state = merge_aggregate_state(state, partial_aggregate(delta, ["event_type"], "value"), ["event_type"])
+    return finalize_aggregate(new_state, ["event_type"])
+
+
+_ZORDER_PRED_SQL = "l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 10 AND 30"
+
+
+@register(
+    "ext_zorder_skipping",
+    f"""
+    SELECT count(*)                       AS n,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE {_ZORDER_PRED_SQL}
+    """,
+)
+def ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite (``operators/layout.py``) + a
+    two-dimensional box predicate over the clustered copy. Layout moves,
+    values don't: the aggregate over the clustered files must equal the
+    oracle's answer over the original table, while the conjunctive
+    predicate now skips whole files on parquet footer min/max for BOTH
+    dimensions (file-count contract in tests/test_layout.py). At 100 TB
+    this is the difference between scanning a partition and scanning
+    the handful of files whose stats overlap the box."""
+    import os as _os
+
+    from .operators.layout import cluster_write
+
+    li = T(spark, sf_dir, "lineitem")
+    path = f"/tmp/fintrack_zorder_{_os.path.basename(sf_dir.rstrip('/'))}"
+    cluster_write(li, ["l_partkey", "l_suppkey"], path, n_files=8, bits_per_dim=4)
+    return (
+        spark.read.parquet(path)
+        .filter(F.expr(_ZORDER_PRED_SQL))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

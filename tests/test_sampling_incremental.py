@@ -1,0 +1,111 @@
+"""Deterministic stratified sampling + incremental aggregate merge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark.io import table
+from fintrack_etl_spark.operators.incremental import (
+    finalize_aggregate,
+    merge_aggregate_state,
+    partial_aggregate,
+)
+from fintrack_etl_spark.operators.sampling import (
+    rate_threshold_hex,
+    stratified_sample,
+    stratified_sample_sql_predicate,
+)
+
+RATES = {"en": 0.25, "zh": 0.5, "de": 1.0}
+
+
+def test_rate_threshold_endpoints():
+    assert rate_threshold_hex(0.0) == "0000"
+    assert rate_threshold_hex(1.0) == "g"  # sorts after every hex prefix
+    assert rate_threshold_hex(0.5) == "8000"
+    with pytest.raises(ValueError):
+        rate_threshold_hex(1.5)
+
+
+def test_stratified_sample_membership_is_deterministic(spark, sf_dir):
+    docs = table(spark, "documents", sf_dir)
+    a = stratified_sample(docs, spark, "lang", "doc_id", RATES, 0.1)
+    b = stratified_sample(docs, spark, "lang", "doc_id", RATES, 0.1)
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b and ids_a
+
+
+def test_stratified_sample_rates_and_schema(spark, sf_dir):
+    docs = table(spark, "documents", sf_dir)
+    kept = stratified_sample(docs, spark, "lang", "doc_id", RATES, 0.1)
+    assert kept.columns == docs.columns  # threshold column dropped
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("de", 0) == base["de"]  # rate 1.0 keeps everything
+    # md5 is uniform: realized rates land near targets (loose bounds at
+    # fixture sizes)
+    for lang, rate in (("en", 0.25), ("zh", 0.5)):
+        realized = got.get(lang, 0) / base[lang]
+        assert abs(realized - rate) < 0.25
+    # strata not in the rate table fall back to the default
+    assert got.get("fr", 0) <= 0.5 * base["fr"]
+
+
+def test_stratified_sql_predicate_matches_engine(spark, sf_dir):
+    import duckdb
+
+    docs = table(spark, "documents", sf_dir)
+    kept = stratified_sample(docs, spark, "lang", "doc_id", RATES, 0.1)
+    spark_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    pred = stratified_sample_sql_predicate("lang", "doc_id", RATES, 0.1)
+    p = f"{sf_dir}/documents.parquet"
+    duck_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{p}') WHERE {pred} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert spark_ids == duck_ids
+
+
+def _as_dict(df, keys=("event_type",)):
+    return {tuple(r[k] for k in keys): (r["n"], round(r["total"], 2)) for r in df.collect()}
+
+
+def test_merge_equals_from_scratch(spark, sf_dir):
+    ev = table(spark, "events", sf_dir)
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    merged = merge_aggregate_state(
+        partial_aggregate(history, ["event_type"], "value"),
+        partial_aggregate(delta, ["event_type"], "value"),
+        ["event_type"],
+    )
+    scratch = partial_aggregate(ev, ["event_type"], "value")
+    assert _as_dict(finalize_aggregate(merged, ["event_type"])) == _as_dict(
+        finalize_aggregate(scratch, ["event_type"])
+    )
+
+
+def test_merge_empty_delta_is_identity(spark, sf_dir):
+    ev = table(spark, "events", sf_dir)
+    state = partial_aggregate(ev, ["event_type"], "value")
+    empty = partial_aggregate(ev.filter(F.lit(False)), ["event_type"], "value")
+    merged = merge_aggregate_state(state, empty, ["event_type"])
+    assert _as_dict(finalize_aggregate(merged, ["event_type"])) == _as_dict(
+        finalize_aggregate(state, ["event_type"])
+    )
+
+
+def test_merge_introduces_new_keys(spark):
+    state = partial_aggregate(
+        spark.createDataFrame([("a", 1.0), ("a", 3.0)], ["k", "v"]), ["k"], "v"
+    )
+    delta = partial_aggregate(
+        spark.createDataFrame([("b", 5.0)], ["k", "v"]), ["k"], "v"
+    )
+    merged = {r["k"]: (r["n"], r["total"], r["min_v"], r["max_v"])
+              for r in merge_aggregate_state(state, delta, ["k"]).collect()}
+    assert merged == {"a": (2, 4.0, 1.0, 3.0), "b": (1, 5.0, 5.0, 5.0)}
