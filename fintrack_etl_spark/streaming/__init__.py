@@ -19,6 +19,7 @@ batch answer.
 """
 
 from .pipelines import (
+    continuous_aggregate_stream,
     file_source_stream,
     run_available_now,
     running_totals_stream,
@@ -31,6 +32,7 @@ from .pipelines import (
 )
 
 __all__ = [
+    "continuous_aggregate_stream",
     "file_source_stream",
     "run_available_now",
     "running_totals_stream",

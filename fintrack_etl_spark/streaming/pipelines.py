@@ -214,6 +214,58 @@ def upsert_sink_stream(
     )
 
 
+def continuous_aggregate_stream(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    table: str,
+    keys: list[str],
+    value_col: str,
+):
+    """Streaming continuous aggregate: fold each micro-batch into the
+    persisted mergeable state (``operators/incremental.py``) — the
+    streaming face of ``ext_incremental_agg_merge``. Each batch costs
+    one |batch| partial agg + one |keys|-row merge; history is never
+    rescanned.
+
+    Unlike latest-wins MERGE, a sum-merge is NOT idempotent — replaying
+    a batch after a crash would double-count. Exactly-once therefore
+    needs the transactional-foreachBatch pattern: the state table's
+    companion ``<table>__meta`` records the last folded ``batch_id``;
+    a replayed batch (same id from the checkpoint) is skipped. The
+    state/meta writes are two statements here (a real lakehouse does
+    both in one MERGE transaction — without the Iceberg jar the
+    commit-point gap is documented rather than hidden).
+
+    Returns the started query; callers ``awaitTermination()``.
+    """
+    from ..operators.incremental import merge_aggregate_state, partial_aggregate
+
+    meta_table = f"{table}__meta"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(meta_table):
+            last = spark.table(meta_table).first()["last_batch_id"]
+            if batch_id <= last:
+                return
+        delta = partial_aggregate(batch_df, keys, value_col)
+        if spark.catalog.tableExists(table):
+            merged = merge_aggregate_state(spark.table(table), delta, keys).localCheckpoint()
+            merged.write.mode("overwrite").saveAsTable(table)
+        else:
+            delta.write.saveAsTable(table)
+        spark.createDataFrame([(batch_id,)], "last_batch_id long").write.mode(
+            "overwrite"
+        ).saveAsTable(meta_table)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -127,3 +127,46 @@ def test_planted_dup_contract_query_plans(spark, sf_dir):
     plan = _phys(x12_knn_lsh(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime-filter contract: with a selective dimension filter on a
+    shuffle join, Catalyst builds a bloom filter from the dim keys and
+    injects ``might_contain`` on the FACT side — rows for non-matching
+    keys die at the scan instead of crossing the shuffle. At 100 TB
+    this (plus AQE) is the built-in answer to semi-join reduction; the
+    conf recipe below is what a cluster profile sets (the application-
+    side threshold defaults to 10 GB, far above any local fixture).
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # force a shuffle join (bloom injection targets non-broadcast
+        # joins) and let the small fixture qualify as the application side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = table(spark, "lineitem", sf_dir)
+        o = table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _phys(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

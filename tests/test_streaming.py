@@ -226,3 +226,34 @@ def test_stream_content_dedup_matches_batch_x1(spark, sf_dir, tmp_path):
     assert _rows(got.select("content_hash"), "content_hash") == _rows(
         batch_groups.select("content_hash"), "content_hash"
     )
+
+
+def test_continuous_aggregate_stream_matches_batch(spark, events_dir, tmp_path):
+    """The streamed fold over micro-batches must equal the from-scratch
+    batch aggregate, and a checkpoint-replayed drain must NOT
+    double-count (sum-merge is not idempotent; the batch-id guard is)."""
+    from fintrack_etl_spark.operators.incremental import finalize_aggregate, partial_aggregate
+    from fintrack_etl_spark.streaming import continuous_aggregate_stream
+
+    schema = _schema(spark, events_dir)
+    tbl = f"cagg_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(str(tmp_path), "ck")
+
+    stream = file_source_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    q = continuous_aggregate_stream(stream, ck, tbl, ["event_type"], "value")
+    q.awaitTermination()
+
+    batch = finalize_aggregate(
+        partial_aggregate(spark.read.parquet(events_dir), ["event_type"], "value"),
+        ["event_type"],
+    )
+    got = finalize_aggregate(spark.table(tbl), ["event_type"])
+    assert _rows(got, "event_type") == _rows(batch, "event_type")
+
+    # drain again over the same checkpoint + unchanged dir: no new
+    # batches, state unchanged
+    stream2 = file_source_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    q2 = continuous_aggregate_stream(stream2, ck, tbl, ["event_type"], "value")
+    q2.awaitTermination()
+    got2 = finalize_aggregate(spark.table(tbl), ["event_type"])
+    assert _rows(got2, "event_type") == _rows(batch, "event_type")
