@@ -1,0 +1,86 @@
+"""Row-level data-quality expectations — audit, drop, or quarantine.
+
+Extends the reference's run-level auditing (``_summary.json`` status
+per file, ``_ERROR.txt`` quarantine — ``extract_movimentacoes_folder
+.py:318-343``; see SURVEY.md §5) down to row granularity, the way a
+lakehouse expectations framework (Delta Live Tables' expect/
+expect_or_drop/expect_or_fail) treats constraints as data, not asserts.
+
+Scale design: every expectation is a native boolean Column; the audit
+is ONE aggregate over sums of casts (map-side combined, no shuffle of
+facts beyond the final 1-row reduce), and the good/bad split reuses a
+single ``violations`` array column, so the corpus is scanned once
+however many rules there are. Nothing ever collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A named row-level constraint: the row PASSES iff ``predicate``
+    evaluates true (NULL counts as a violation — unknown is not
+    compliant, matching SQL CHECK semantics would instead pass NULLs;
+    we choose the strict reading because quality rules exist to catch
+    exactly the NULL-shaped rot)."""
+
+    name: str
+    predicate: Column
+
+
+def _passes(e: Expectation) -> Column:
+    return F.coalesce(e.predicate, F.lit(False))
+
+
+def violations_column(expectations: list[Expectation], alias: str = "violations") -> Column:
+    """Array of names of the expectations this row violates (empty
+    array = clean row)."""
+    tagged = [F.when(~_passes(e), F.lit(e.name)) for e in expectations]
+    arr = F.array(*tagged)
+    return F.filter(arr, lambda x: x.isNotNull()).alias(alias)
+
+
+def quality_audit(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """One-row audit: total rows, clean rows, and one violation count
+    per expectation — a single aggregate pass (the row-level analog of
+    the reference's per-run ``_summary.json``)."""
+    viol_counts = [
+        F.sum(F.when(~_passes(e), 1).otherwise(0)).cast("long").alias(f"viol_{e.name}")
+        for e in expectations
+    ]
+    all_pass = F.lit(True)
+    for e in expectations:
+        all_pass = all_pass & _passes(e)
+    clean = F.sum(F.when(all_pass, 1).otherwise(0)).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        clean.alias("n_clean"),
+        *viol_counts,
+    )
+
+
+def split_by_expectations(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean rows, quarantined rows + ``violations`` array) — the
+    expect_or_quarantine action. Both sides derive from one plan over
+    one scan; write the bad side next to the good table the way the
+    reference lands ``.bad`` quarantine files."""
+    tagged = df.withColumn("violations", violations_column(expectations))
+    good = tagged.filter(F.size("violations") == 0).drop("violations")
+    bad = tagged.filter(F.size("violations") > 0)
+    return good, bad
+
+
+def drop_failed(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """expect_or_drop: keep only rows passing every expectation."""
+    cond = None
+    for e in expectations:
+        p = _passes(e)
+        cond = p if cond is None else (cond & p)
+    return df.filter(cond) if cond is not None else df

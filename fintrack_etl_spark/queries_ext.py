@@ -665,3 +665,38 @@ def ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "ext_data_quality",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN value IS NOT NULL AND value >= 0
+                     AND event_type IN ('view','click','purchase','signup')
+                     AND user_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_clean,
+           sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)  AS viol_value_nonneg,
+           sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup')
+                     OR event_type IS NULL THEN 1 ELSE 0 END)           AS viol_known_type,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)             AS viol_user_present
+    FROM events
+    """,
+)
+def ext_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectations audit (``operators/quality.py``): three
+    named constraints over events, counted in ONE aggregate pass (sums
+    of casts, map-side combined — no per-rule scans, no fact shuffle).
+    The quarantine split (good/bad + violations array) reuses the same
+    predicates; tests cover it, the audit is the oracle-gated surface."""
+    from .operators.quality import Expectation, quality_audit
+
+    ev = T(spark, sf_dir, "events")
+    exps = [
+        Expectation("value_nonneg", F.col("value").isNotNull() & (F.col("value") >= 0)),
+        Expectation(
+            "known_type",
+            F.col("event_type").isin("view", "click", "purchase", "signup"),
+        ),
+        Expectation("user_present", F.col("user_id").isNotNull()),
+    ]
+    return quality_audit(ev, exps)

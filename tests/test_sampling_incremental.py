@@ -109,3 +109,57 @@ def test_merge_introduces_new_keys(spark):
     merged = {r["k"]: (r["n"], r["total"], r["min_v"], r["max_v"])
               for r in merge_aggregate_state(state, delta, ["k"]).collect()}
     assert merged == {"a": (2, 4.0, 1.0, 3.0), "b": (1, 5.0, 5.0, 5.0)}
+
+
+# ---------------------------------------------------------------------------
+# Row-level quality expectations
+# ---------------------------------------------------------------------------
+
+
+def _exps():
+    from fintrack_etl_spark.operators.quality import Expectation
+
+    return [
+        Expectation("value_nonneg", F.col("value").isNotNull() & (F.col("value") >= 0)),
+        Expectation("known_type", F.col("event_type").isin("view", "click", "purchase", "signup")),
+        Expectation("user_present", F.col("user_id").isNotNull()),
+    ]
+
+
+def test_quality_split_partitions_rows(spark, sf_dir):
+    from fintrack_etl_spark.operators.quality import split_by_expectations
+
+    ev = table(spark, "events", sf_dir)
+    good, bad = split_by_expectations(ev, _exps())
+    assert good.count() + bad.count() == ev.count()
+    assert good.columns == ev.columns
+    # every quarantined row names at least one violated rule
+    assert bad.filter(F.size("violations") == 0).count() == 0
+    # 'error' events are quarantined with the right tag
+    err = bad.filter(F.col("event_type") == "error")
+    assert err.count() > 0
+    assert err.filter(~F.array_contains("violations", "known_type")).count() == 0
+
+
+def test_quality_audit_counts_match_split(spark, sf_dir):
+    from fintrack_etl_spark.operators.quality import quality_audit, split_by_expectations
+
+    ev = table(spark, "events", sf_dir)
+    audit = quality_audit(ev, _exps()).first()
+    good, bad = split_by_expectations(ev, _exps())
+    assert audit["n_rows"] == ev.count()
+    assert audit["n_clean"] == good.count()
+    assert audit["viol_known_type"] == ev.filter(
+        ~F.col("event_type").isin("view", "click", "purchase", "signup")
+        | F.col("event_type").isNull()
+    ).count()
+
+
+def test_quality_null_predicate_is_violation(spark):
+    from fintrack_etl_spark.operators.quality import Expectation, drop_failed, quality_audit
+
+    df = spark.createDataFrame([(1.0,), (None,), (-2.0,)], "v double")
+    exps = [Expectation("nonneg", F.col("v") >= 0)]  # NULL -> NULL -> violation
+    audit = quality_audit(df, exps).first()
+    assert (audit["n_rows"], audit["n_clean"], audit["viol_nonneg"]) == (3, 1, 2)
+    assert drop_failed(df, exps).count() == 1
