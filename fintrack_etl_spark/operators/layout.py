@@ -84,22 +84,30 @@ def cluster_write(
     n_files: int,
     bits_per_dim: int = 4,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> None:
-    """Rewrite ``df`` as ``n_files`` parquet files clustered along the
-    z-order curve of ``cols``. Row content is unchanged — only layout
-    moves — so any query over the clustered copy is value-identical to
-    the original; conjunctive predicates over the clustered dimensions
-    now skip whole files on footer stats.
+    """Rewrite ``df`` as parquet clustered along the z-order curve of
+    ``cols``. Row content is unchanged — only layout moves — so any
+    query over the clustered copy is value-identical to the original;
+    conjunctive predicates over the clustered dimensions now skip whole
+    files on footer stats.
 
-    The range shuffle is the only exchange; at 100 TB run it
-    per-partition (cluster within each date partition) so the sort
-    never becomes global.
+    The range shuffle is the only exchange. With ``partition_by`` the
+    range key is (partition cols, zkey) and the write is a partitioned
+    layout — clustering happens WITHIN each partition (the 100 TB mode:
+    partition pruning first, z-order file skipping inside the surviving
+    partitions; the sort never becomes global and ``n_files`` means
+    files per run, spread across partitions).
     """
     keyed = with_zorder_key(df, cols, bits_per_dim)
-    (
-        keyed.repartitionByRange(n_files, "__zkey")
-        .sortWithinPartitions("__zkey")
+    parts = list(partition_by or [])
+    range_cols = parts + ["__zkey"]
+    writer = (
+        keyed.repartitionByRange(n_files, *range_cols)
+        .sortWithinPartitions(*range_cols)
         .drop("__zkey")
         .write.mode(mode)
-        .parquet(path)
     )
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)

@@ -48,6 +48,34 @@ def merge_latest_wins(
     )
 
 
+def merge_latest_wins_evolving(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """J3 + schema evolution in one step — the reference's actual load
+    flow: ``evoluir_schema`` runs BEFORE ``mesclar_dados`` so a source
+    carrying new columns merges instead of failing
+    (``datatrack_spark_utils.py:221-302`` then ``:306-362``; the
+    zero-row ``merge-schema`` append at ``:354`` forces the evolution).
+
+    Pure-Spark: widen both sides to the merged schema (target column
+    order first, new source columns appended, typed NULL backfill on
+    whichever side lacks a column — ``operators/evolve.py``), then the
+    same latest-wins window. Rows already in the target keep NULL for
+    columns that did not exist when they were written — exactly what
+    ALTER TABLE ADD COLUMN yields.
+    """
+    from .evolve import align_to_schema
+
+    widened_source = align_to_schema(source, target.schema, keep_extra=True)
+    # target side gains the source-only columns as typed NULLs
+    widened_target = align_to_schema(target, widened_source.schema, keep_extra=False)
+    return merge_latest_wins(widened_target, widened_source, keys, order_col, tie_breakers)
+
+
 def replace_by_source_key(
     target: DataFrame,
     source: DataFrame,

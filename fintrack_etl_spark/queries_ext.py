@@ -700,3 +700,86 @@ def ext_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         Expectation("user_present", F.col("user_id").isNotNull()),
     ]
     return quality_audit(ev, exps)
+
+
+@register(
+    "ext_heavy_hitters",
+    """
+    SELECT event_type, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    LIMIT 3
+    """,
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the mergeable ``approx_top_k`` sketch (Spark
+    4.1 built-in): one pass, map-side partial sketches merged at the
+    reduce — O(k·buckets) state however large the stream, the
+    distributed analog of SpaceSaving. On a low-cardinality column
+    (|domain| ≤ sketch capacity) the sketch is EXACT, which is what
+    lets the DuckDB exact top-k be the value oracle rather than a
+    bounds check; at real cardinalities the same plan degrades to
+    ε-approximate counts instead of failing."""
+    ev = T(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__hh_events")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 3, 100)) AS t
+              FROM __hh_events)
+        ORDER BY cnt DESC, event_type
+        """
+    )
+
+
+@register(
+    "ext_merge_evolving",
+    """
+    WITH tgt AS (
+        SELECT event_id, event_type, round(value, 2) AS value,
+               CAST(NULL AS VARCHAR) AS quality_tier
+        FROM events WHERE event_id % 3 != 0
+    ),
+    src AS (
+        SELECT event_id, event_type, round(value * 2, 2) AS value,
+               CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS quality_tier
+        FROM events WHERE event_id % 3 = 0
+    ),
+    merged AS (
+        SELECT * FROM tgt UNION ALL SELECT * FROM src
+    )
+    SELECT event_type,
+           count(*)                                     AS n,
+           round(sum(value), 2)                         AS total,
+           sum(CASE WHEN quality_tier IS NULL THEN 1 ELSE 0 END) AS n_pre_evolution
+    FROM merged
+    GROUP BY event_type
+    """,
+)
+def ext_merge_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving MERGE (``operators/upsert.py``): the source
+    batch carries a column the target has never seen (quality_tier);
+    the reference evolves the table first, then MERGEs
+    (``evoluir_schema`` → ``mesclar_dados``). Disjoint keys here make
+    the expected state SQL-expressible: pre-evolution target rows keep
+    NULL for the new column (exactly ALTER TABLE ADD COLUMN
+    semantics), source rows carry values."""
+    from .operators.upsert import merge_latest_wins_evolving
+
+    ev = T(spark, sf_dir, "events")
+    target = ev.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    source = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 2, 2).alias("value"),
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("quality_tier"),
+    )
+    merged = merge_latest_wins_evolving(target, source, ["event_id"], "event_id")
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.sum(F.when(F.col("quality_tier").isNull(), 1).otherwise(0)).alias("n_pre_evolution"),
+    )

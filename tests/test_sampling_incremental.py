@@ -163,3 +163,54 @@ def test_quality_null_predicate_is_violation(spark):
     audit = quality_audit(df, exps).first()
     assert (audit["n_rows"], audit["n_clean"], audit["viol_nonneg"]) == (3, 1, 2)
     assert drop_failed(df, exps).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolving MERGE
+# ---------------------------------------------------------------------------
+
+
+def test_merge_evolving_overlapping_keys_and_backfill(spark):
+    from fintrack_etl_spark.operators.upsert import merge_latest_wins_evolving
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], ["k", "v", "dt"]
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 20, "extra2"), (3, "c", 20, "extra3")], ["k", "v", "dt", "new_col"]
+    )
+    out = {
+        r["k"]: (r["v"], r["dt"], r["new_col"])
+        for r in merge_latest_wins_evolving(target, source, ["k"], "dt").collect()
+    }
+    # fresher source wins key 2; untouched key 1 keeps NULL in the new
+    # column (ALTER TABLE ADD COLUMN semantics); new key 3 inserts
+    assert out == {1: ("a", 10, None), 2: ("b2", 20, "extra2"), 3: ("c", 20, "extra3")}
+    # stale source must NOT overwrite (target wins ties and fresher rows)
+    stale = spark.createDataFrame([(1, "a_stale", 5, "x")], ["k", "v", "dt", "new_col"])
+    out2 = {
+        r["k"]: r["v"]
+        for r in merge_latest_wins_evolving(target, stale, ["k"], "dt").collect()
+    }
+    assert out2[1] == "a"
+
+
+def test_cluster_write_partitioned_layout(spark, sf_dir, tmp_path):
+    from fintrack_etl_spark.operators.layout import cluster_write
+
+    li = table(spark, "lineitem", sf_dir).withColumn(
+        "rf", F.col("l_returnflag")
+    )
+    path = str(tmp_path / "zpart")
+    cluster_write(
+        li, ["l_partkey", "l_suppkey"], path, n_files=8, partition_by=["rf"]
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    # hive-style partition dirs exist and partition pruning composes
+    # with the clustered layout
+    import glob as _glob
+
+    assert _glob.glob(f"{path}/rf=*"), "expected hive-partitioned output"
+    one = back.filter(F.col("rf") == "R").count()
+    assert one == li.filter(F.col("l_returnflag") == "R").count()
