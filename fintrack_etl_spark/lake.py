@@ -244,6 +244,25 @@ def jdbc_read_partitioned(
     return reader.load()
 
 
+def analyze_table(spark: SparkSession, name: str, columns: list[str] | None = None) -> None:
+    """I4 companion — collect catalog statistics for the cost-based
+    optimizer: table-level size/rowCount, plus per-column NDV/min/max/
+    null-count histograms when ``columns`` is given.
+
+    The reference reads optimizer stats ad hoc
+    (``datatrack_spark_utils.py:582-596``, ``sizeInBytes`` for
+    partition sizing); persisting them via ANALYZE is what lets CBO
+    pick broadcast sides and join orders from ROW counts instead of
+    raw file bytes — on a 100 TB lake, a scheduled ANALYZE after each
+    load window is the difference between stats-driven plans and
+    guessed ones.
+    """
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
 # ---------------------------------------------------------------------------
 # D5 — snapshot expiry (lake maintenance)
 # ---------------------------------------------------------------------------

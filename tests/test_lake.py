@@ -191,3 +191,34 @@ def test_evolve_table_type_clash_raises(spark):
             lake.evolve_table_add_columns(bad, spark, "t_evolve_clash")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_evolve_clash")
+
+
+def test_analyze_table_populates_cbo_stats(spark, sf_dir):
+    """ANALYZE writes catalog stats the optimizer actually reads:
+    rowCount appears in the optimized plan's statistics (not just
+    file-size bytes), and column stats carry NDV for join estimation."""
+    import uuid
+
+    from fintrack_etl_spark.io import table as fixture_table
+    from fintrack_etl_spark.lake import analyze_table
+
+    name = f"analyze_t_{uuid.uuid4().hex[:8]}"
+    fixture_table(spark, "nation", sf_dir).write.saveAsTable(name)
+    saved_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        # row-count estimation flows into plans only under CBO — the
+        # mode ANALYZE exists to feed
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        analyze_table(spark, name, columns=["n_nationkey", "n_regionkey"])
+        df2 = spark.table(name)
+        stats = df2._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == df2.count()
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {name} n_nationkey").collect()
+        }
+        assert int(desc["distinct_count"]) > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved_cbo)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
