@@ -29,6 +29,11 @@ SUPPLEMENT = [
     "x16_dedup_clusters",
     "ext_percentiles_approx",
     "p7_binary_pdf_scan",
+    "ext_stratified_sample",
+    "ext_incremental_agg_merge",
+    "ext_data_quality",
+    "ext_heavy_hitters",
+    "ext_merge_evolving",
 ]
 
 
