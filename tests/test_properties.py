@@ -122,3 +122,53 @@ def test_normalize_space_idempotent_no_runs(spark, texts):
     for v in out:
         assert "  " not in v and "\t" not in v and v == v.strip(), repr(v)
     assert _eval(spark, out, FX.normalize_space) == out
+
+
+# ---------------------------------------------------------------------------
+# Round-2 curation operators: sampling thresholds + z-order interleave
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    r1=st.floats(min_value=0.0, max_value=1.0),
+    r2=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_rate_threshold_is_monotone(r1, r2):
+    """A higher sampling rate can never keep fewer keys: thresholds are
+    ordered the same way as rates ('g' sentinel sorts after all hex)."""
+    from fintrack_etl_spark.operators.sampling import rate_threshold_hex
+
+    lo, hi = sorted([r1, r2])
+    assert rate_threshold_hex(lo) <= rate_threshold_hex(hi)
+
+
+@settings(**{**_SETTINGS, "max_examples": 10})  # one Spark job per example
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zvalue_matches_python_interleave(spark, bins):
+    """The native-Column Morton key equals the reference bit
+    interleave, and distinct bin tuples yield distinct keys
+    (injectivity on the bin lattice)."""
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.operators.layout import zvalue
+
+    def py_z(t):
+        return sum(((t[i] >> j) & 1) << (j * len(t) + i) for i in range(len(t)) for j in range(4))
+
+    df = spark.createDataFrame(bins, ["a", "b", "c"])
+    got = [
+        r["z"]
+        for r in df.select(
+            zvalue([F.col("a"), F.col("b"), F.col("c")], 4).alias("z"), "a", "b", "c"
+        ).collect()
+    ]
+    expect = [py_z(t) for t in [(r, g, b) for r, g, b in bins]]
+    assert sorted(got) == sorted(expect)
+    assert len(set(py_z(t) for t in set(bins))) == len(set(bins))
