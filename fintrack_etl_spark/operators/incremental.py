@@ -141,6 +141,32 @@ def finalize_aggregate(state: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def partial_distinct_state(df: DataFrame, keys: list[str], col: str, lg_k: int = 12) -> DataFrame:
+    """Mergeable distinct-count state: a Datasketches HLL sketch per
+    key (``hll_sketch_agg``). Unlike exact ``countDistinct`` — whose
+    "state" is the value set itself and cannot be merged without
+    re-shuffling history — the sketch is a fixed ~2^lg_k-byte register
+    array with a union operator, which is what makes DISTINCT
+    maintainable incrementally at 100 TB."""
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("nd_sketch"))
+
+
+def merge_distinct_state(state: DataFrame, delta_state: DataFrame, keys: list[str]) -> DataFrame:
+    """Union the per-key sketches (register-wise max — commutative,
+    idempotent, associative: replay-safe by construction, unlike the
+    sum-merge aggregate state)."""
+    return (
+        state.unionByName(delta_state)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("nd_sketch").alias("nd_sketch"))
+    )
+
+
+def finalize_distinct(state: DataFrame, keys: list[str], alias: str = "approx_nd") -> DataFrame:
+    """Read-time estimate from the maintained sketch."""
+    return state.select(*keys, F.hll_sketch_estimate("nd_sketch").cast("long").alias(alias))
+
+
 def unprocessed_files(listing: DataFrame, state: DataFrame) -> DataFrame:
     """D3 — file-level change detection
     (``extract_movimentacoes_folder.py:50-104``): a file is work iff its

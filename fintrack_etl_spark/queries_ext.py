@@ -783,3 +783,103 @@ def ext_merge_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total"),
         F.sum(F.when(F.col("quality_tier").isNull(), 1).otherwise(0)).alias("n_pre_evolution"),
     )
+
+
+@register(
+    "ext_incremental_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE                    AS approx_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ext_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained DISTINCT count: per-key HLL sketches
+    (``operators/incremental.py``) — history folds once, the delta
+    unions in register-wise (commutative + idempotent, so unlike the
+    sum-merge state a replayed delta cannot corrupt it). The sketch
+    value is engine-specific, so the oracle gates the ACCURACY
+    CONTRACT (same pattern as ext_approx_distinct): exact count
+    value-checked against DuckDB + an in-query boolean that the
+    merged-sketch estimate lands within 15% (HLL lg_k=12 rse ≈ 1.6%,
+    so the bound has ~10× margin)."""
+    from .operators.incremental import (
+        finalize_distinct,
+        merge_distinct_state,
+        partial_distinct_state,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    state = merge_distinct_state(
+        partial_distinct_state(history, ["event_type"], "user_id"),
+        partial_distinct_state(delta, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+    approx = finalize_distinct(state, ["event_type"])
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.join(approx, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("approx_nd") - F.col("n_exact")) / F.col("n_exact") <= 0.15).alias(
+            "approx_within_bound"
+        ),
+    )
+
+
+@register(
+    "x19_repetition_filter",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t,
+               len(string_split(text, chr(10)))
+                 - len(list_distinct(string_split(text, chr(10)))) AS dup_lines,
+               len(string_split(text, chr(10))) AS n_lines
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, n_lines, dup_lines,
+               greatest(len(t) - 1, 0) AS n_bigrams,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (
+        SELECT doc_id, lang, n_bigrams, dup_lines, n_lines, gram, count(*) AS c
+        FROM grams GROUP BY ALL
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               round(dup_lines * 1.0 / n_lines, 4)  AS dup_line_ratio,
+               round(max(c) * 1.0 / n_bigrams, 4)   AS top_bigram_ratio
+        FROM cnt GROUP BY doc_id, lang, n_bigrams, dup_lines, n_lines
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN dup_line_ratio > 0.30 OR top_bigram_ratio > 0.18
+                    THEN 1 ELSE 0 END)          AS n_repetitive,
+           round(avg(top_bigram_ratio), 4)      AS avg_top_bigram_ratio
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def x19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (``textops.
+    repetition_features``): duplicate-line fraction (pure map) +
+    most-frequent-bigram fraction (one shuffle on exploded grams,
+    map-side combined) → per-lang rejection counts. The fixture docs
+    all have ≥2 tokens, so the ≥2-token restriction in the DuckDB twin
+    is not load-bearing — it exists because the engine emits ratio 0.0
+    for degenerate docs while unnest would drop them."""
+    from .textops import repetition_features
+
+    docs = T(spark, sf_dir, "documents")
+    feats = repetition_features(docs)
+    joined = feats.join(docs.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("repetitive"), 1).otherwise(0)).alias("n_repetitive"),
+        F.round(F.avg("top_bigram_ratio"), 4).alias("avg_top_bigram_ratio"),
+    )

@@ -125,3 +125,81 @@ def shingles(toks: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals — the standard pre-training
+    filters for boilerplate/spam (Rae et al. 2021 §A1.1: fraction of
+    duplicate lines, fraction of text in the most frequent n-gram).
+
+    Two signals, two cost classes:
+
+    * ``dup_line_ratio`` — pure array expression per row (split on
+      newlines, distinct), no shuffle, scales as a map;
+    * ``top_bigram_ratio`` — most-frequent word bigram / total bigrams.
+      Per-doc mode needs a count per (doc, gram): ONE shuffle on the
+      exploded grams, linear in corpus size (the no-shuffle array
+      formulation is O(grams²) per doc — wrong trade at 100 TB, where
+      web docs run to 10⁵ grams).
+
+    Thresholds (0.30 dup lines, 0.18 top bigram) follow the Gopher
+    paper's rejection rules; callers tune per corpus.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    dup_line_ratio = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines), 4
+    )
+
+    toks = tokens(t)
+    n_bigrams = F.greatest(F.size(toks) - 1, F.lit(0))
+    base = df.select(
+        F.col(id_col),
+        dup_line_ratio.alias("dup_line_ratio"),
+        n_bigrams.alias("n_bigrams"),
+        shingles(toks, 2).alias("__grams_distinct"),
+        toks.alias("__toks"),
+    )
+    # count occurrences of each DISTINCT gram once per doc: explode the
+    # full gram sequence, aggregate — map-side combine keeps the
+    # shuffle at |distinct grams per doc|, not |grams|
+    grams = base.select(
+        id_col,
+        "n_bigrams",
+        "dup_line_ratio",
+        F.explode_outer(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.try_element_at("__toks", (i + 1).cast("int")),
+                        F.try_element_at("__toks", (i + 2).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "n_bigrams", "dup_line_ratio", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = counts.groupBy(id_col, "n_bigrams", "dup_line_ratio").agg(
+        F.max(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)).alias("top_cnt")
+    )
+    return per_doc.select(
+        id_col,
+        "dup_line_ratio",
+        F.when(F.col("n_bigrams") > 0, F.round(F.col("top_cnt") / F.col("n_bigrams"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        (
+            (F.col("dup_line_ratio") > 0.30)
+            | (
+                F.when(
+                    F.col("n_bigrams") > 0, F.col("top_cnt") / F.col("n_bigrams")
+                ).otherwise(F.lit(0.0))
+                > 0.18
+            )
+        ).alias("repetitive"),
+    )

@@ -214,3 +214,56 @@ def test_cluster_write_partitioned_layout(spark, sf_dir, tmp_path):
     assert _glob.glob(f"{path}/rf=*"), "expected hive-partitioned output"
     one = back.filter(F.col("rf") == "R").count()
     assert one == li.filter(F.col("l_returnflag") == "R").count()
+
+
+# ---------------------------------------------------------------------------
+# HLL incremental distinct + repetition filters
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_state_merge_is_idempotent_and_accurate(spark, sf_dir):
+    from fintrack_etl_spark.operators.incremental import (
+        finalize_distinct,
+        merge_distinct_state,
+        partial_distinct_state,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    d_state = partial_distinct_state(delta, ["event_type"], "user_id")
+    merged = merge_distinct_state(
+        partial_distinct_state(history, ["event_type"], "user_id"), d_state, ["event_type"]
+    )
+    # replaying the SAME delta must not move the estimate (register max
+    # is idempotent) - the property the sum-merge state lacks
+    replayed = merge_distinct_state(merged, d_state, ["event_type"])
+    est = {r["event_type"]: r["approx_nd"] for r in finalize_distinct(merged, ["event_type"]).collect()}
+    est2 = {r["event_type"]: r["approx_nd"] for r in finalize_distinct(replayed, ["event_type"]).collect()}
+    assert est == est2
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v <= 0.05
+
+
+def test_repetition_features_flags_constructed_docs(spark):
+    from fintrack_etl_spark.textops import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),              # one bigram dominates
+            (2, "line one\nline one\nline one\nline two"),     # duplicate lines
+            (3, "a perfectly normal sentence with varied words here"),
+            (4, "single"),                                     # degenerate: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert out[1]["repetitive"] and out[1]["top_bigram_ratio"] == 1.0
+    assert out[2]["repetitive"] and out[2]["dup_line_ratio"] == 0.5
+    assert not out[3]["repetitive"]
+    assert out[4]["top_bigram_ratio"] == 0.0 and not out[4]["repetitive"]
+    assert set(out) == {1, 2, 3, 4}  # degenerate docs are kept, not dropped
