@@ -883,3 +883,22 @@ def x19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("repetitive"), 1).otherwise(0)).alias("n_repetitive"),
         F.round(F.avg("top_bigram_ratio"), 4).alias("avg_top_bigram_ratio"),
     )
+
+
+@register("x20_knn_ivf_pq", _PLANTED_DUP_RANK1_SQL)
+def x20_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (``similarity.pq_topk``) — the
+    compressed-corpus scale path: per-subspace codebooks (one grouped
+    deterministic Lloyd across all subspaces), corpus stored as m small
+    codes (~32× smaller than the vectors), ADC scoring as m broadcast
+    table lookups + one partial-sum shuffle, exact re-rank of the
+    shortlist. Value-gated by the planted-duplicate contract: an exact
+    dup encodes to identical codes, its ADC score is the maximum for
+    that code word combination, and the exact re-rank pins it at
+    rank 1 / cosine 1.0; pipeline is RNG-free so the gate is
+    deterministic. Quantization-recall statistics live in pytest."""
+    from .similarity import pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    dup, corpus = _planted_dup_queries(emb)
+    return pq_topk(dup, corpus, k=10, m=8, ksub=16, shortlist=50).filter(F.col("rnk") == 1)

@@ -281,3 +281,131 @@ def ivf_topk_kmeans(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): compress, ADC-scan, exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def _normalized(v: Column) -> Column:
+    """L2-normalize so subspace dot products SUM to the full cosine —
+    what lets ADC approximate cosine instead of raw L2."""
+    n = l2_norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def _subvectors(df: DataFrame, id_out: str, m: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, j, subvec) rows — one per subspace. Dimension D must be
+    divisible by m; slicing is a pure array expression."""
+    v = _normalized(_as_double(F.col(vec_col)))
+    width = F.size(v) / m
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(v, (j * width + 1).cast("int"), width.cast("int")),
+    )
+    return df.select(
+        F.col(id_col).alias(id_out), F.posexplode(subs).alias("j", "sv")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus — the
+    vector-compression half of IVF-PQ (Jégou et al., TPAMI 2011),
+    re-expressed as one grouped Lloyd over ALL subspaces at once:
+    rows are (vec, subspace) subvectors, centroids group by
+    (subspace, code), assignment is an argmax restricted to the same
+    subspace — so adding subspaces adds rows, not jobs (m sequential
+    k-means runs would be m× the shuffles for identical results).
+
+    Deterministic like ``kmeans_centroids``: modulo init, rounded
+    centroid means, code tie-breaks. Returns
+    ``(codes (vec_id, j, code), codebooks (j, code, ccv))``; the codes
+    table is the compressed corpus — m small ints instead of D floats
+    (64-D float32 → 8 codes ≈ 32× smaller), which at 100 TB is the
+    difference between scanning embeddings and scanning bytes.
+    """
+    sv = _subvectors(corpus, "_id", m, id_col, vec_col)
+    assigned = sv.withColumn("code", ((F.col("_id") + F.col("j")) % ksub).cast("int"))
+    books = None
+    for _ in range(iters):
+        books = (
+            assigned.select("j", "code", F.posexplode("sv").alias("dim0", "x"))
+            .groupBy("j", "code", "dim0")
+            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mn"))
+            .groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim0", "mn"))).alias("p"))
+            .select("j", "code", F.transform("p", lambda s: s["mn"]).alias("ccv"))
+            .localCheckpoint()
+        )
+        win = Window.partitionBy("_id", "j").orderBy(F.desc("s"), F.asc("code"))
+        assigned = (
+            sv.join(F.broadcast(books), "j")
+            .withColumn("s", dot(F.col("sv"), F.col("ccv")))
+            .withColumn("r", F.row_number().over(win))
+            .filter(F.col("r") == 1)
+            .select("_id", "j", "sv", "code")
+        )
+    codes = assigned.select(F.col("_id").alias(id_col), "j", "code")
+    return codes, books
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation + exact re-rank.
+
+    ADC: each query precomputes dot(query_subvec, centroid) for every
+    (subspace, code) — an nq×m×ksub partials table, broadcast — then a
+    corpus vector's approximate cosine is the SUM of m table lookups
+    over its codes. The corpus side touches only the codes table
+    (never the vectors), is never shuffled into the join (broadcast
+    hash), and the only exchange is the (query, vec) partial-sum
+    aggregate. The top-``shortlist`` candidates per query are then
+    re-ranked with EXACT cosine against the full vectors — the
+    standard IVF-PQ refinement step that turns quantization error into
+    a recall knob instead of a result error.
+    """
+    codes, books = pq_train(corpus, m, ksub, iters, id_col, vec_col)
+    # ADC partials: dot of each query subvector with every codeword
+    qsub = _subvectors(queries, "query_id", m, id_col, vec_col)
+    partials = (
+        qsub.join(F.broadcast(books), "j")
+        .withColumn("partial", dot(F.col("sv"), F.col("ccv")))
+        .select("query_id", "j", "code", "partial")
+    )
+    approx = (
+        codes.join(F.broadcast(partials), ["j", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("partial").alias("approx_sim"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    short = approx.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= shortlist)
+    # exact re-rank of the shortlist
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
+    )

@@ -396,3 +396,45 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert not got[3].contaminated  # a sub-13-gram prefix is not a collision
     # original columns survive untouched
     assert set(got[1].asDict()) == {"doc_id", "text", "eval_ngram_hits", "contaminated"}
+
+
+def test_pq_quality_and_compression_contracts(spark, sf_dir):
+    """IVF-PQ contracts:
+
+    1. codes are genuinely compressed: exactly m codes per vector,
+       code domain ≤ ksub per subspace (m small ints vs D floats);
+    2. exact re-rank recall@5 vs brute force clears a floor on the
+       fixture (ADC shortlist of 50 over 500 vectors);
+    3. a bigger shortlist can only help (monotone refinement knob).
+    """
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.similarity import cosine_topk_bruteforce, pq_topk, pq_train
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    codes, books = pq_train(emb, m=8, ksub=16)
+    n_vecs = emb.count()
+    assert codes.count() == 8 * n_vecs
+    assert codes.groupBy("j").agg(F.countDistinct("code").alias("n")).filter(
+        F.col("n") > 16
+    ).count() == 0
+    assert books.count() <= 8 * 16
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(queries, emb, k=5))
+
+    def recall(approx):
+        got = topk_sets(approx)
+        per_q = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(per_q) / len(per_q)
+
+    r_small = recall(pq_topk(queries, emb, k=5, shortlist=20))
+    r_big = recall(pq_topk(queries, emb, k=5, shortlist=100))
+    assert r_big >= r_small, (r_small, r_big)
+    assert r_big >= 0.5, r_big
