@@ -118,12 +118,18 @@ def merge_aggregate_state(state: DataFrame, delta_state: DataFrame, keys: list[s
     )
     merged = state.join(d, keys, "full_outer")
     zero = F.lit(0)
+    # SQL sum() over only-NULL values is NULL, and the merge must
+    # preserve that: 0.0-defaulting both sides would turn an all-NULL
+    # group's total into 0.0 where a from-scratch aggregation says
+    # NULL. NULL-iff-both-NULL keeps merged state == from-scratch for
+    # every input, not just non-degenerate ones.
+    total = F.when(
+        F.col("total").isNull() & F.col("__d_total").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.coalesce(F.col("total"), F.lit(0.0)) + F.coalesce(F.col("__d_total"), F.lit(0.0)))
     return merged.select(
         *keys,
         (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("__d_n"), zero)).alias("n"),
-        (F.coalesce(F.col("total"), F.lit(0.0)) + F.coalesce(F.col("__d_total"), F.lit(0.0))).alias(
-            "total"
-        ),
+        total.alias("total"),
         F.least(F.col("min_v"), F.col("__d_min_v")).alias("min_v"),
         F.greatest(F.col("max_v"), F.col("__d_max_v")).alias("max_v"),
     )

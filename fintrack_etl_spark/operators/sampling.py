@@ -59,6 +59,13 @@ def stratified_sample(
     rates table + a native string compare — the fact side is never
     shuffled, and the same predicate works as a pushable filter when
     the sample is materialized repeatedly.
+
+    NULL handling: a NULL stratum falls back to ``default_rate`` (the
+    join misses, the threshold coalesces); a NULL ``key_col`` row is
+    ALWAYS dropped (md5(NULL) is NULL, the compare is unknown) — a
+    keyless row has no stable sampling identity, so keeping it would
+    break run-to-run reproducibility. Filter such rows beforehand if
+    they must survive.
     """
     rows = [(s, rate_threshold_hex(r)) for s, r in rates.items()]
     thr = spark.createDataFrame(rows, [strata_col, "__thr"])

@@ -267,3 +267,17 @@ def test_repetition_features_flags_constructed_docs(spark):
     assert not out[3]["repetitive"]
     assert out[4]["top_bigram_ratio"] == 0.0 and not out[4]["repetitive"]
     assert set(out) == {1, 2, 3, 4}  # degenerate docs are kept, not dropped
+
+
+def test_merge_preserves_null_total_for_all_null_groups(spark):
+    """sum() over only-NULL values is NULL; the merge must not
+    manufacture 0.0 where from-scratch aggregation says NULL."""
+    state = partial_aggregate(
+        spark.createDataFrame([("a", None), ("a", None)], "k string, v double"), ["k"], "v"
+    )
+    delta = partial_aggregate(
+        spark.createDataFrame([("a", None), ("b", 1.0)], "k string, v double"), ["k"], "v"
+    )
+    merged = {r["k"]: (r["n"], r["total"]) for r in merge_aggregate_state(state, delta, ["k"]).collect()}
+    assert merged["a"] == (3, None)
+    assert merged["b"] == (1, 1.0)

@@ -257,3 +257,28 @@ def test_continuous_aggregate_stream_matches_batch(spark, events_dir, tmp_path):
     q2.awaitTermination()
     got2 = finalize_aggregate(spark.table(tbl), ["event_type"])
     assert _rows(got2, "event_type") == _rows(batch, "event_type")
+
+
+def test_quality_gate_composes_with_streaming(spark, events_dir, tmp_path):
+    """Row-level expectations are narrow ops, so the SAME
+    split_by_expectations the batch path uses runs unchanged on a
+    streaming DataFrame — the gate needs no streaming-specific code.
+    Drain the good side and check it equals the batch split."""
+    from fintrack_etl_spark.operators.quality import Expectation, split_by_expectations
+
+    exps = [
+        Expectation("known_type", F.col("event_type").isin("view", "click", "purchase", "signup")),
+        Expectation("value_nonneg", F.col("value").isNotNull() & (F.col("value") >= 0)),
+    ]
+    schema = _schema(spark, events_dir)
+    stream = file_source_stream(spark, events_dir, schema)
+    good_stream, _bad_stream = split_by_expectations(stream, exps)
+    assert good_stream.isStreaming
+    name = f"qg_{uuid.uuid4().hex[:8]}"
+    run_available_now(good_stream, os.path.join(str(tmp_path), "ck"), name, output_mode="append")
+
+    good_batch, bad_batch = split_by_expectations(spark.read.parquet(events_dir), exps)
+    got = spark.table(name)
+    assert got.count() == good_batch.count()
+    assert got.filter(F.col("event_type") == "error").count() == 0
+    assert got.count() + bad_batch.count() == spark.read.parquet(events_dir).count()
