@@ -245,8 +245,10 @@ def continuous_aggregate_stream(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if spark.catalog.tableExists(meta_table):
-            last = spark.table(meta_table).first()["last_batch_id"]
-            if batch_id <= last:
+            row = spark.table(meta_table).first()
+            # row is None if a crash landed between table truncate and
+            # write — treat as "no batch recorded" and re-fold
+            if row is not None and batch_id <= row["last_batch_id"]:
                 return
         delta = partial_aggregate(batch_df, keys, value_col)
         if spark.catalog.tableExists(table):
