@@ -89,3 +89,84 @@ def stratified_sample_sql_predicate(
     )
     thr = f"CASE {cases} ELSE '{rate_threshold_hex(default_rate)}' END"
     return f"substring(md5(CAST({key_expr} AS VARCHAR)), 1, {_HEX_DIGITS}) < ({thr})"
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    spark: SparkSession,
+    strata_col: str,
+    token_col: str,
+    key_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Domain mixing to token budgets — the pretraining data-mixture
+    op ("webtext 60%, code 20%, books 20% of a 1T-token budget"):
+    derive each stratum's keep-rate from its OWN token mass
+    (``rate = min(1, budget / total_tokens)``), then apply the
+    deterministic md5-threshold sample at that rate.
+
+    Everything stays engine-portable and exact: the totals are integer
+    sums, the rate→threshold conversion is ``floor(rate * 16^4)``
+    rendered as a 4-hex-digit string (IEEE double division is
+    bit-identical across engines, so a DuckDB twin reproduces
+    membership row for row). The totals aggregate is one shuffle of
+    |strata| rows; the thresholds broadcast back — the corpus itself
+    is never shuffled.
+
+    Statistical, not a hard cap: kept tokens ≈ budget in expectation
+    (md5 uniformity); a stratum under its budget keeps everything
+    (rate clamps at 1).
+    """
+    budget_rows = [(s, int(b)) for s, b in budgets.items()]
+    bdf = spark.createDataFrame(budget_rows, [strata_col, "__budget"])
+    totals = df.groupBy(strata_col).agg(F.sum(token_col).alias("__tot"))
+    space = 1 << (4 * _HEX_DIGITS)
+    buckets = F.floor(
+        F.least(F.col("__budget") / F.col("__tot"), F.lit(1.0)) * space
+    )
+    thr = (
+        totals.join(F.broadcast(bdf), strata_col, "inner")
+        .select(
+            strata_col,
+            F.when(buckets >= space, F.lit("g"))
+            .otherwise(F.lpad(F.lower(F.hex(buckets)), _HEX_DIGITS, "0"))
+            .alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col, "inner")
+        .filter(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_DIGITS) < F.col("__thr")
+        )
+        .select(*df.columns)
+    )
+
+
+def token_budget_sql_cte(
+    strata_expr: str, token_expr: str, key_expr: str, budgets: dict[str, int], source: str
+) -> str:
+    """DuckDB twin of :func:`sample_to_token_budget` as a CTE body:
+    same totals, same floor(rate*16^4) threshold, same md5 compare."""
+    cases = " ".join(f"WHEN {strata_expr} = '{s}' THEN {int(b)}" for s, b in budgets.items())
+    space = 1 << (4 * _HEX_DIGITS)
+    return f"""
+    tot AS (
+        SELECT {strata_expr} AS __s, sum({token_expr}) AS __tot
+        FROM {source} GROUP BY 1
+    ),
+    thr AS (
+        SELECT __s,
+               CASE WHEN CAST(floor(least((CASE {cases} END) * 1.0 / __tot, 1.0) * {space}) AS BIGINT) >= {space}
+                    THEN 'g'
+                    ELSE printf('%0{_HEX_DIGITS}x', CAST(floor(least((CASE {cases} END) * 1.0 / __tot, 1.0) * {space}) AS BIGINT))
+               END AS __thr
+        FROM tot
+        WHERE CASE {cases} END IS NOT NULL
+    ),
+    kept AS (
+        SELECT t.*
+        FROM {source} t
+        JOIN thr ON {strata_expr} = thr.__s
+        WHERE substring(md5(CAST({key_expr} AS VARCHAR)), 1, {_HEX_DIGITS}) < thr.__thr
+    )
+    """
