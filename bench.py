@@ -99,8 +99,12 @@ def main() -> None:
         out["full_total_sec"] = round(sum(full.values()), 3)
         out["full_wall_sec"] = round(time.time() - t0, 3)  # incl. planning
         out["full_n_queries"] = len(full)
-        out["full_queries"] = full
+        # Per-query detail goes on its OWN line, before the headline line:
+        # the driver keeps only the last 2,000 bytes of output, and this
+        # dump is larger than that — it must never displace the headline.
+        print(json.dumps({"metric": "full_registry_queries_sec", "queries": full}))
 
+    # Headline line LAST so it survives the driver's tail capture.
     print(json.dumps(out))
     spark.stop()
 
