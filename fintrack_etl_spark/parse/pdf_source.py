@@ -64,13 +64,25 @@ def _decode_doc_bytes(b: bytes | None) -> tuple[str | None, str | None]:
         return b[len(FAKE_PDF_MARKER) :].decode("utf-8"), None
     if b.startswith(b"%PDF"):
         try:
-            import pdfplumber  # not in this container — documented stub
+            import pdfplumber  # preferred when available (full layout model)
         except ModuleNotFoundError:
-            return None, "pdf: pdfplumber not installed"
-        import io
+            pdfplumber = None
+        if pdfplumber is not None:
+            import io
 
-        with pdfplumber.open(io.BytesIO(b)) as doc:
-            return "\n".join(page.extract_text() or "" for page in doc.pages), None
+            with pdfplumber.open(io.BytesIO(b)) as doc:
+                return "\n".join(page.extract_text() or "" for page in doc.pages), None
+        # Fallback: bundled pure-Python extractor (uncompressed/Flate
+        # text streams, Tj/TJ — see parse/minipdf.py for scope).
+        from .minipdf import extract_pdf_text
+
+        try:
+            text = extract_pdf_text(b)
+        except Exception as exc:  # corrupt stream must quarantine, not raise
+            return None, f"pdf: extract failed: {exc}"
+        if text is None:
+            return None, "pdf: no text streams decodable (encrypted/CID/unsupported filter?)"
+        return text, None
     return None, f"unknown format: {b[:4].hex()}"
 
 

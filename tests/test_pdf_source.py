@@ -67,8 +67,8 @@ def test_corrupt_and_real_pdf_quarantine_not_fail(spark, tmp_path):
             binary_docs_to_text(read_binary_docs(spark, path)).collect()}
     assert rows["good.pdf"].text == "texto válido"
     assert rows["good.pdf"].decode_error is None
-    assert rows["real.pdf"].text is None
-    assert "pdfplumber" in rows["real.pdf"].decode_error
+    assert rows["real.pdf"].text is None  # header only, no text streams
+    assert rows["real.pdf"].decode_error.startswith("pdf: no text streams")
     assert rows["junk.pdf"].text is None
     assert rows["junk.pdf"].decode_error.startswith("unknown format")
     # zero-length files never leave the binaryFile scan; the empty
