@@ -150,7 +150,10 @@ def _stream_to_text(s: bytes) -> str:
             in_array = False
             pending = [b"".join(arr)]
             continue
-        if tok in _NEWLINE_OPS and out and out[-1] != "\n":
+        if tok in _NEWLINE_OPS and out:
+            # every line move is a newline — consecutive T* moves are
+            # REAL blank lines (build_pdf emits one T* per source line,
+            # so round-trips preserve interior blank lines exactly)
             out.append("\n")
         if tok in _SHOW_OPS and pending:
             # '"' takes (aw ac string) — string is last; Tj/'/TJ likewise.
@@ -187,6 +190,72 @@ def _iter_streams(data: bytes):
                 except zlib.error:
                     continue  # undecodable filter payload — skip stream
         yield raw
+
+
+def _pdf_string(s: str) -> bytes:
+    """Encode one text line as a PDF literal string. ASCII-safe text is
+    written as latin-1; anything else as a UTF-16BE string (BOM FE FF,
+    per spec §7.9.2.2). Delimiters and EOL bytes are escaped so the
+    payload survives any byte value (UTF-16BE code units may contain
+    ``(``/``)``/``\\``/CR/LF bytes)."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        raw = b"\xfe\xff" + s.encode("utf-16-be")
+    out = bytearray(b"(")
+    for b in raw:
+        if b in (0x28, 0x29, 0x5C):  # ( ) \
+            out += b"\\" + bytes([b])
+        elif b in (0x0A, 0x0D):  # raw EOLs are normalized by readers
+            out += ("\\%03o" % b).encode()
+        else:
+            out.append(b)
+    out += b")"
+    return bytes(out)
+
+
+def build_pdf(text: str, compress: bool = True) -> bytes:
+    """Write ``text`` as a small but VALID one-page PDF (Helvetica,
+    one ``Tj`` per line, ``T*`` line moves, correct xref + trailer).
+
+    ``extract_pdf_text(build_pdf(t)) == t`` for any ``t`` without
+    trailing newlines (text extraction has no trailing-newline concept).
+    The writer side of the S1 surface: fixtures for the real-codec
+    round-trip query (p8) and a minimal PDF sink."""
+    ops = [b"BT /F1 10 Tf 12 TL 72 720 Td"]
+    for i, line in enumerate(text.split("\n")):
+        if i:
+            ops.append(b"T*")
+        ops.append(_pdf_string(line) + b" Tj")
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objects) + 1,
+        xref_at,
+    )
+    return bytes(out)
 
 
 def extract_pdf_text(data: bytes) -> str | None:

@@ -536,3 +536,65 @@ def p7_binary_pdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode("text", "utf-8")).alias("fp"),
         F.length("text").alias("n_chars"),
     )
+
+
+@register(
+    "p8_real_pdf_roundtrip",
+    """
+    SELECT doc_id,
+           md5(rtrim(text, chr(10)))                 AS fp,
+           CAST(length(rtrim(text, chr(10))) AS INT) AS n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND rtrim(text, chr(10)) <> ''
+    """,
+)
+def p8_real_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 with the REAL codec: every document is written as a genuine
+    %PDF (``minipdf.build_pdf`` — Flate-compressed content stream,
+    Tj/T* operators, UTF-16BE strings where needed) and decoded back
+    through the same ``binary_docs_to_text`` mapInPandas pipeline,
+    exercising ``minipdf.extract_pdf_text`` end to end. The oracle is a
+    byte-exact md5 round-trip modulo trailing newlines (text extraction
+    has no trailing-newline concept — pdfplumber behaves the same;
+    reference: ``extractors/bb_statement.py:28-31``). Empty docs are
+    excluded on both sides: a PDF with no text shown yields no text.
+
+    Scale: encode and decode are both Arrow-batched mapInPandas over
+    whatever partitioning the scan produced — no shuffle, no collect;
+    bytes never cross a stage boundary (decode drops the payload)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from .parse.minipdf import build_pdf
+    from .parse.pdf_source import binary_docs_to_text
+
+    docs = T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.rtrim(F.col("text"), F.lit("\n")) != "")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": "/docs/" + b["doc_id"].astype(str) + ".pdf",
+                    "content": [build_pdf(t) for t in b["text"]],
+                }
+            )
+
+    binary = docs.select("doc_id", "text").mapInPandas(
+        _encode,
+        TT.StructType(
+            [
+                TT.StructField("path", TT.StringType(), False),
+                TT.StructField("content", TT.BinaryType(), False),
+            ]
+        ),
+    )
+    decoded = binary_docs_to_text(binary)
+    return decoded.filter(F.col("decode_error").isNull()).select(
+        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )

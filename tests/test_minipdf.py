@@ -1,8 +1,8 @@
 """Real-%PDF decode path: the bundled pure-Python extractor
 (``parse/minipdf.py``) closes the S1 codec gap — a real, valid PDF
-written here from the spec (Flate-compressed content stream, Tj/TJ/T*
-text operators, xref + trailer) must flow through the SAME distributed
-scan → decode → line-parser path as the fixtures.
+(Flate-compressed content stream, Tj/TJ/T* text operators, xref +
+trailer, written by ``build_pdf``) must flow through the SAME
+distributed scan → decode → line-parser path as the fixtures.
 
 Reference behavior being matched: ``extractors/bb_statement.py:28-31``
 (pdfplumber page-text extraction joined by newlines).
@@ -10,65 +10,40 @@ Reference behavior being matched: ``extractors/bb_statement.py:28-31``
 
 from __future__ import annotations
 
-import zlib
-
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fintrack_etl_spark.parse import parse_bb_statement
-from fintrack_etl_spark.parse.minipdf import extract_pdf_text
+from fintrack_etl_spark.parse.minipdf import build_pdf, extract_pdf_text
 from fintrack_etl_spark.parse.pdf_source import binary_docs_to_text, read_binary_docs
 
 from test_parse import BB_STATEMENT
 
 
-def _pdf_escape(b: bytes) -> bytes:
-    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
-
-
-def make_minimal_pdf(text: str, compress: bool = True) -> bytes:
-    """Build a small but VALID one-page PDF showing ``text`` line by line
-    (Helvetica, Tj/T* operators, correct xref offsets and trailer)."""
-    ops = [b"BT /F1 10 Tf 12 TL 72 720 Td"]
-    for i, line in enumerate(text.split("\n")):
-        if i:
-            ops.append(b"T*")
-        ops.append(b"(" + _pdf_escape(line.encode("latin-1")) + b") Tj")
-    ops.append(b"ET")
-    content = b"\n".join(ops)
-    filt = b""
-    if compress:
-        content = zlib.compress(content)
-        filt = b" /Filter /FlateDecode"
-
-    objects = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = []
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_at)
-    )
-    return bytes(out)
-
-
 def test_extract_flate_and_uncompressed():
     text = "linha um\nlinha dois (parens) e \\barra"
     for compress in (True, False):
-        assert extract_pdf_text(make_minimal_pdf(text, compress)) == text
+        assert extract_pdf_text(build_pdf(text, compress)) == text
+
+
+def test_roundtrip_unicode_and_blank_lines():
+    text = "Extrato — saldo €120\n\ncafé ção\n日本語テスト\n(a\\b)"
+    assert extract_pdf_text(build_pdf(text)) == text
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r"),
+        max_size=200,
+    )
+)
+def test_roundtrip_property(text):
+    """Any unicode text (modulo trailing newlines — extraction has no
+    trailing-newline concept) survives build_pdf → extract_pdf_text."""
+    assert extract_pdf_text(build_pdf(text)) == (text.rstrip("\n") or None)
 
 
 def test_extract_tj_array_hex_and_octal_strings():
@@ -91,7 +66,7 @@ def test_extract_tj_array_hex_and_octal_strings():
 
 
 def test_extract_skips_non_text_and_undecodable_streams():
-    good = make_minimal_pdf("texto")
+    good = build_pdf("texto")
     # append a corrupt Flate stream object — must be skipped, not fatal
     bad = b"9 0 obj\n<< /Length 8 /Filter /FlateDecode >>\nstream\nnotzlib!\nendstream\nendobj\n"
     assert extract_pdf_text(good + bad) == "texto"
@@ -103,7 +78,7 @@ def test_real_pdf_through_distributed_scan_to_parser(spark, tmp_path):
     """End to end on REAL %PDF bytes: binaryFile scan → mapInPandas
     decode (minipdf fallback) → parse_bb_statement, matching the
     %FAKEPDF envelope path row for row."""
-    (tmp_path / "stmt.pdf").write_bytes(make_minimal_pdf(BB_STATEMENT))
+    (tmp_path / "stmt.pdf").write_bytes(build_pdf(BB_STATEMENT))
     decoded = binary_docs_to_text(read_binary_docs(spark, str(tmp_path)))
     row = decoded.collect()[0]
     assert row.decode_error is None
