@@ -257,10 +257,17 @@ def analyze_table(spark: SparkSession, name: str, columns: list[str] | None = No
     load window is the difference between stats-driven plans and
     guessed ones.
     """
-    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    # Backtick-quote identifiers (dots in `name` separate db.table parts)
+    # so names that collide with keywords or carry odd chars can't break
+    # or reshape the statement.
+    def bq(ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    tbl = ".".join(bq(p) for p in name.split("."))
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
     if columns:
-        cols = ", ".join(columns)
-        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        cols = ", ".join(bq(c) for c in columns)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {cols}")
 
 
 # ---------------------------------------------------------------------------

@@ -123,9 +123,12 @@ def merge_aggregate_state(state: DataFrame, delta_state: DataFrame, keys: list[s
     # group's total into 0.0 where a from-scratch aggregation says
     # NULL. NULL-iff-both-NULL keeps merged state == from-scratch for
     # every input, not just non-degenerate ones.
+    # Untyped NULL / integer-0 literals so the value type passes through
+    # unchanged: a DECIMAL total must stay decimal (exact, association-
+    # invariant sums), not get coerced to double by a 0.0 literal.
     total = F.when(
-        F.col("total").isNull() & F.col("__d_total").isNull(), F.lit(None).cast("double")
-    ).otherwise(F.coalesce(F.col("total"), F.lit(0.0)) + F.coalesce(F.col("__d_total"), F.lit(0.0)))
+        F.col("total").isNull() & F.col("__d_total").isNull(), F.lit(None)
+    ).otherwise(F.coalesce(F.col("total"), zero) + F.coalesce(F.col("__d_total"), zero))
     return merged.select(
         *keys,
         (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("__d_n"), zero)).alias("n"),

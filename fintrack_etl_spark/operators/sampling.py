@@ -80,12 +80,19 @@ def stratified_sample(
     )
 
 
+def _sql_str(s: str) -> str:
+    """Render a value as a SQL string literal (embedded quotes doubled,
+    per ANSI) — stratum names are data, not trusted SQL fragments."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def stratified_sample_sql_predicate(
     strata_expr: str, key_expr: str, rates: dict[str, float], default_rate: float = 0.0
 ) -> str:
     """The same membership predicate as ANSI SQL (DuckDB oracle twin)."""
     cases = " ".join(
-        f"WHEN {strata_expr} = '{s}' THEN '{rate_threshold_hex(r)}'" for s, r in rates.items()
+        f"WHEN {strata_expr} = {_sql_str(s)} THEN '{rate_threshold_hex(r)}'"
+        for s, r in rates.items()
     )
     thr = f"CASE {cases} ELSE '{rate_threshold_hex(default_rate)}' END"
     return f"substring(md5(CAST({key_expr} AS VARCHAR)), 1, {_HEX_DIGITS}) < ({thr})"
@@ -116,6 +123,12 @@ def sample_to_token_budget(
     Statistical, not a hard cap: kept tokens ≈ budget in expectation
     (md5 uniformity); a stratum under its budget keeps everything
     (rate clamps at 1).
+
+    Drop-by-default: a stratum with NO entry in ``budgets`` (and any
+    NULL-stratum row) is dropped entirely — a mixture spec is a closed
+    list, so "not in the mixture" means rate 0, unlike
+    :func:`stratified_sample` whose ``default_rate`` models an open
+    catch-all. Pass ``rate=1`` strata explicitly to keep them.
     """
     budget_rows = [(s, int(b)) for s, b in budgets.items()]
     bdf = spark.createDataFrame(budget_rows, [strata_col, "__budget"])
@@ -147,7 +160,9 @@ def token_budget_sql_cte(
 ) -> str:
     """DuckDB twin of :func:`sample_to_token_budget` as a CTE body:
     same totals, same floor(rate*16^4) threshold, same md5 compare."""
-    cases = " ".join(f"WHEN {strata_expr} = '{s}' THEN {int(b)}" for s, b in budgets.items())
+    cases = " ".join(
+        f"WHEN {strata_expr} = {_sql_str(s)} THEN {int(b)}" for s, b in budgets.items()
+    )
     space = 1 << (4 * _HEX_DIGITS)
     return f"""
     tot AS (

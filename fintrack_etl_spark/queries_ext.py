@@ -599,11 +599,11 @@ ORACLES["ext_stratified_sample"] = _stratified_oracle()
     "ext_incremental_agg_merge",
     """
     SELECT event_type,
-           count(*)                   AS n,
-           round(sum(value), 2)       AS total,
-           round(sum(value) / count(*), 2) AS avg_v,
-           round(min(value), 2)       AS min_v,
-           round(max(value), 2)       AS max_v
+           count(*)                                     AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_v,
+           CAST(round(min(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS min_v,
+           CAST(round(max(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS max_v
     FROM events
     GROUP BY event_type
     """,
@@ -616,15 +616,27 @@ def ext_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan of history. The DuckDB oracle aggregates everything from
     scratch: merged state must equal the from-scratch answer exactly —
     the algebraic property that makes incremental view maintenance
-    sound."""
-    from .operators.incremental import finalize_aggregate, merge_aggregate_state, partial_aggregate
+    sound. Values aggregate as DECIMAL(18,6) on BOTH sides so the sum
+    is exact and association-invariant: history-partial + delta-partial
+    cannot round differently from the oracle's single sum near a .005
+    boundary, whatever the regenerated fixture holds."""
+    from .operators.incremental import merge_aggregate_state, partial_aggregate
 
-    ev = T(spark, sf_dir, "events")
+    ev = T(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
     history = ev.filter(F.col("event_id") % 5 != 0)
     delta = ev.filter(F.col("event_id") % 5 == 0)
     state = partial_aggregate(history, ["event_type"], "value")
     new_state = merge_aggregate_state(state, partial_aggregate(delta, ["event_type"], "value"), ["event_type"])
-    return finalize_aggregate(new_state, ["event_type"])
+    return new_state.select(
+        "event_type",
+        "n",
+        F.round("total", 2).cast("double").alias("total"),
+        F.round(F.col("total").cast("double") / F.col("n"), 2).alias("avg_v"),
+        F.round("min_v", 2).cast("double").alias("min_v"),
+        F.round("max_v", 2).cast("double").alias("max_v"),
+    )
 
 
 _ZORDER_PRED_SQL = "l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 10 AND 30"
@@ -841,20 +853,25 @@ def ext_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     grams AS (
-        SELECT doc_id, lang, n_lines, dup_lines,
-               greatest(len(t) - 1, 0) AS n_bigrams,
+        SELECT doc_id, greatest(len(t) - 1, 0) AS n_bigrams,
                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
         FROM toks WHERE len(t) >= 2
     ),
     cnt AS (
-        SELECT doc_id, lang, n_bigrams, dup_lines, n_lines, gram, count(*) AS c
+        SELECT doc_id, n_bigrams, gram, count(*) AS c
         FROM grams GROUP BY ALL
     ),
+    bg AS (
+        SELECT doc_id, round(max(c) * 1.0 / n_bigrams, 4) AS top_bigram_ratio
+        FROM cnt GROUP BY doc_id, n_bigrams
+    ),
     per_doc AS (
-        SELECT doc_id, lang,
-               round(dup_lines * 1.0 / n_lines, 4)  AS dup_line_ratio,
-               round(max(c) * 1.0 / n_bigrams, 4)   AS top_bigram_ratio
-        FROM cnt GROUP BY doc_id, lang, n_bigrams, dup_lines, n_lines
+        -- total over ALL docs: <2-token docs keep ratio 0.0 (LEFT JOIN),
+        -- matching the engine's explode_outer — no fixture-shape reliance
+        SELECT toks.doc_id, lang,
+               round(dup_lines * 1.0 / n_lines, 4)   AS dup_line_ratio,
+               COALESCE(bg.top_bigram_ratio, 0.0)    AS top_bigram_ratio
+        FROM toks LEFT JOIN bg ON toks.doc_id = bg.doc_id
     )
     SELECT lang,
            count(*) AS n_docs,
@@ -869,10 +886,11 @@ def x19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter (``textops.
     repetition_features``): duplicate-line fraction (pure map) +
     most-frequent-bigram fraction (one shuffle on exploded grams,
-    map-side combined) → per-lang rejection counts. The fixture docs
-    all have ≥2 tokens, so the ≥2-token restriction in the DuckDB twin
-    is not load-bearing — it exists because the engine emits ratio 0.0
-    for degenerate docs while unnest would drop them."""
+    map-side combined) → per-lang rejection counts. The DuckDB twin is
+    total over all docs: <2-token docs (no bigrams) enter with
+    top_bigram_ratio 0.0 via LEFT JOIN + COALESCE, exactly like the
+    engine's explode_outer — regenerated fixture data with degenerate
+    docs cannot desync the oracle."""
     from .textops import repetition_features
 
     docs = T(spark, sf_dir, "documents")

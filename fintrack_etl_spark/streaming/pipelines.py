@@ -231,9 +231,12 @@ def continuous_aggregate_stream(
     a batch after a crash would double-count. Exactly-once therefore
     needs the transactional-foreachBatch pattern: the state table's
     companion ``<table>__meta`` records the last folded ``batch_id``;
-    a replayed batch (same id from the checkpoint) is skipped. The
-    state/meta writes are two statements here (a real lakehouse does
-    both in one MERGE transaction — without the Iceberg jar the
+    a replayed batch (same id from the checkpoint) is skipped, and a
+    batch id BELOW the recorded watermark — only possible when the
+    checkpoint dir was deleted/relocated while the state tables
+    survived — fails fast instead of silently skipping every batch.
+    The state/meta writes are two statements here (a real lakehouse
+    does both in one MERGE transaction — without the Iceberg jar the
     commit-point gap is documented rather than hidden).
 
     Returns the started query; callers ``awaitTermination()``.
@@ -248,8 +251,22 @@ def continuous_aggregate_stream(
             row = spark.table(meta_table).first()
             # row is None if a crash landed between table truncate and
             # write — treat as "no batch recorded" and re-fold
-            if row is not None and batch_id <= row["last_batch_id"]:
-                return
+            if row is not None:
+                last = row["last_batch_id"]
+                if batch_id == last:
+                    return  # legitimate checkpoint replay of the last batch
+                if batch_id < last:
+                    # Batch ids only restart below the recorded watermark
+                    # when the checkpoint dir was deleted/relocated while
+                    # the state tables survived. Skipping would silently
+                    # freeze the aggregate; re-folding would double-count.
+                    raise RuntimeError(
+                        f"continuous_aggregate_stream({table}): batch_id "
+                        f"{batch_id} < recorded last_batch_id {last} — the "
+                        "checkpoint was reset while state survived. Drop "
+                        f"{table}/{meta_table} or restore the original "
+                        "checkpoint dir."
+                    )
         delta = partial_aggregate(batch_df, keys, value_col)
         if spark.catalog.tableExists(table):
             merged = merge_aggregate_state(spark.table(table), delta, keys).localCheckpoint()

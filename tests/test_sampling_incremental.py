@@ -281,3 +281,33 @@ def test_merge_preserves_null_total_for_all_null_groups(spark):
     merged = {r["k"]: (r["n"], r["total"]) for r in merge_aggregate_state(state, delta, ["k"]).collect()}
     assert merged["a"] == (3, None)
     assert merged["b"] == (1, 1.0)
+
+
+def test_sql_predicate_escapes_quoted_strata(spark):
+    """Stratum names are data: an embedded single quote must render as a
+    valid SQL literal (''), not truncate the oracle predicate."""
+    import duckdb
+
+    from fintrack_etl_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_sql_predicate,
+    )
+
+    rates = {"o'brien": 0.5, "plain": 1.0}
+    df = spark.createDataFrame(
+        [(i, "o'brien" if i % 2 else "plain") for i in range(200)], ["k", "s"]
+    )
+    kept = {r.k for r in stratified_sample(df, spark, "s", "k", rates).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(200)) AS k")
+    con.execute("UPDATE t SET k = k")  # no-op, table exists
+    pred = stratified_sample_sql_predicate("s", "k", rates)
+    oracle = {
+        r[0]
+        for r in con.execute(
+            "SELECT k FROM (SELECT k, CASE WHEN k % 2 = 1 THEN 'o''brien' "
+            f"ELSE 'plain' END AS s FROM t) WHERE {pred}"
+        ).fetchall()
+    }
+    assert kept == oracle and len(kept) > 0

@@ -282,3 +282,39 @@ def test_quality_gate_composes_with_streaming(spark, events_dir, tmp_path):
     assert got.count() == good_batch.count()
     assert got.filter(F.col("event_type") == "error").count() == 0
     assert got.count() + bad_batch.count() == spark.read.parquet(events_dir).count()
+
+
+def test_continuous_aggregate_detects_checkpoint_reset(spark, events_dir, tmp_path):
+    """Deleting/relocating the checkpoint while the state tables survive
+    restarts batch ids at 0; the guard must FAIL FAST (stale-state
+    silent skip and double-count are both wrong answers)."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from fintrack_etl_spark.streaming import continuous_aggregate_stream
+
+    schema = _schema(spark, events_dir)
+    tbl = f"cagg_{uuid.uuid4().hex[:8]}"
+
+    q = continuous_aggregate_stream(
+        file_source_stream(spark, events_dir, schema, max_files_per_trigger=1),
+        os.path.join(str(tmp_path), "ck1"),
+        tbl,
+        ["event_type"],
+        "value",
+    )
+    q.awaitTermination()
+    before = _rows(spark.table(tbl), "event_type")
+
+    # fresh checkpoint, surviving state: batch 0 arrives below watermark
+    q2 = continuous_aggregate_stream(
+        file_source_stream(spark, events_dir, schema, max_files_per_trigger=1),
+        os.path.join(str(tmp_path), "ck2"),
+        tbl,
+        ["event_type"],
+        "value",
+    )
+    with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+        q2.awaitTermination()
+    # and the state was left untouched by the failed run
+    assert _rows(spark.table(tbl), "event_type") == before
