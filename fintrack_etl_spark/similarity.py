@@ -213,7 +213,12 @@ def kmeans_centroids(
 
     Returns ``(assignments (id, cid), centroids (cid, ccv))``.
     """
-    v = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("cv"))
+    # Pin the vector table: every Lloyd round joins it, and re-deriving
+    # the scan+cast lineage per round is plan-compile overhead (same
+    # rationale as pq_train's sv checkpoint).
+    v = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).localCheckpoint()
     assigned = v.withColumn("cid", (F.col("_id") % k).cast("int"))
     cents = None
     for _ in range(iters):
@@ -313,7 +318,7 @@ def pq_train(
     corpus: DataFrame,
     m: int = 8,
     ksub: int = 16,
-    iters: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
@@ -332,7 +337,11 @@ def pq_train(
     (64-D float32 → 8 codes ≈ 32× smaller), which at 100 TB is the
     difference between scanning embeddings and scanning bytes.
     """
-    sv = _subvectors(corpus, "_id", m, id_col, vec_col)
+    # Pin the subvector table once: every Lloyd round (and the final
+    # encode) joins against it, and without the cut each round's plan
+    # re-derives the scan + normalize + slice lineage — at gate scale
+    # that's pure plan-compile overhead dominating wall time.
+    sv = _subvectors(corpus, "_id", m, id_col, vec_col).localCheckpoint()
     assigned = sv.withColumn("code", ((F.col("_id") + F.col("j")) % ksub).cast("int"))
     books = None
     for _ in range(iters):
@@ -364,7 +373,7 @@ def pq_topk(
     m: int = 8,
     ksub: int = 16,
     shortlist: int = 50,
-    iters: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
