@@ -277,12 +277,23 @@ def analyze_table(spark: SparkSession, name: str, columns: list[str] | None = No
 
 def expire_snapshots(spark: SparkSession, table: str, older_than=None, retain_last: int = 1):
     """D5 — ``CALL system.expire_snapshots``
-    (``datatrack_spark_utils.py:756-768``). Iceberg-only maintenance:
-    without the Iceberg extension there are no snapshots to expire, so
-    this raises rather than silently pretending."""
+    (``datatrack_spark_utils.py:756-768``).
+
+    For a versioned commit-log table (``lake_tx`` root path) this is a
+    real vacuum: delete committed version directories beyond the newest
+    ``retain_last`` (the current version always survives). For catalog
+    tables there is no snapshot lineage without the Iceberg extension,
+    so that case still raises rather than silently pretending."""
+    import os as _os
+
+    from .lake_tx import expire_versions, table_exists
+
+    if _os.path.sep in table or table_exists(table):
+        return expire_versions(table, retain_last=retain_last)
     raise NotImplementedError(
-        "expire_snapshots requires an Iceberg catalog; plain-parquet "
-        "tables have no snapshot lineage (see SURVEY.md §4 conclusion)"
+        "expire_snapshots on a catalog table requires an Iceberg catalog; "
+        "use a lake_tx versioned table root for plain-parquet snapshot "
+        "lineage (see fintrack_etl_spark/lake_tx.py)"
     )
 
 

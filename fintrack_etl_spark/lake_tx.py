@@ -1,0 +1,249 @@
+"""Atomic multi-version parquet tables — a minimal commit log.
+
+Semantics modeled on the PUBLIC Delta/Iceberg commit protocols: all
+data for version N is fully written into its own immutable directory
+``v{N:08d}/`` BEFORE one atomic pointer swap (``os.replace`` of the
+``_latest`` manifest file) makes it visible. Consequences:
+
+- a reader resolves the manifest once, then reads only that version's
+  directory — it can never observe a half-written table state;
+- a crash anywhere before the swap leaves the previous version intact
+  (the orphaned directory is invisible and gets clobbered/vacuumed);
+- streaming replay is exactly-once: the manifest records the last
+  applied ``batch_id`` at the SAME commit point as the data, closing
+  the two-statement commit-gap the catalog-table sinks document
+  (``streaming/pipelines.py``);
+- MERGE never reads the directory it writes (vN in, vN+1 out), so the
+  self-overwrite ``localCheckpoint`` pin is unnecessary here.
+
+Commit-point atomicity relies on atomic rename, which POSIX local
+filesystems and HDFS (``FileContext.rename(OVERWRITE)``) provide; on
+S3-like stores use a real table format — this module is the honest
+fallback for environments without the Iceberg/Delta jars. Reference
+semantics covered: MERGE (``datatrack_spark_utils.py:306-362``),
+row-level DELETE + append (``forms_main.py:395-423``), snapshot expiry
+(``datatrack_spark_utils.py:756-768``).
+
+Scale notes: the manifest is one tiny JSON file — no listing, no
+eventual consistency on the read path; version directories are normal
+parquet tables, so partitioned/bucketed layouts, predicate pushdown
+and AQE all apply unchanged. Expiry cost is proportional to files
+deleted, never to table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_latest"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST)
+
+
+def _version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"v{version:08d}")
+
+
+def read_manifest(root: str) -> dict | None:
+    """The committed state, or None if no commit ever succeeded."""
+    try:
+        with open(_manifest_path(root), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def table_exists(root: str) -> bool:
+    return read_manifest(root) is not None
+
+
+def current_version(root: str) -> int:
+    m = read_manifest(root)
+    return m["version"] if m else 0
+
+
+def last_batch_id(root: str) -> int:
+    """Last streaming batch folded into the table (-1 = none)."""
+    m = read_manifest(root)
+    b = m.get("batch_id") if m else None
+    return -1 if b is None else int(b)
+
+
+def read_table(spark: SparkSession, root: str) -> DataFrame:
+    """Read the current committed version (and only it)."""
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed version at {root}")
+    return spark.read.parquet(_version_dir(root, m["version"]))
+
+
+def commit_table(df: DataFrame, root: str, batch_id: int | None = None) -> int:
+    """Write ``df`` as the next version and atomically publish it.
+
+    The parquet write happens entirely inside the (invisible) new
+    version directory; the single ``os.replace`` of the manifest is
+    the commit point. A crashed earlier attempt may have left a
+    partial directory for the same version — it was never visible, and
+    ``mode("overwrite")`` clobbers it before this attempt publishes.
+    """
+    os.makedirs(root, exist_ok=True)
+    n = current_version(root) + 1
+    df.write.mode("overwrite").parquet(_version_dir(root, n))
+    tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": n, "batch_id": batch_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(root))  # THE commit point
+    return n
+
+
+def expire_versions(root: str, retain_last: int = 1) -> list[int]:
+    """Vacuum old snapshots (D5,
+    ``datatrack_spark_utils.py:756-768``): delete committed version
+    directories older than the newest ``retain_last``; the current
+    version always survives. Uncommitted (future-numbered) directories
+    are left alone — a concurrent commit may be writing one.
+
+    Returns the versions removed."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    cur = current_version(root)
+    removed = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("v") and name[1:].isdigit():
+            ver = int(name[1:])
+            if ver <= cur - retain_last:
+                shutil.rmtree(os.path.join(root, name))
+                removed.append(ver)
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# Versioned faces of the mutable-table operators
+# ---------------------------------------------------------------------------
+
+
+def merge_latest_wins_versioned(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tie_breakers: list[str] | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """J3 MERGE with a real commit point: read vN, merge, publish vN+1.
+    First commit seeds the table with the deduped source."""
+    from .operators.upsert import merge_latest_wins
+    from .operators.windows import dedup_latest
+
+    if table_exists(root):
+        merged = merge_latest_wins(read_table(spark, root), source, keys, order_col, tie_breakers)
+    else:
+        merged = dedup_latest(source, keys, order_col, tie_breakers)
+    return commit_table(merged, root, batch_id)
+
+
+def replace_by_source_key_versioned(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    lineage_key: str = "landing_object_key",
+    batch_id: int | None = None,
+) -> int:
+    """D2 per-file reload with a real commit point — re-running the
+    same input converges to identical committed state."""
+    from .operators.upsert import replace_by_source_key
+
+    if table_exists(root):
+        out = replace_by_source_key(read_table(spark, root), source, lineage_key)
+    else:
+        out = source
+    return commit_table(out, root, batch_id)
+
+
+def upsert_sink_stream_versioned(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    root: str,
+    keys: list[str],
+    order_col: str,
+    tie_breakers: list[str] | None = None,
+):
+    """Streaming latest-wins sink with exactly-once COMMITS: the
+    manifest's batch_id and the data publish at the same atomic
+    rename, so a batch replayed after any crash is either (a) fully
+    committed already — detected and skipped — or (b) never visible —
+    re-merged from the same deterministic inputs. No commit-point gap.
+
+    Returns the started query; callers ``awaitTermination()``."""
+    from .operators.windows import dedup_latest
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_batch_id(root):
+            return  # already committed — checkpoint replay
+        if batch_df.isEmpty():
+            return
+        incoming = dedup_latest(batch_df, keys, order_col, tie_breakers)
+        merge_latest_wins_versioned(
+            batch_df.sparkSession, root, incoming, keys, order_col, tie_breakers, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def continuous_aggregate_stream_versioned(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    root: str,
+    keys: list[str],
+    value_col: str,
+):
+    """Continuous aggregate with exactly-once COMMITS. The sum-merge is
+    not idempotent, so this is where the atomic (data, batch_id) commit
+    matters most: the catalog-table variant documents a double-count
+    window between its state and meta writes — here that window does
+    not exist. Checkpoint-reset detection mirrors
+    ``streaming.continuous_aggregate_stream``.
+
+    Returns the started query; callers ``awaitTermination()``."""
+    from .operators.incremental import merge_aggregate_state, partial_aggregate
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_batch_id(root)
+        if batch_id == last:
+            return  # committed already — checkpoint replay
+        if batch_id < last:
+            raise RuntimeError(
+                f"continuous_aggregate_stream_versioned({root}): batch_id "
+                f"{batch_id} < committed {last} — checkpoint was reset while "
+                "the table survived; refusing to skip or double-count."
+            )
+        spark = batch_df.sparkSession
+        delta = partial_aggregate(batch_df, keys, value_col)
+        state = (
+            merge_aggregate_state(read_table(spark, root), delta, keys)
+            if table_exists(root)
+            else delta
+        )
+        commit_table(state, root, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -186,7 +186,9 @@ def upsert_sink_stream(
     replayed batch re-merges to the identical table state, so crash
     recovery cannot double-apply. The merged result is pinned with
     ``localCheckpoint`` before the overwrite because the plan reads
-    the same table it replaces.
+    the same table it replaces. For an ATOMIC commit point (no
+    overwrite window at all) use
+    ``lake_tx.upsert_sink_stream_versioned``.
 
     Returns the started query; callers ``awaitTermination()``.
     """
@@ -237,7 +239,9 @@ def continuous_aggregate_stream(
     survived — fails fast instead of silently skipping every batch.
     The state/meta writes are two statements here (a real lakehouse
     does both in one MERGE transaction — without the Iceberg jar the
-    commit-point gap is documented rather than hidden).
+    commit-point gap is documented rather than hidden);
+    ``lake_tx.continuous_aggregate_stream_versioned`` closes the gap
+    with an atomic manifest-swap commit.
 
     Returns the started query; callers ``awaitTermination()``.
     """

@@ -1,0 +1,195 @@
+"""Commit-log (``lake_tx``) crash-injection contracts.
+
+The claims under test, per the module's protocol (data fully written →
+one atomic manifest swap): a reader NEVER observes partial state, a
+crash before the commit point leaves the previous version intact,
+streaming replay converges without double-apply, and vacuum removes
+only invisible history. Reference semantics:
+``datatrack_spark_utils.py:306-362`` (MERGE), ``forms_main.py:395-423``
+(DELETE+append), ``:756-768`` (expire_snapshots).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fintrack_etl_spark import lake_tx
+from fintrack_etl_spark.io import table
+from fintrack_etl_spark.lake import expire_snapshots
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events fixture re-landed as a multi-file backlog (same pattern
+    as test_streaming.py's fixture)."""
+    out = str(tmp_path_factory.mktemp("events_land_tx"))
+    table(spark, "events", sf_dir).repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _rows(df):
+    return sorted((r[0], r[1], r[2]) for r in df.collect())
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, ["pk", "val", "ts"])
+
+
+def test_commit_read_roundtrip_and_versioning(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = lake_tx.commit_table(_mk(spark, [(1, "a", 10), (2, "b", 10)]), root)
+    assert v1 == 1 and lake_tx.current_version(root) == 1
+    v2 = lake_tx.commit_table(_mk(spark, [(1, "a2", 20)]), root)
+    assert v2 == 2
+    assert _rows(lake_tx.read_table(spark, root)) == [(1, "a2", 20)]
+
+
+def test_crash_before_swap_leaves_previous_version_visible(spark, tmp_path, monkeypatch):
+    """Kill the writer between data write and pointer swap: readers
+    still see the old version; retrying the commit converges."""
+    root = str(tmp_path / "t")
+    lake_tx.commit_table(_mk(spark, [(1, "old", 10)]), root)
+
+    real_replace = os.replace
+
+    def crash(_src, _dst):
+        raise OSError("injected crash at the commit point")
+
+    monkeypatch.setattr(lake_tx.os, "replace", crash)
+    with pytest.raises(OSError, match="injected crash"):
+        lake_tx.commit_table(_mk(spark, [(1, "new", 20)]), root)
+    monkeypatch.setattr(lake_tx.os, "replace", real_replace)
+
+    # v2 data exists on disk but was never committed — invisible
+    assert os.path.isdir(os.path.join(root, "v00000002"))
+    assert lake_tx.current_version(root) == 1
+    assert _rows(lake_tx.read_table(spark, root)) == [(1, "old", 10)]
+
+    # retry clobbers the orphan and publishes
+    assert lake_tx.commit_table(_mk(spark, [(1, "new", 20)]), root) == 2
+    assert _rows(lake_tx.read_table(spark, root)) == [(1, "new", 20)]
+
+
+def test_partial_garbage_version_dir_is_invisible(spark, tmp_path):
+    """A half-written (never-committed) version directory with garbage
+    files must not affect readers."""
+    root = str(tmp_path / "t")
+    lake_tx.commit_table(_mk(spark, [(1, "a", 10)]), root)
+    bad = os.path.join(root, "v00000002")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00not parquet")
+    assert _rows(lake_tx.read_table(spark, root)) == [(1, "a", 10)]
+
+
+def test_merge_and_replace_versioned_semantics(spark, tmp_path):
+    root = str(tmp_path / "m")
+    lake_tx.merge_latest_wins_versioned(
+        spark, root, _mk(spark, [(1, "a", 10), (2, "b", 10)]), ["pk"], "ts"
+    )
+    # stale source row for pk=1 loses; fresh pk=2 wins; new pk=3 inserts
+    lake_tx.merge_latest_wins_versioned(
+        spark, root, _mk(spark, [(1, "stale", 5), (2, "b2", 20), (3, "c", 1)]), ["pk"], "ts"
+    )
+    assert _rows(lake_tx.read_table(spark, root)) == [
+        (1, "a", 10),
+        (2, "b2", 20),
+        (3, "c", 1),
+    ]
+
+    rroot = str(tmp_path / "r")
+    df1 = spark.createDataFrame([(1, "x", "f1"), (2, "y", "f1")], ["pk", "val", "landing_object_key"])
+    lake_tx.replace_by_source_key_versioned(spark, rroot, df1)
+    # reload of f1 replaces exactly f1's rows — idempotent per file
+    df2 = spark.createDataFrame([(1, "x2", "f1")], ["pk", "val", "landing_object_key"])
+    lake_tx.replace_by_source_key_versioned(spark, rroot, df2)
+    lake_tx.replace_by_source_key_versioned(spark, rroot, df2)
+    assert sorted((r.pk, r.val) for r in lake_tx.read_table(spark, rroot).collect()) == [(1, "x2")]
+
+
+def test_expire_versions_vacuums_invisible_history_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        lake_tx.commit_table(_mk(spark, [(1, f"s{i}", i)]), root)
+    removed = expire_snapshots(spark, root, retain_last=2)
+    assert removed == [1, 2]
+    assert _rows(lake_tx.read_table(spark, root)) == [(1, "s3", 3)]
+    assert os.path.isdir(os.path.join(root, "v00000003"))  # retained
+    assert not os.path.isdir(os.path.join(root, "v00000001"))
+    # current version can never be vacuumed
+    assert lake_tx.expire_versions(root, retain_last=1) == [3]
+    assert _rows(lake_tx.read_table(spark, root)) == [(1, "s3", 3)]
+
+
+def test_expire_snapshots_still_raises_for_catalog_tables(spark):
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        expire_snapshots(spark, "some_catalog_table")
+
+
+def test_streaming_upsert_versioned_exactly_once(spark, events_dir, tmp_path):
+    """Drain a file stream through the versioned sink; a second drain
+    over the same checkpoint commits nothing; a manually replayed batch
+    id is skipped (manifest batch_id is the guard)."""
+    from test_streaming import _schema
+    from fintrack_etl_spark.streaming import file_source_stream
+
+    schema = _schema(spark, events_dir)
+    root = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    q = lake_tx.upsert_sink_stream_versioned(
+        file_source_stream(spark, events_dir, schema, max_files_per_trigger=1),
+        ck, root, ["user_id"], "ts", ["event_id"],
+    )
+    q.awaitTermination()
+
+    from fintrack_etl_spark.operators.windows import dedup_latest
+
+    batch = dedup_latest(spark.read.parquet(events_dir), ["user_id"], "ts", ["event_id"])
+    got = lake_tx.read_table(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    v_before = lake_tx.current_version(root)
+    q2 = lake_tx.upsert_sink_stream_versioned(
+        file_source_stream(spark, events_dir, schema, max_files_per_trigger=1),
+        ck, root, ["user_id"], "ts", ["event_id"],
+    )
+    q2.awaitTermination()
+    assert lake_tx.current_version(root) == v_before  # no re-commit on replay
+
+
+def test_streaming_continuous_aggregate_versioned_matches_batch(spark, events_dir, tmp_path):
+    from test_streaming import _schema
+    from fintrack_etl_spark.operators.incremental import finalize_aggregate, partial_aggregate
+    from fintrack_etl_spark.streaming import file_source_stream
+
+    schema = _schema(spark, events_dir)
+    root = str(tmp_path / "agg")
+
+    q = lake_tx.continuous_aggregate_stream_versioned(
+        file_source_stream(spark, events_dir, schema, max_files_per_trigger=1),
+        str(tmp_path / "ck1"), root, ["event_type"], "value",
+    )
+    q.awaitTermination()
+
+    batch = finalize_aggregate(
+        partial_aggregate(spark.read.parquet(events_dir), ["event_type"], "value"),
+        ["event_type"],
+    )
+    got = finalize_aggregate(lake_tx.read_table(spark, root), ["event_type"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    # replay over the same data with a fresh checkpoint → batch 0 below
+    # the committed watermark → fail fast, state untouched
+    from pyspark.sql.streaming import StreamingQueryException
+
+    before = sorted(map(tuple, lake_tx.read_table(spark, root).collect()))
+    q2 = lake_tx.continuous_aggregate_stream_versioned(
+        file_source_stream(spark, events_dir, schema, max_files_per_trigger=1),
+        str(tmp_path / "ck2"), root, ["event_type"], "value",
+    )
+    with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+        q2.awaitTermination()
+    assert sorted(map(tuple, lake_tx.read_table(spark, root).collect())) == before
