@@ -1749,3 +1749,64 @@ def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "ext_interval_join",
+    """
+    SELECT l.user_id                 AS l_key,
+           l.event_id                AS l_event,
+           r.event_id                AS r_event,
+           l.ts                      AS l_ts,
+           r.ts                      AS r_ts,
+           round(r.value, 2)         AS r_value
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+     AND l.event_id < r.event_id
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of ``streaming.stream_interval_join`` — the SAME
+    function runs here on bounded inputs (``withWatermark`` is a no-op
+    on batch plans), so the oracle value-checks the exact join
+    condition the stream-stream state machine enforces:
+    right.ts ∈ [left.ts, left.ts + 30 min] per key, event-id ordered
+    (click→purchase attribution). With the streaming equivalence pinned
+    in tests/test_streaming.py, the driver's green row here covers the
+    streaming pipeline's semantics too."""
+    from .streaming.pipelines import stream_interval_join
+
+    ev = T(spark, sf_dir, "events")
+    return stream_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
+    "ext_running_totals_state",
+    """
+    SELECT user_id,
+           count(*)                              AS n,
+           round(sum(coalesce(value, 0.0)), 2)   AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ext_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of ``streaming.running_totals_stream``'s converged
+    state: the stateful ``applyInPandasWithState`` operator folds
+    (n, total) per key across micro-batches with NULLs counted as 0.0
+    (``fillna(0.0)``); after a full drain its state equals this
+    from-scratch aggregate (equivalence pinned in
+    tests/test_streaming.py::test_running_totals_stateful_stream).
+    The oracle gates the same fold: count + NULL-as-zero sum per key."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total"),
+    )
