@@ -8,12 +8,55 @@ from pyspark.sql import functions as F
 from ..functions import normalize_space
 
 
-def explode_lines(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text") -> DataFrame:
+#: Documents longer than this many raw lines are withheld from the
+#: parsers: every parse window partitions by ``doc_id``, so one
+#: pathological multi-GB document would serialize onto a single task
+#: (the straggler that stalls a 1000-executor stage). Real statements
+#: are thousands of lines; anything past this bound is quarantine
+#: material, same policy as a corrupt file.
+MAX_DOC_LINES = 1_000_000
+
+
+def split_oversized(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    max_lines: int = MAX_DOC_LINES,
+) -> tuple[DataFrame, DataFrame]:
+    """(parseable, quarantined) split on raw line count — a narrow map
+    (`size(split(...))`), no shuffle. The quarantine side carries
+    (doc_id, n_lines, quarantine_reason) for the audit sink, mirroring
+    the decode_error rows of the binary scan
+    (``pdf_source.binary_docs_to_text``)."""
+    flagged = docs.withColumn("__n_lines", F.size(F.split(F.col(text_col), "\n")))
+    ok = flagged.filter(F.col("__n_lines") <= max_lines).drop("__n_lines")
+    bad = flagged.filter(F.col("__n_lines") > max_lines).select(
+        doc_id,
+        F.col("__n_lines").alias("n_lines"),
+        F.concat(
+            F.lit("oversized document: "), F.col("__n_lines"), F.lit(f" lines > {max_lines}")
+        ).alias("quarantine_reason"),
+    )
+    return ok, bad
+
+
+def explode_lines(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    max_lines: int = MAX_DOC_LINES,
+) -> DataFrame:
     """(doc_id, text) → one row per non-empty normalized line, keeping
     original order in ``line_no``. The explode is narrow (no shuffle);
-    downstream windows shuffle once on the document id."""
+    downstream windows shuffle once on the document id.
+
+    Oversized documents (> ``max_lines`` raw lines) are withheld here —
+    the per-doc windows downstream cannot bound their task skew; use
+    :func:`split_oversized` first to capture them as quarantine rows
+    instead of just omitting them."""
+    guarded, _ = split_oversized(docs, doc_id, text_col, max_lines)
     return (
-        docs.select(doc_id, F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"))
+        guarded.select(doc_id, F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"))
         .withColumn("ln", normalize_space(F.col("raw")))
         .filter(F.col("ln") != "")
         .drop("raw")

@@ -233,3 +233,31 @@ def test_pandas_fallback_matches_native(spark):
     f = sorted(tuple(r) for r in fallback.collect())
     assert n == f
     assert len(n) == 4
+
+
+def test_oversized_document_quarantined_not_parsed(spark):
+    """One pathological multi-GB document must not serialize onto a
+    single window task: past ``max_lines`` it is withheld from the
+    parsers and surfaces as a quarantine row (same policy as a corrupt
+    binary file)."""
+    from fintrack_etl_spark.parse import parse_bb_statement
+    from fintrack_etl_spark.parse.lines import explode_lines, split_oversized
+
+    big = "\n".join(f"linha {i}" for i in range(51))
+    docs = spark.createDataFrame(
+        [(1, BB_STATEMENT), (2, big)], ["doc_id", "text"]
+    )
+
+    ok, bad = split_oversized(docs, max_lines=50)
+    assert [r.doc_id for r in ok.collect()] == [1]
+    q = bad.collect()
+    assert len(q) == 1 and q[0].doc_id == 2 and q[0].n_lines == 51
+    assert "oversized document" in q[0].quarantine_reason
+
+    # the parser path itself enforces the same bound
+    lines = explode_lines(docs, max_lines=50)
+    assert lines.select("doc_id").distinct().collect() == [
+        r for r in lines.select("doc_id").distinct().collect() if r.doc_id == 1
+    ]
+    parsed = parse_bb_statement(docs.filter("doc_id = 1"))
+    assert parsed.count() == 4  # untouched docs parse exactly as before
