@@ -438,3 +438,53 @@ def test_pq_quality_and_compression_contracts(spark, sf_dir):
     r_big = recall(pq_topk(queries, emb, k=5, shortlist=100))
     assert r_big >= r_small, (r_small, r_big)
     assert r_big >= 0.5, r_big
+
+
+def test_ann_recall_contracts_sf01(spark):
+    """Pinned recall@5 floors at sf0.1 (2 000 vectors, 80 queries) at
+    STATED probe budgets — the tuned operating points recorded with the
+    full recall-vs-probed-fraction curve in BASELINE.md §D:
+
+    - learned IVF, kclusters=8, nprobe=5 (5/8 partitions probed):
+      measured 0.82, floor 0.70;
+    - IVF-PQ, m=16, ksub=16, shortlist=200 (10% exact re-rank):
+      measured 0.92, floor 0.70.
+
+    The fixture vectors are near-isotropic, so bucket-pruned recall is
+    bounded by the probed fraction — these budgets are what honesty
+    costs on unclustered data; real embedding corpora cluster and reach
+    the same recall at far smaller fractions. Floors leave ≥0.1 margin
+    for per-round fixture regeneration."""
+    import os
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixtures not present")
+
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk_kmeans,
+        pq_topk,
+    )
+
+    emb = table(spark, "embeddings", sf01).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 25 == 0).localCheckpoint()
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(queries, emb, k=5))
+
+    def recall(df):
+        got = topk_sets(df)
+        return sum(len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact) / len(exact)
+
+    r_ivf = recall(ivf_topk_kmeans(queries, emb, k=5, kclusters=8, nprobe=5))
+    assert r_ivf >= 0.70, f"learned-IVF recall@5 {r_ivf:.3f} < 0.70 at nprobe=5/8"
+
+    r_pq = recall(pq_topk(queries, emb, k=5, m=16, ksub=16, shortlist=200))
+    assert r_pq >= 0.70, f"IVF-PQ recall@5 {r_pq:.3f} < 0.70 at 10% shortlist"
