@@ -1810,3 +1810,63 @@ def ext_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total"),
     )
+
+
+@register(
+    "ext_versioned_merge",
+    """
+    WITH t AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    s AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    u AS (
+        SELECT *, 0 AS sr FROM t
+        UNION ALL
+        SELECT *, 1 AS sr FROM s
+    )
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, sr ASC, event_id ASC) = 1
+    """,
+)
+def ext_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 through the atomic commit log (``lake_tx``): seed the target
+    as version 1, MERGE the source as version 2 (read vN → write vN+1
+    → one atomic manifest swap — no overwrite window, no self-read
+    pin), vacuum the old snapshot (D5,
+    ``datatrack_spark_utils.py:756-768``), and return the committed
+    state read back from disk. Same latest-wins semantics as
+    j3_merge_upsert — the oracle is identical — but the value-check
+    here covers the full commit/read/expire protocol, not just the
+    merge expression. Crash-atomicity contracts live in
+    tests/test_lake_tx.py."""
+    from . import lake_tx
+
+    root = f"/tmp/fintrack_lake_tx_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    target = win_ops.dedup_latest(
+        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    lake_tx.commit_table(target, root)
+    lake_tx.merge_latest_wins_versioned(
+        spark,
+        root,
+        ev.filter(F.col("ts") >= cutoff),
+        ["user_id", "event_type"],
+        "ts",
+        ["event_id"],
+    )
+    lake_tx.expire_versions(root, retain_last=1)
+    return lake_tx.read_table(spark, root).select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
