@@ -920,3 +920,22 @@ def x20_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     dup, corpus = _planted_dup_queries(emb)
     return pq_topk(dup, corpus, k=10, m=8, ksub=16, shortlist=50).filter(F.col("rnk") == 1)
+
+
+@register("x21_knn_ivfpq", _PLANTED_DUP_RANK1_SQL)
+def x21_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined IVF-PQ (``similarity.ivfpq_topk``) — coarse k-means
+    routing AND compressed-code ADC in one pipeline, the full Jégou et
+    al. architecture: versus x20 the ADC scan shrinks to the probed
+    coarse cells; versus x18 the probed cells are scanned as m-byte
+    codes, not D-float vectors. Planted-duplicate contract: a dup
+    shares its original's coarse cell assignment (identical vector,
+    deterministic argmax) and code word, so the probe finds it, ADC
+    maximizes it, and the exact re-rank pins cosine 1.0 at rank 1."""
+    from .similarity import ivfpq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    dup, corpus = _planted_dup_queries(emb)
+    return ivfpq_topk(
+        dup, corpus, k=10, kclusters=8, nprobe=2, m=8, ksub=16, shortlist=50
+    ).filter(F.col("rnk") == 1)

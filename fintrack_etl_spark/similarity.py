@@ -418,3 +418,88 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    kclusters: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    coarse_iters: int = 4,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Combined IVF-PQ — the full Jégou et al. architecture: a coarse
+    k-means quantizer partitions the corpus (``kmeans_centroids``), PQ
+    codes compress it (``pq_train``), and a query (a) routes to its
+    ``nprobe`` nearest coarse partitions, (b) ADC-scores ONLY the codes
+    inside those partitions, (c) exact-re-ranks the shortlist.
+
+    Versus PQ alone the ADC scan shrinks to ~nprobe/kclusters of the
+    codes; versus IVF alone the probed partitions are read as m-byte
+    codes instead of D-float vectors. At 100 TB: ``cid`` is the ingest
+    partition column, codes are a ~32× smaller companion table, probes
+    are partition-pruned I/O over compressed bytes, and the only
+    full-width vector reads are the |queries|×shortlist re-rank rows.
+
+    Determinism matches the component operators (modulo init, rounded
+    means, id tie-breaks) — the planted-duplicate contract holds: an
+    exact dup shares its query's coarse cell and code word, so it
+    ADC-maximizes and re-ranks to rank 1 / cosine 1.0.
+    """
+    assigns, cents = kmeans_centroids(corpus, kclusters, coarse_iters, id_col, vec_col)
+    codes, books = pq_train(corpus, m, ksub, pq_iters, id_col, vec_col)
+    # coarse routing: query → nprobe nearest centroids
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv")))
+        .withColumn(
+            "rc",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim_c"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rc") <= nprobe)
+        .select("query_id", "cid")
+    )
+    # ADC partials per (query, subspace, code)
+    qsub = _subvectors(queries, "query_id", m, id_col, vec_col)
+    partials = (
+        qsub.join(F.broadcast(books), "j")
+        .withColumn("partial", dot(F.col("sv"), F.col("ccv")))
+        .select("query_id", "j", "code", "partial")
+    )
+    # codes restricted to the probed coarse cells: the broadcast
+    # (query, cid) pairs prune the scan before any ADC work happens —
+    # at scale this is partition pruning on the codes table
+    probed = (
+        codes.join(assigns.withColumnRenamed(id_col, "__aid"),
+                   codes[id_col] == F.col("__aid"))
+        .join(F.broadcast(routed), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, "j", "code")
+    )
+    approx = (
+        probed.join(F.broadcast(partials), ["query_id", "j", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("partial").alias("approx_sim"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    short = approx.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= shortlist)
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
+    )

@@ -488,3 +488,49 @@ def test_ann_recall_contracts_sf01(spark):
 
     r_pq = recall(pq_topk(queries, emb, k=5, m=16, ksub=16, shortlist=200))
     assert r_pq >= 0.70, f"IVF-PQ recall@5 {r_pq:.3f} < 0.70 at 10% shortlist"
+
+
+def test_ivfpq_combined_contracts(spark, sf_dir):
+    """Combined IVF-PQ (x21's operator): planted exact dups survive the
+    stacked pruning (same coarse cell + same code word → probed, ADC-
+    maximal, re-ranked to 1.0), and recall floors at the pinned budget
+    (sf0.1 curve in BASELINE.md §D; misses multiply, so the floor is
+    below the single-stage contracts)."""
+    import os
+
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.similarity import cosine_topk_bruteforce, ivfpq_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    dup = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dup)
+    hits = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in ivfpq_topk(dup, corpus, k=5, kclusters=8, nprobe=2).filter(
+            F.col("rnk") == 1
+        ).collect()
+    }
+    for r in dup.select("vec_id").collect():
+        nid, cos = hits[r.vec_id]
+        assert nid == r.vec_id - 100000 and cos == 1.0
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixtures not present")
+    emb1 = table(spark, "embeddings", sf01).localCheckpoint()
+    queries = emb1.filter(F.col("vec_id") % 25 == 0).localCheckpoint()
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(queries, emb1, k=5))
+    got = topk_sets(
+        ivfpq_topk(queries, emb1, k=5, kclusters=8, nprobe=5, m=16, ksub=16, shortlist=200)
+    )
+    r = sum(len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact) / len(exact)
+    assert r >= 0.6, f"combined IVF-PQ recall@5 {r:.3f} < 0.6 at nprobe=5/8, 10% shortlist"
