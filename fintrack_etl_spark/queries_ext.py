@@ -939,3 +939,30 @@ def x21_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         dup, corpus, k=10, kclusters=8, nprobe=2, m=8, ksub=16, shortlist=50
     ).filter(F.col("rnk") == 1)
+
+
+@register(
+    "x5b_simhash_planted_dups",
+    """
+    SELECT doc_id                    AS doc_a,
+           doc_id + 100000           AS doc_b,
+           CAST(0 AS BIGINT)         AS hamming
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def x5b_simhash_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-gateable core of x5: an exact re-crawl dup has an
+    IDENTICAL simhash (same weighted bit votes), so hamming is exactly
+    0 and the pair collides in EVERY rotation table — hash-independent,
+    so unlike x5's full output (whose near-pairs depend on the hash
+    function) this projection is a deterministic oracle: the planted
+    pairs, all at hamming 0, nothing about them left to chance. A
+    blocking bug (wrong rotation, dropped table, off-by-one prefix) or
+    a non-deterministic simhash breaks it. The statistical pigeonhole
+    recall contract for hamming ≤ n_tables−1 stays in pytest."""
+    pairs = DD.simhash_near_pairs(
+        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", max_hamming=8
+    )
+    return pairs.filter(F.col("doc_b") - F.col("doc_a") == 100000).select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

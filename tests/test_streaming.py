@@ -318,3 +318,28 @@ def test_continuous_aggregate_detects_checkpoint_reset(spark, events_dir, tmp_pa
         q2.awaitTermination()
     # and the state was left untouched by the failed run
     assert _rows(spark.table(tbl), "event_type") == before
+
+
+def test_stratified_sample_composes_with_streaming(spark, events_dir, tmp_path):
+    """The deterministic md5-threshold sampler is a broadcast
+    stream-static join + narrow filter, so the SAME stratified_sample
+    runs unchanged on a streaming DataFrame, and — because membership
+    is a pure function of (stratum, key), not of partitioning or
+    batch boundaries — the drained sample is row-identical to the
+    batch sample of the same files."""
+    from fintrack_etl_spark.operators.sampling import stratified_sample
+
+    rates = {"view": 0.5, "click": 1.0, "error": 0.0}
+    schema = _schema(spark, events_dir)
+    stream = file_source_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    sampled = stratified_sample(stream, spark, "event_type", "event_id", rates)
+    assert sampled.isStreaming
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    run_available_now(sampled, os.path.join(str(tmp_path), "ck"), name, output_mode="append")
+
+    batch = stratified_sample(
+        spark.read.parquet(events_dir), spark, "event_type", "event_id", rates
+    )
+    got_ids = sorted(r.event_id for r in spark.table(name).collect())
+    want_ids = sorted(r.event_id for r in batch.collect())
+    assert got_ids == want_ids and len(got_ids) > 0
