@@ -503,3 +503,76 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
     )
+
+
+def write_ivf_layout(
+    corpus: DataFrame,
+    root: str,
+    kclusters: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index as an INGEST-PARTITIONED table layout —
+    the shape every in-memory IVF docstring here promises for 100 TB,
+    made concrete: vectors land in ``root/vectors/cid=<n>/`` (one
+    partition per coarse cell) and centroids in ``root/centroids/``.
+    A probe then reads ``nprobe`` partition DIRECTORIES — partition
+    pruning in the scan, visible as PartitionFilters in the plan — not
+    a filter over a full scan. Assignment costs one clustered write at
+    ingest; every query after that does pruned I/O."""
+    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col)
+    (
+        corpus.join(assigns, id_col)
+        .repartition("cid")
+        .write.mode(mode)
+        .partitionBy("cid")
+        .parquet(f"{root}/vectors")
+    )
+    cents.write.mode(mode).parquet(f"{root}/centroids")
+
+
+def ivf_topk_from_layout(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`write_ivf_layout` index: route queries to their
+    ``nprobe`` nearest stored centroids, then scan ONLY those ``cid=``
+    partitions (the probed-cid list is collected — O(kclusters) ids,
+    not data — and placed in the scan's partition filter, so the
+    FileSourceScan never lists the other directories)."""
+    cents = spark.read.parquet(f"{root}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv")))
+        .withColumn(
+            "rc",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim_c"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rc") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    # O(|queries| × nprobe) cid ids — metadata, not data
+    probed_cids = sorted({r["cid"] for r in routed.select("cid").distinct().collect()})
+    vectors = spark.read.parquet(f"{root}/vectors").filter(F.col("cid").isin(probed_cids))
+    sim = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), "cid", _as_double(F.col(vec_col)).alias("cv"))
+        .join(F.broadcast(routed), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
+    )

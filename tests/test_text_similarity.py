@@ -534,3 +534,35 @@ def test_ivfpq_combined_contracts(spark, sf_dir):
     )
     r = sum(len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact) / len(exact)
     assert r >= 0.6, f"combined IVF-PQ recall@5 {r:.3f} < 0.6 at nprobe=5/8, 10% shortlist"
+
+
+def test_ivf_layout_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """The materialized IVF layout: results equal the in-memory learned
+    IVF (same quantizer, same routing), and the probe's scan reads ONLY
+    the probed cid= partition directories — asserted on the physical
+    plan's PartitionFilters, the thing that makes a probe O(nprobe/k)
+    I/O at 100 TB."""
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.similarity import (
+        ivf_topk_from_layout,
+        ivf_topk_kmeans,
+        write_ivf_layout,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    root = str(tmp_path / "ivf")
+
+    write_ivf_layout(emb, root, kclusters=8)
+    import os
+
+    cids = sorted(d for d in os.listdir(f"{root}/vectors") if d.startswith("cid="))
+    assert len(cids) == 8  # one directory per coarse cell
+
+    got = ivf_topk_from_layout(spark, root, queries, k=5, nprobe=2)
+    want = ivf_topk_kmeans(queries, emb, k=5, kclusters=8, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # partition pruning is in the plan, not hoped for
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
