@@ -34,6 +34,11 @@ SUPPLEMENT = [
     "ext_data_quality",
     "ext_heavy_hitters",
     "ext_merge_evolving",
+    # round 3
+    "p8_real_pdf_roundtrip",
+    "ext_versioned_merge",
+    "ext_interval_join",
+    "x21_knn_ivfpq",
 ]
 
 
