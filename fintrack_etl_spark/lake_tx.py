@@ -39,6 +39,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_latest"
 
@@ -76,12 +77,80 @@ def last_batch_id(root: str) -> int:
     return -1 if b is None else int(b)
 
 
-def read_table(spark: SparkSession, root: str) -> DataFrame:
-    """Read the current committed version (and only it)."""
+def read_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Read the current committed version — or, with ``version``, TIME
+    TRAVEL to any still-retained snapshot (immutable version dirs make
+    every un-vacuumed state readable forever, the same contract as
+    Delta's ``versionAsOf``/Iceberg's snapshot reads)."""
     m = read_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed version at {root}")
-    return spark.read.parquet(_version_dir(root, m["version"]))
+    if version is None:
+        version = m["version"]
+    elif version > m["version"]:
+        raise ValueError(f"version {version} not committed (current {m['version']})")
+    elif not os.path.isdir(_version_dir(root, version)):
+        raise FileNotFoundError(
+            f"version {version} was vacuumed (expire_versions); retained max is {m['version']}"
+        )
+    return spark.read.parquet(_version_dir(root, version))
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two retained snapshots (the public
+    Delta CDF idea over the commit log): every output row carries
+    ``_change_type``.
+
+    Whole-row mode (``keys=None``): rows only in ``to`` are ``insert``,
+    rows only in ``from`` are ``delete`` (a modified row appears as a
+    delete + insert pair). Keyed mode: a key present on both sides
+    whose row changed becomes ``update_postimage`` (one row, the new
+    image); key-only-in-``to`` is ``insert``; key-only-in-``from`` is
+    ``delete`` (the old image).
+
+    Plan shape: two scans + one shuffle each side (the except/join is
+    on the full row hash / the keys); at 100 TB you run this per
+    ingest window, not per query — it is the replication feed, not a
+    hot-path operator."""
+    old = read_table(spark, root, from_version)
+    new = read_table(spark, root, to_version)
+    cols = new.columns
+    if keys is None:
+        ins = new.exceptAll(old).select(*cols, F.lit("insert").alias("_change_type"))
+        dels = old.exceptAll(new).select(*cols, F.lit("delete").alias("_change_type"))
+        return ins.unionByName(dels)
+    non_keys = [c for c in cols if c not in keys]
+    o = old.select(*cols)
+    # presence markers: NULL-safe — a key that exists with all-NULL data
+    # columns must still read as present on its side
+    new_m = new.select(*keys).withColumn("__in_new", F.lit(True))
+    old_m = o.select(*keys).withColumn("__in_old", F.lit(True))
+    both = (
+        new.alias("n")
+        .join(old_m, keys, "left")
+        .join(old.alias("o"), keys, "left")
+        .filter(F.col("__in_old").isNotNull())
+    )
+    changed = both.filter(
+        ~F.struct(*[F.col(f"n.{c}") for c in non_keys]).eqNullSafe(
+            F.struct(*[F.col(f"o.{c}") for c in non_keys])
+        )
+    ).select(*[F.col(f"n.{c}") for c in cols], F.lit("update_postimage").alias("_change_type"))
+    inserts = (
+        new.join(old_m, keys, "left_anti")
+        .select(*cols, F.lit("insert").alias("_change_type"))
+    )
+    deletes = (
+        o.join(new_m, keys, "left_anti")
+        .select(*cols, F.lit("delete").alias("_change_type"))
+    )
+    return inserts.unionByName(changed).unionByName(deletes)
 
 
 def commit_table(df: DataFrame, root: str, batch_id: int | None = None) -> int:

@@ -1870,3 +1870,74 @@ def ext_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake_tx.read_table(spark, root).select(
         "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+@register(
+    "ext_table_changes",
+    """
+    WITH t AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    s AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    u AS (
+        SELECT *, 0 AS sr FROM t
+        UNION ALL
+        SELECT *, 1 AS sr FROM s
+    ),
+    m AS (
+        SELECT event_id, ts, user_id, event_type, value
+        FROM u
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, sr ASC, event_id ASC) = 1
+    )
+    SELECT m.user_id, m.event_type, m.event_id,
+           round(m.value, 2) AS value,
+           CASE WHEN t.user_id IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS _change_type
+    FROM m LEFT JOIN t
+      ON m.user_id = t.user_id AND m.event_type = t.event_type
+    WHERE t.user_id IS NULL
+       OR m.event_id <> t.event_id OR m.ts <> t.ts
+       OR m.value IS DISTINCT FROM t.value
+    """,
+)
+def ext_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between commit-log snapshots
+    (``lake_tx.table_changes`` — the public Delta CDF idea): commit the
+    pre-cutoff state as v1, MERGE the post-cutoff batch as v2, then
+    diff the two retained snapshots keyed on the merge keys. The oracle
+    recomputes the classification relationally: a merged row whose key
+    was absent from v1 is an ``insert``; one whose row image changed is
+    an ``update_postimage``; latest-wins MERGE never deletes, and the
+    engine must emit no delete rows (checked by the value hash — a
+    spurious delete adds a row). Time-travel + vacuum interaction and
+    whole-row/keyed delete coverage live in tests/test_lake_tx.py."""
+    from . import lake_tx
+
+    root = f"/tmp/fintrack_lake_cdf_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    target = win_ops.dedup_latest(
+        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    lake_tx.commit_table(target, root)
+    lake_tx.merge_latest_wins_versioned(
+        spark, root, ev.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    return lake_tx.table_changes(
+        spark, root, 1, 2, keys=["user_id", "event_type"]
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        "_change_type",
+    )

@@ -193,3 +193,57 @@ def test_streaming_continuous_aggregate_versioned_matches_batch(spark, events_di
     with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
         q2.awaitTermination()
     assert sorted(map(tuple, lake_tx.read_table(spark, root).collect())) == before
+
+
+def test_time_travel_and_vacuum_interaction(spark, tmp_path):
+    """Any retained snapshot is readable by version (immutable dirs);
+    a vacuumed one fails with a named error, never a wrong answer."""
+    root = str(tmp_path / "tt")
+    lake_tx.commit_table(_mk(spark, [(1, "v1", 1)]), root)
+    lake_tx.commit_table(_mk(spark, [(1, "v2", 2)]), root)
+    lake_tx.commit_table(_mk(spark, [(1, "v3", 3)]), root)
+
+    assert _rows(lake_tx.read_table(spark, root, version=1)) == [(1, "v1", 1)]
+    assert _rows(lake_tx.read_table(spark, root, version=2)) == [(1, "v2", 2)]
+    assert _rows(lake_tx.read_table(spark, root)) == [(1, "v3", 3)]
+    with pytest.raises(ValueError, match="not committed"):
+        lake_tx.read_table(spark, root, version=9)
+
+    lake_tx.expire_versions(root, retain_last=2)
+    assert _rows(lake_tx.read_table(spark, root, version=2)) == [(1, "v2", 2)]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        lake_tx.read_table(spark, root, version=1)
+
+
+def test_table_changes_whole_row_and_keyed(spark, tmp_path):
+    """CDF between snapshots: whole-row mode emits delete+insert pairs
+    for modifications; keyed mode classifies insert / delete /
+    update_postimage."""
+    root = str(tmp_path / "cdf")
+    lake_tx.commit_table(
+        _mk(spark, [(1, "a", 10), (2, "b", 10), (3, "c", 10)]), root
+    )
+    lake_tx.commit_table(
+        _mk(spark, [(1, "a", 10), (2, "b2", 20), (4, "d", 20)]), root
+    )
+
+    whole = {
+        (r.pk, r.val, r._change_type)
+        for r in lake_tx.table_changes(spark, root, 1, 2).collect()
+    }
+    assert whole == {
+        (2, "b2", "insert"),
+        (4, "d", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+    }
+
+    keyed = {
+        (r.pk, r.val, r._change_type)
+        for r in lake_tx.table_changes(spark, root, 1, 2, keys=["pk"]).collect()
+    }
+    assert keyed == {
+        (4, "d", "insert"),
+        (2, "b2", "update_postimage"),
+        (3, "c", "delete"),
+    }
