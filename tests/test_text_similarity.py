@@ -566,3 +566,51 @@ def test_ivf_layout_partition_pruned_probe(spark, sf_dir, tmp_path):
     # partition pruning is in the plan, not hoped for
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_sniff_media_metadata_real_headers(spark):
+    """The header sniffer is REAL (pure-Python spec parsing, no codec):
+    hand-built valid PNG/JPEG/GIF/BMP/WAV headers yield exact
+    dimensions / audio params; garbage and empty payloads quarantine
+    as sniff_error rows."""
+    import struct
+    import zlib
+
+    from fintrack_etl_spark.multimodal import sniff_media_metadata
+
+    # PNG: signature + IHDR chunk for 640x480
+    ihdr = struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    # JPEG: SOI + APP0 + SOF0 (100x200)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 100, 200) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + sof0
+    gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00\x00\x00"
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -128) + b"\x00" * 4
+    # WAV: 16-bit stereo 44100 Hz, 1 second of data
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav_data = b"\x00" * (44100 * 4)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(wav_data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(wav_data)) + wav_data
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", png), (2, "image", jpeg), (3, "image", gif),
+         (4, "image", bmp), (5, "audio", wav), (6, "image", b"\x00garbage"),
+         (7, "image", None)],
+        "media_id long, media_type string, content binary",
+    )
+    got = {r.media_id: r for r in sniff_media_metadata(media).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 640, 480)
+    assert (got[2].format, got[2].width, got[2].height) == ("jpeg", 200, 100)
+    assert (got[3].format, got[3].width, got[3].height) == ("gif", 320, 240)
+    assert (got[4].format, got[4].width, got[4].height) == ("bmp", 64, 128)
+    assert (got[5].format, got[5].sample_rate, got[5].channels, got[5].bits_per_sample) == ("wav", 44100, 2, 16)
+    assert got[5].duration_ms == 1000.0
+    assert got[6].format is None and got[6].sniff_error.startswith("unknown container")
+    assert got[7].sniff_error == "empty"
