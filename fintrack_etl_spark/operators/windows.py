@@ -134,3 +134,40 @@ def sessionize(
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(alias, F.sum(is_new).over(run))
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    alias: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key (the time-series
+    smoothing primitive; pandas ``ewm(adjust=True)`` semantics:
+    ``y_i = Σ_j (1-α)^(i-j)·x_j / Σ_j (1-α)^(i-j)``).
+
+    The recurrence is inherently SEQUENTIAL per key — no associative
+    window aggregate expresses it, and the closed-form weighted-sum
+    trick (``Σ x_j·(1-α)^(-j)``) overflows doubles once a series
+    exceeds a few thousand rows — so this is the documented case for
+    the Arrow-batched grouped fallback: ``applyInPandas`` with pandas'
+    C-implemented ``ewm``. One shuffle on the keys; each series is
+    computed in a single vectorized pass. NULL values propagate the
+    previous smoothed value (pandas ``ignore_na=False`` default).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates the receiver, and the
+    # input DataFrame's schema object must stay untouched
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(alias, T.DoubleType())])
+    ordered = list(order_cols)
+
+    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ordered, kind="mergesort")
+        pdf[alias] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_ewm, out_schema)

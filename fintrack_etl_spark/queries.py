@@ -1941,3 +1941,39 @@ def ext_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         "_change_type",
     )
+
+
+@register(
+    "ext_ewma",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(sum(value * power(0.9, -rn))
+                     OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(power(0.9, -rn))
+                     OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS ewma_value
+    FROM e
+    """,
+)
+def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA per user over event time (α=0.1, pandas adjust=True
+    semantics) — ``operators/windows.ewma``, the engine's documented
+    sequential-per-key Arrow fallback. The oracle uses the closed-form
+    identity ``y_i = Σ x_j(1-α)^{-j} / Σ (1-α)^{-j}`` (the common
+    ``(1-α)^i`` cancels), valid at gate scale where series are short;
+    the operator itself uses the recurrence and has no such length
+    limit — which is exactly why it exists instead of a window
+    expression."""
+    from .operators import windows as W
+
+    ev = T(spark, sf_dir, "events")
+    out = W.ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.1, alias="ewma_value")
+    return out.select("user_id", "event_id", F.round("ewma_value", 4).alias("ewma_value"))

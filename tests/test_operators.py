@@ -274,3 +274,28 @@ def test_pack_documents_deterministic_across_partitionings(spark):
     a = {r.doc_id: r.shard_id for r in pack_documents_by_tokens(df, 777, num_partitions=3).collect()}
     b = {r.doc_id: r.shard_id for r in pack_documents_by_tokens(df.repartition(11), 777, num_partitions=8).collect()}
     assert a == b
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """The grouped-Arrow EWMA equals pandas ewm per key regardless of
+    partitioning, and NULLs propagate the prior smoothed value."""
+    import pandas as pd
+
+    from fintrack_etl_spark.operators.windows import ewma
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 4,
+            "i": list(range(5)) + list(range(4)),
+            "x": [1.0, 2.0, None, 4.0, 0.5, 10.0, 10.0, 1.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = {
+        (r.k, r.i): r.s
+        for r in ewma(df, ["k"], ["i"], "x", alpha=0.3, alias="s").collect()
+    }
+    for key, g in pdf.groupby("k"):
+        want = g.sort_values("i")["x"].ewm(alpha=0.3, adjust=True).mean()
+        for i, w in zip(g.sort_values("i")["i"], want):
+            assert abs(got[(key, i)] - w) < 1e-12, (key, i, got[(key, i)], w)
