@@ -73,3 +73,22 @@ def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == n and n < 40
     assert read_parquet(spark, out).count() == before
+
+
+def test_orc_roundtrip_with_partitioning(spark, tmp_path):
+    """ORC sink/source: partitioned layout + pushdown-capable scan
+    round-trips values exactly (same contract as parquet)."""
+    from fintrack_etl_spark.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)], ["id", "g", "v"]
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["g"])
+    back = read_orc(spark, out)
+    assert sorted((r.id, r.g, round(r.v, 1)) for r in back.collect()) == sorted(
+        (r.id, r.g, round(r.v, 1)) for r in df.collect()
+    )
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("g=")) == ["g=g0", "g=g1", "g=g2"]
