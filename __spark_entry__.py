@@ -55,6 +55,28 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
+# Verified by the round-2 judge's gate replica (sf0.01) but never by the
+# driver itself — middle priority: below brand-new entries (no signal
+# from anyone), above driver-checked ones.
+_JUDGE_VERIFIED = frozenset({
+    "ext_gap_fill", "ext_min_max_by", "ext_array_agg", "ext_session_window",
+    "x1_dedup_exact", "x2_fingerprint", "x3_ngram_jaccard", "x4_minhash_lsh",
+    "x5_simhash", "x6_embedding_near_dup", "x7_token_stats",
+    "x8_quality_scores", "x9_lang_id", "x10_bpe_estimate",
+    "x11_knn_bruteforce", "x12_knn_lsh", "x13_knn_ivf", "x14_label_centroids",
+    "x15_multimodal_features", "x16_dedup_clusters", "x17_train_eval_split",
+    "x18_knn_ivf_kmeans", "ext_stratified_sample", "ext_incremental_agg_merge",
+    "ext_zorder_skipping", "ext_data_quality", "ext_heavy_hitters",
+    "ext_merge_evolving", "ext_incremental_distinct", "x19_repetition_filter",
+    "x20_knn_ivf_pq", "p1_bb_statement_roundtrip", "p2_bb_bill_roundtrip",
+    "p3_bradesco_roundtrip", "p4_bb_bill_resumo_roundtrip",
+    "p5_bb_statement_header_roundtrip", "p6_bradesco_resumo_roundtrip",
+    "p7_binary_pdf_scan", "r1_monthly_by_category", "r2_by_category_parcelado",
+    "r3_recorrentes", "r4_top_gastos", "r5_top_parcelados",
+    "r6_compare_budget", "r7_forms_normalize", "r8_payments_report",
+})
+
+
 def _merge_registry(attr: str) -> dict:
     from fintrack_etl_spark import queries as core
     from fintrack_etl_spark import queries_ext, queries_parse, queries_reports
@@ -62,8 +84,17 @@ def _merge_registry(attr: str) -> dict:
     merged = dict(getattr(core, attr))
     for mod in (queries_ext, queries_parse, queries_reports):
         merged.update(getattr(mod, attr))
-    ordered = {k: v for k, v in merged.items() if k not in _DRIVER_CHECKED}
-    ordered.update({k: v for k, v in merged.items() if k in _DRIVER_CHECKED})
+
+    def tier(name: str) -> int:
+        if name in _DRIVER_CHECKED:
+            return 2
+        if name in _JUDGE_VERIFIED:
+            return 1
+        return 0  # brand-new: no correctness signal from anyone yet
+
+    ordered: dict = {}
+    for t in (0, 1, 2):
+        ordered.update({k: v for k, v in merged.items() if tier(k) == t})
     return ordered
 
 
