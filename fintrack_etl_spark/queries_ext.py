@@ -1030,3 +1030,126 @@ def x22_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_media_metadata(media).select(
         "media_id", "format", "sample_rate", "channels", "bits_per_sample", "duration_ms"
     )
+
+
+@register(
+    "x23_decontaminate",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    tgrams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 11),
+                      i -> list_aggregate(t[i:i+12], 'string_agg', ' ')))) AS g
+        FROM tok WHERE len(t) >= 13
+    ),
+    egrams AS (
+        SELECT DISTINCT g FROM tgrams WHERE doc_id % 7 = 0
+    ),
+    hits AS (
+        SELECT doc_id, count(DISTINCT g) AS eval_ngram_hits
+        FROM tgrams JOIN egrams USING (g)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.eval_ngram_hits, 0) AS BIGINT) AS eval_ngram_hits,
+           coalesce(h.eval_ngram_hits, 0) >= 1            AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def x23_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the value gate
+    (``dedup_text.decontaminate``): eval set = every 7th document, so
+    each eval doc with ≥13 tokens must self-flag and any train doc
+    sharing a verbatim 13-gram flags with the exact distinct-collision
+    count. The engine joins on xxhash64 shingle hashes (8-byte
+    broadcast set, corpus never shuffles); the oracle recomputes on the
+    raw grams — hash collisions would surface as a value mismatch, so
+    the gate also certifies the hashing is injective on this corpus."""
+    docs = T(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    out = DD.decontaminate(docs, eval_set)
+    return out.select(
+        "doc_id",
+        F.col("eval_ngram_hits").cast("bigint").alias("eval_ngram_hits"),
+        "contaminated",
+    )
+
+
+_TB_BUDGETS = {"en": 20000, "pt": 10000, "de": 5000}
+
+
+def _token_budget_oracle() -> str:
+    from .operators.sampling import token_budget_sql_cte
+
+    cte = token_budget_sql_cte(
+        "lang",
+        "len(regexp_split_to_array(trim(text), '\\s+'))",
+        "doc_id",
+        _TB_BUDGETS,
+        "documents",
+    )
+    return f"""
+    WITH {cte}
+    SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM kept
+    """
+
+
+@register("ext_token_budget_sample", None)
+def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing to token budgets (``sampling.sample_to_token_budget``
+    — the pretraining mixture op): per-stratum keep-rate derived from
+    the stratum's own token mass, then the deterministic md5-threshold
+    sample. Membership is a pure function of (lang, doc_id), so the
+    DuckDB twin (built from the SAME ``token_budget_sql_cte`` the
+    pytest contracts use) reproduces the sample row for row — including
+    the documented drop-by-default of unbudgeted strata."""
+    from .operators.sampling import sample_to_token_budget
+    from .textops import token_count
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("bigint")
+    )
+    kept = sample_to_token_budget(docs, spark, "lang", "n_tokens", "doc_id", _TB_BUDGETS)
+    return kept.select("doc_id", "lang", "n_tokens")
+
+
+ORACLES["ext_token_budget_sample"] = _token_budget_oracle()
+
+
+@register(
+    "ext_pack_documents",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) * 1.0 / 5000) AS BIGINT) AS shard_id
+    FROM d
+    """,
+)
+def ext_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (``operators/packing.py``) under the
+    value gate: shard_id = floor(prefix_before / budget) in doc_id
+    order — computed distributedly as range partition → per-partition
+    prefix sums → O(#partitions) broadcast offsets (the only collect is
+    one row per partition), while the oracle states the same assignment
+    as a single window cumulative sum. Equality certifies the offset
+    realignment across partitions exactly."""
+    from .operators.packing import pack_documents_by_tokens
+    from .textops import token_count
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_documents_by_tokens(docs, 5000, order_col="doc_id").select(
+        "doc_id", "n_tokens", "shard_id"
+    )
