@@ -1153,3 +1153,44 @@ def ext_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents_by_tokens(docs, 5000, order_col="doc_id").select(
         "doc_id", "n_tokens", "shard_id"
     )
+
+
+@register(
+    "x24_tfidf_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE)
+                 * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           round(score, 6)    AS score,
+           CAST(rnk AS INT)   AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY score DESC, tf DESC, term ASC) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def x24_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: per-doc top-3 terms by tf-idf
+    (``textops.tfidf_topk``; raw-frequency idf so the score — and the
+    ranking — is bit-exact across engines). Reference analogue: the
+    category rule engine ranks descriptions by keyword hits
+    (rules/categories_bb.py); this is the corpus-statistical version a
+    training pipeline uses for topic tagging."""
+    return TX.tfidf_topk(T(spark, sf_dir, "documents"), k=3)

