@@ -1977,3 +1977,39 @@ def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     out = W.ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.1, alias="ewma_value")
     return out.select("user_id", "event_id", F.round("ewma_value", 4).alias("ewma_value"))
+
+
+@register(
+    "ext_bloom_prune_join",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT)                              AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def ext_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — Bloom semi-join reduction (``operators/bloom.py``):
+    lineitem is pruned by a distributed Bloom filter of the urgent
+    orders' keys BEFORE the join shuffle (pure-codegen byte-bitmap
+    probe, no UDF), then the exact join removes false positives. The
+    oracle is the plain join — pruning must be value-invisible; what
+    it buys at 100 TB is an exchange that carries ~20 % of the fact
+    table instead of all of it."""
+    from .operators.bloom import bloom_prune_join
+
+    urgent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    # 2^18 bits ≈ 8.7 bits/key at sf0.1's ~30 K urgent keys (~1.6 %
+    # fpp, k=5) — sized for the gate scales; size up with the dim.
+    joined = bloom_prune_join(li, urgent, "l_orderkey", "o_orderkey", num_bits=1 << 18)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

@@ -299,3 +299,77 @@ def test_ewma_matches_pandas_reference(spark):
         want = g.sort_values("i")["x"].ewm(alpha=0.3, adjust=True).mean()
         for i, w in zip(g.sort_values("i")["i"], want):
             assert abs(got[(key, i)] - w) < 1e-12, (key, i, got[(key, i)], w)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter semi-join reduction (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    from fintrack_etl_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    dim = spark.range(0, 1000).withColumnRenamed("id", "k")
+    m, k = 1 << 14, 5
+    bm = build_bloom(dim, "k", num_bits=m, num_hashes=k)
+    probe = spark.range(0, 100000).select(
+        F.col("id"), bloom_might_contain(F.col("id"), bm, m, k).alias("hit")
+    )
+    row = probe.agg(
+        F.sum(F.when((F.col("id") < 1000) & ~F.col("hit"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("id") >= 1000) & F.col("hit"), 1).otherwise(0)).alias("fp"),
+    ).collect()[0]
+    assert row["fn"] == 0, "Bloom filters never have false negatives"
+    # theory: fpp = (1 - e^(-k n / m))^k ≈ 0.13% here; allow 3x slack
+    import math
+
+    fpp = (1 - math.exp(-k * 1000 / m)) ** k
+    assert row["fp"] <= 3 * fpp * 99000, (row["fp"], fpp * 99000)
+
+
+def test_bloom_null_keys_probe_false(spark):
+    from fintrack_etl_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    dim = spark.range(0, 10).withColumnRenamed("id", "k")
+    bm = build_bloom(dim, "k", num_bits=1 << 10, num_hashes=3)
+    got = (
+        spark.createDataFrame([(None,), (3,)], "k2 long")
+        .select(bloom_might_contain(F.col("k2"), bm, 1 << 10, 3).alias("hit"))
+        .collect()
+    )
+    assert [r["hit"] for r in got] == [False, True]
+
+
+def test_bloom_prune_join_value_identical_to_plain_join(spark):
+    from fintrack_etl_spark.operators.bloom import bloom_prune_join
+
+    fact = spark.range(0, 20000).select(
+        (F.col("id") % 500).alias("fk"), F.col("id").alias("v")
+    )
+    dim = (
+        spark.range(0, 100)
+        .select((F.col("id") * 3).alias("dk"))
+        .filter(F.col("dk") < 500)
+    )
+    got = (
+        bloom_prune_join(fact, dim, "fk", "dk", num_bits=1 << 12)
+        .groupBy("dk")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    want = (
+        fact.join(dim, fact["fk"] == dim["dk"])
+        .groupBy("dk")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_prune_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from fintrack_etl_spark.operators.bloom import bloom_prune_join
+
+    fact = spark.range(5).select(F.col("id").alias("fk"))
+    dim = spark.range(3).select(F.col("id").alias("dk"))
+    with _pytest.raises(ValueError, match="outer"):
+        bloom_prune_join(fact, dim, "fk", "dk", how="left")
