@@ -171,3 +171,46 @@ def ewma(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_ewm, out_schema)
+
+
+def scd2_from_changes(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    tracked: list[str],
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log:
+    one output row per (key, state version) with ``valid_from`` /
+    ``valid_to`` / ``is_current``.
+
+    Two window passes over the SAME (keys × order) partitioning — one
+    shuffle total, Spark reuses the sort for the second window:
+
+    1. collapse: drop rows where no tracked column changed vs the
+       previous row (``lag`` over a struct of the tracked columns, so
+       multi-column states and NULL-vs-NULL compare are handled by
+       struct equality — ``<=>`` semantics via ``eqNullSafe``);
+    2. intervals: ``valid_to = lead(valid_from)``; the last version
+       per key has ``valid_to`` NULL and ``is_current`` true.
+
+    ``order_cols`` must be a total order within each key (pass a
+    tiebreak column, e.g. an event id) or version attribution is
+    nondeterministic. At 100 TB this is the standard dimension-build
+    pattern: the shuffle is on the dimension key (high cardinality,
+    no skew), and each partition streams in sort order.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    state = F.struct(*[F.col(c) for c in tracked])
+    prev = F.lag(state).over(w)
+    changed = df.withColumn("__prev", prev).where(
+        F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(state)
+    ).drop("__prev")
+    valid_from = F.col(order_cols[0])
+    valid_to = F.lead(order_cols[0]).over(w)
+    return changed.select(
+        *keys,
+        *tracked,
+        valid_from.alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

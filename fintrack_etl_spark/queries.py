@@ -2013,3 +2013,41 @@ def ext_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+@register(
+    "ext_scd2_build",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+        SELECT * FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ext_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — type-2 slowly-changing dimension build
+    (``operators/windows.py:scd2_from_changes``): treat each user's
+    event stream as a change log of their ``event_type`` state,
+    collapse no-op changes, and emit versioned rows with
+    valid_from/valid_to/is_current. The classic warehouse dimension
+    pattern the reference's MERGE pipelines feed
+    (datatrack_spark_utils.py:306-362 keeps only latest-wins state;
+    SCD2 is the history-preserving variant)."""
+    from .operators import windows as win_ops
+
+    ev = T(spark, sf_dir, "events")
+    return win_ops.scd2_from_changes(
+        ev, ["user_id"], ["ts", "event_id"], ["event_type"]
+    )

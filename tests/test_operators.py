@@ -373,3 +373,35 @@ def test_bloom_prune_join_rejects_outer(spark):
     dim = spark.range(3).select(F.col("id").alias("dk"))
     with _pytest.raises(ValueError, match="outer"):
         bloom_prune_join(fact, dim, "fk", "dk", how="left")
+
+
+def test_scd2_from_changes_collapses_and_versions(spark):
+    from fintrack_etl_spark.operators.windows import scd2_from_changes
+
+    rows = [
+        # key, seq, state  — AAB BA pattern plus a NULL state
+        ("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "b"), ("u1", 4, "b"), ("u1", 5, "a"),
+        ("u2", 1, None), ("u2", 2, None), ("u2", 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, state string")
+    got = sorted(
+        map(tuple, scd2_from_changes(df, ["k"], ["seq"], ["state"]).collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        ("u1", "a", 1, 3, False),
+        ("u1", "b", 3, 5, False),
+        ("u1", "a", 5, None, True),
+        ("u2", None, 1, 3, False),   # NULL==NULL is "no change" (eqNullSafe)
+        ("u2", "x", 3, None, True),
+    ]
+
+
+def test_scd2_multi_column_state(spark):
+    from fintrack_etl_spark.operators.windows import scd2_from_changes
+
+    rows = [("k", 1, "a", 1), ("k", 2, "a", 2), ("k", 3, "a", 2)]
+    df = spark.createDataFrame(rows, "k string, seq int, s1 string, s2 int")
+    got = sorted(map(tuple, scd2_from_changes(df, ["k"], ["seq"], ["s1", "s2"]).collect()))
+    # s2 change at seq=2 is a new version even though s1 didn't move
+    assert got == [("k", "a", 1, 1, 2, False), ("k", "a", 2, 2, None, True)]
