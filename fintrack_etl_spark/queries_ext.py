@@ -1194,3 +1194,103 @@ def x24_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rules/categories_bb.py); this is the corpus-statistical version a
     training pipeline uses for topic tagging."""
     return TX.tfidf_topk(T(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "x25_pii_redaction",
+    """
+    WITH dirty AS (
+        SELECT doc_id, source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' cpf ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                 || '.' || lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0')
+                                 || '.' || lpad(CAST(doc_id % 991 AS VARCHAR), 3, '0')
+                                 || '-' || lpad(CAST(doc_id % 89 AS VARCHAR), 2, '0')
+                            ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN ' tel (11) 9' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                 || '-' || lpad(CAST(doc_id % 9973 AS VARCHAR), 4, '0')
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, '\\b\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}\\b'))          AS n_cpfs,
+               len(regexp_extract_all(text, '\\(\\d{2}\\)\\s?\\d{4,5}-\\d{4}'))                 AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\\b\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}\\b', '[CPF]', 'g'),
+                   '\\(\\d{2}\\)\\s?\\d{4,5}-\\d{4}', '[PHONE]', 'g') AS redacted
+        FROM dirty
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_cpfs) AS BIGINT)   AS n_cpfs,
+           CAST(sum(n_phones) AS BIGINT) AS n_phones,
+           CAST(sum(len(redacted)) AS BIGINT)                    AS redacted_chars,
+           CAST(sum(CASE WHEN redacted LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email
+    FROM red
+    GROUP BY source
+    """,
+)
+def x25_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (``textops.redact_pii``). The fixture
+    corpus carries no PII, so BOTH engines interleave deterministic
+    synthetic PII derived from doc_id (emails everywhere, CPFs on
+    doc_id%3, BR phones on doc_id%4), then the redaction chain must
+    erase exactly the same spans — counts, redacted lengths, and
+    marker placement are all value-gated. Map-only regexp chain, no
+    shuffle except the final per-source rollup."""
+    docs = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _pad(expr, n):
+        return F.lpad(expr.cast("string"), n, "0")
+
+    dirty = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" cpf "), _pad(did % 1000, 3),
+                    F.lit("."), _pad(did % 997, 3),
+                    F.lit("."), _pad(did % 991, 3),
+                    F.lit("-"), _pad(did % 89, 2),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" tel (11) 9"), _pad(did % 10000, 4),
+                    F.lit("-"), _pad(did % 9973, 4),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = dirty.select(
+        "source",
+        TX.pii_count("text", "email").alias("n_emails"),
+        TX.pii_count("text", "cpf").alias("n_cpfs"),
+        TX.pii_count("text", "phone").alias("n_phones"),
+        TX.redact_pii("text").alias("redacted"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_cpfs").cast("long").alias("n_cpfs"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum(F.length("redacted")).cast("long").alias("redacted_chars"),
+        F.sum(F.when(F.col("redacted").contains("[EMAIL]"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_email"),
+    )

@@ -262,3 +262,34 @@ def tfidf_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# PII patterns — RE2-safe (no lookaround/backrefs) so the same pattern
+# runs identically on Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "cpf": (r"\b\d{3}\.\d{3}\.\d{3}-\d{2}\b", "[CPF]"),
+    "phone": (r"\(\d{2}\)\s?\d{4,5}-\d{4}", "[PHONE]"),
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern (JVM-side regex)."""
+    return pattern_count(text, PII_PATTERNS[kind][0])
+
+
+def redact_pii(text: Column | str, kinds: tuple[str, ...] = ("email", "cpf", "phone")) -> Column:
+    """Redact PII in-place, each kind replaced by its ``[TAG]`` marker.
+
+    Kinds apply in the given order (email before phone matters when
+    patterns could overlap). Pure ``regexp_replace`` chain — one
+    projection, codegen'd, no UDF; at 100 TB this is a map-only pass.
+    The pattern set mirrors the reference's normalization surface
+    (normalize_cpf, utils.py:116) extended to the redaction direction
+    a training-data pipeline needs before text ships to a model.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        pat, tag = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, tag)
+    return c

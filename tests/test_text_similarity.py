@@ -614,3 +614,29 @@ def test_sniff_media_metadata_real_headers(spark):
     assert got[5].duration_ms == 1000.0
     assert got[6].format is None and got[6].sniff_error.startswith("unknown container")
     assert got[7].sniff_error == "empty"
+
+
+def test_redact_pii_spans(spark):
+    from fintrack_etl_spark import textops as TX
+
+    rows = [
+        ("a", "mail me at joao.silva+x@sub.example.com.br today"),
+        ("b", "cpf 123.456.789-09 and phone (11) 98765-4321"),
+        ("c", "not pii: 12.34.56-78, user@nodot, (1) 234-5678"),
+        ("d", "two emails a@b.co c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string")
+    got = {
+        r["k"]: (r["red"], r["ne"], r["nc"], r["np"])
+        for r in df.select(
+            "k",
+            TX.redact_pii("t").alias("red"),
+            TX.pii_count("t", "email").alias("ne"),
+            TX.pii_count("t", "cpf").alias("nc"),
+            TX.pii_count("t", "phone").alias("np"),
+        ).collect()
+    }
+    assert got["a"] == ("mail me at [EMAIL] today", 1, 0, 0)
+    assert got["b"] == ("cpf [CPF] and phone [PHONE]", 0, 1, 1)
+    assert got["c"] == ("not pii: 12.34.56-78, user@nodot, (1) 234-5678", 0, 0, 0)
+    assert got["d"] == ("two emails [EMAIL] [EMAIL]", 2, 0, 0)
