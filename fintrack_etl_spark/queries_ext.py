@@ -1294,3 +1294,64 @@ def x25_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_with_email"),
     )
+
+
+@register(
+    "x26_unigram_lm_score",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    lm AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT sum(c) AS total FROM lm)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT)  AS n_tokens,
+           CAST(sum(lm.c) AS BIGINT) AS sum_count,
+           CAST(sum(CASE WHEN lm.c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(sum(lm.c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / CAST(tot.total AS DOUBLE) AS avg_unigram_p
+    FROM tok JOIN lm USING (term) CROSS JOIN tot
+    GROUP BY tok.doc_id, tot.total
+    """,
+)
+def x26_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring — the cheap perplexity proxy used
+    for pre-training quality filtering (high avg unigram probability =
+    common-word boilerplate, low = rare/garbled text; n_rare counts
+    tokens outside the count>=5 vocabulary).
+
+    Deliberately log-free: the score is integer token-count sums with
+    ONE fixed-association double division chain, so it is bit-exact
+    across engines — a ln()-based logprob differs in the last ulp
+    between libm implementations and would flake a hash oracle. Plan:
+    one shuffle to build the LM (|vocab| rows, broadcast back), one
+    shuffle for the per-doc rollup; the corpus streams once."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").alias("total"))
+    return (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_count"),
+            F.sum(F.when(F.col("c") < 5, 1).otherwise(0)).cast("long").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_count",
+            "n_rare",
+            (
+                F.col("sum_count").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.col("total").cast("double")
+            ).alias("avg_unigram_p"),
+        )
+    )
