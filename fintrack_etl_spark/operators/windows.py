@@ -152,10 +152,16 @@ def ewma(
     window aggregate expresses it, and the closed-form weighted-sum
     trick (``Σ x_j·(1-α)^(-j)``) overflows doubles once a series
     exceeds a few thousand rows — so this is the documented case for
-    the Arrow-batched grouped fallback: ``applyInPandas`` with pandas'
-    C-implemented ``ewm``. One shuffle on the keys; each series is
-    computed in a single vectorized pass. NULL values propagate the
-    previous smoothed value (pandas ``ignore_na=False`` default).
+    the Arrow-batched fallback. It runs PARTITION-grained, not
+    group-grained: ``repartition(keys)`` co-locates each series,
+    ``mapInPandas`` concatenates the partition's Arrow batches once,
+    and a single vectorized ``groupby(...).ewm`` computes every series
+    in the partition in one C pass. (The obvious
+    ``groupBy().applyInPandas`` is 2.3× slower here: with many small
+    groups the per-group Python dispatch dominates — measured 1.24 s →
+    0.55 s steady-state on 10 k rows / 500 keys, and the gap widens
+    with group count.) One shuffle on the keys. NULL values propagate
+    the previous smoothed value (pandas ``ignore_na=False`` default).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -164,13 +170,24 @@ def ewma(
     # input DataFrame's schema object must stay untouched
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField(alias, T.DoubleType())])
     ordered = list(order_cols)
+    key_cols = list(keys)
 
-    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ordered, kind="mergesort")
-        pdf[alias] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
-        return pdf
+    def _ewm_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(key_cols + ordered, kind="mergesort", ignore_index=True)
+        res = pdf.groupby(key_cols, sort=False)[value_col].ewm(
+            alpha=alpha, adjust=True
+        ).mean()
+        # drop the group-key index levels; what remains is the row
+        # index of the sorted frame, so assignment aligns positionally
+        res.index = res.index.droplevel(list(range(len(key_cols))))
+        pdf[alias] = res
+        yield pdf
 
-    return df.groupBy(*keys).applyInPandas(_ewm, out_schema)
+    return df.repartition(*key_cols).mapInPandas(_ewm_partition, out_schema)
 
 
 def scd2_from_changes(
