@@ -2051,3 +2051,72 @@ def ext_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.scd2_from_changes(
         ev, ["user_id"], ["ts", "event_id"], ["event_type"]
     )
+
+
+@register(
+    "ext_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)                    AS n,
+           round(min(o_totalprice), 2)                 AS lo,
+           round(max(o_totalprice), 2)                 AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — fixed-width histogram (profiling primitive).
+    ``floor(x / width)`` bucketing is a pure map-side expression, so
+    the plan is scan → partial agg → one exchange of |buckets| rows —
+    the cheapest possible distribution sketch at any scale."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "ext_outlier_zscore",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               avg(value)         AS mu,
+               stddev_samp(value) AS sigma
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sigma)), 2) AS max_z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
+    GROUP BY e.event_type
+    """,
+)
+def ext_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — z-score outlier detection per group: grouped
+    mean/stddev (|groups| rows, broadcast back) then a map-side flag —
+    the standard data-quality screen before training aggregation. Two
+    scans of events but only one |groups|-row shuffle; at 100 TB the
+    stats pass piggybacks on any existing profiling scan."""
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((F.col("sigma") > 0) & (z > 3))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_outliers"),
+            F.round(F.max(z), 2).alias("max_z"),
+        )
+    )
