@@ -170,3 +170,53 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_explicit_bloom_probe_runs_before_fact_exchange(spark, sf_dir):
+    """Explicit-operator twin of the runtime-filter contract
+    (operators/bloom.py): the probe filter (xxhash64 positions + binary
+    substring decode) must sit in the fact table's scan stage, BELOW
+    every Exchange — pruning after the shuffle would be cargo cult."""
+    from fintrack_etl_spark.operators.bloom import bloom_prune_join
+
+    o = table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = table(spark, "lineitem", sf_dir)
+    j = (
+        bloom_prune_join(li, o, "l_orderkey", "o_orderkey", num_bits=1 << 14)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _phys(j)
+    lines = plan.splitlines()
+    # the probe lands as the condition of a BroadcastNestedLoopJoin
+    # against the 1-row bitmap table — same stage as the fact scan
+    probe_line = next(i for i, ln in enumerate(lines) if "xxhash64" in ln)
+    shuffle_lines = [i for i, ln in enumerate(lines) if "Exchange hashpartitioning" in ln]
+    assert shuffle_lines, plan
+    # tree prints root-first: every shuffle above (= smaller index
+    # than) the probe means the probe runs before any shuffle
+    assert all(i < probe_line for i in shuffle_lines), plan
+
+
+def test_scd2_build_is_single_shuffle(spark, sf_dir):
+    """Both SCD2 window passes (collapse + intervals) share one
+    (keys × order) partitioning: exactly one Exchange, one Sort."""
+    from fintrack_etl_spark.queries import QUERIES
+
+    plan = _phys(QUERIES["ext_scd2_build"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 2, plan
+
+
+def test_tfidf_topk_broadcasts_stats_and_limits_window(spark, sf_dir):
+    """tf-idf: the vocabulary (df) and corpus-count joins broadcast —
+    the (doc,term) tf table never reshuffles for them — and the top-k
+    rank prunes with WindowGroupLimit before the final filter."""
+    from fintrack_etl_spark.queries_ext import QUERIES
+
+    plan = _phys(QUERIES["x24_tfidf_topk"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1, plan       # df join
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan  # 1-row n_docs cross
+    assert "WindowGroupLimit" in plan, plan
