@@ -159,3 +159,49 @@ def range_join(
     that survives a 100 TB fact scan."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(ranges), cond, how)
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int = 3,
+) -> DataFrame:
+    """Extension — blocked fuzzy matching: all pairs of rows in the
+    same block whose ``text_col`` values are within ``max_dist``
+    Levenshtein edits (entity-resolution / near-duplicate-name
+    detection).
+
+    Blocking is the scale contract: the self-join equi-joins on
+    ``block_cols`` FIRST, so the quadratic edit-distance work is
+    per-block, never corpus-wide — the same shape as the shingle-
+    blocked n-gram dedup (dedup_text.py). Pick block keys so the
+    largest block stays small (a hot block is a skew key like any
+    other — salt it or tighten the key). ``levenshtein`` is a native
+    JVM expression with identical unit-cost semantics in DuckDB, so
+    pair sets are exactly oracle-checkable. ``id_l < id_r``
+    canonicalizes pairs (no self/mirrored matches).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_l"),
+        F.col(text_col).alias("text_l"),
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_r"),
+        F.col(text_col).alias("text_r"),
+        *[F.col(c).alias(f"__c{i}") for i, c in enumerate(block_cols)],
+    )
+    cond = [F.col(f"__b{i}") == F.col(f"__c{i}") for i in range(len(block_cols))]
+    pairs = a.join(b, cond + [F.col("id_l") < F.col("id_r")], "inner")
+    return pairs.select(
+        "id_l",
+        "id_r",
+        "text_l",
+        "text_r",
+        # block cols are pair-invariant — emit them under their original
+        # names so callers group without re-joining the source
+        *[F.col(f"__b{i}").alias(c) for i, c in enumerate(block_cols)],
+        F.levenshtein("text_l", "text_r").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

@@ -2120,3 +2120,44 @@ def ext_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 2).alias("max_z"),
         )
     )
+
+
+@register(
+    "ext_fuzzy_join",
+    """
+    WITH b AS (
+        SELECT p_partkey, p_name, p_type,
+               regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
+        FROM part
+    )
+    SELECT a.p_type,
+           CAST(count(*) AS BIGINT)           AS n_pairs,
+           CAST(min(levenshtein(a.p_name, c.p_name)) AS INT) AS min_dist,
+           CAST(max(levenshtein(a.p_name, c.p_name)) AS INT) AS max_dist
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.p_type = c.p_type AND a.p_partkey < c.p_partkey
+    WHERE levenshtein(a.p_name, c.p_name) <= 3
+    GROUP BY a.p_type
+    """,
+)
+def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — blocked fuzzy matching
+    (``operators/joins.py:fuzzy_self_pairs``): near-duplicate part
+    names within (type, last-name-token) blocks, Levenshtein <= 3.
+    The block key keeps the quadratic compare per-block; native
+    ``levenshtein`` has identical semantics in DuckDB so the pair set
+    value-gates exactly."""
+    from .operators.joins import fuzzy_self_pairs
+
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
+    )
+    pairs = fuzzy_self_pairs(p, "p_partkey", "p_name", ["blk", "p_type"], max_dist=3)
+    return pairs.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("dist").cast("int").alias("min_dist"),
+        F.max("dist").cast("int").alias("max_dist"),
+    )

@@ -405,3 +405,23 @@ def test_scd2_multi_column_state(spark):
     got = sorted(map(tuple, scd2_from_changes(df, ["k"], ["seq"], ["s1", "s2"]).collect()))
     # s2 change at seq=2 is a new version even though s1 didn't move
     assert got == [("k", "a", 1, 1, 2, False), ("k", "a", 2, 2, None, True)]
+
+
+def test_fuzzy_self_pairs_blocked_levenshtein(spark):
+    from fintrack_etl_spark.operators.joins import fuzzy_self_pairs
+
+    rows = [
+        (1, "red widget", "A"), (2, "rad widget", "A"), (3, "red widget", "A"),
+        (4, "blue widget", "B"),   # different block: never compared to A rows
+        (5, "totally other", "A"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = sorted(
+        (r["id_l"], r["id_r"], r["dist"])
+        for r in fuzzy_self_pairs(df, "id", "name", ["blk"], max_dist=2).collect()
+    )
+    # (1,2) dist 1, (1,3) dist 0, (2,3) dist 1; 4 is in another block;
+    # 5 is beyond max_dist from everything
+    assert got == [(1, 2, 1), (1, 3, 0), (2, 3, 1)]
+    out_cols = fuzzy_self_pairs(df, "id", "name", ["blk"]).columns
+    assert "blk" in out_cols
