@@ -39,6 +39,13 @@ SUPPLEMENT = [
     "ext_versioned_merge",
     "ext_interval_join",
     "x21_knn_ivfpq",
+    "ext_bloom_prune_join",
+    "ext_scd2_build",
+    "x24_tfidf_topk",
+    "x25_pii_redaction",
+    "x26_unigram_lm_score",
+    "ext_fuzzy_join",
+    "ext_outlier_zscore",
 ]
 
 
