@@ -2161,3 +2161,95 @@ def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").cast("int").alias("min_dist"),
         F.max("dist").cast("int").alias("max_dist"),
     )
+
+
+@register(
+    "ext_sql_entry_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def ext_sql_entry_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q3 shape (shipping-priority top-N) on the
+    fixture schema (o_orderpriority stands in for o_shippriority;
+    timestamp pivot inside the fixture's 1995-2001 span). DataFrame-API
+    form: customer filter broadcasts into orders, the only big shuffle
+    is lineitem↔orders, and the top-10 runs as TakeOrderedAndProject —
+    no global sort. Full tie-break (revenue, date, key) keeps the
+    LIMIT boundary deterministic for the oracle."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "ext_sql_entry_q10",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def ext_sql_entry_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q10 shape (returned-item top customers)
+    through the SQL-string entry point (SURVEY §3.3), 4-way join:
+    customer/nation broadcast, lineitem↔orders shuffle, top-20 with a
+    c_custkey tie-break so the LIMIT boundary is deterministic."""
+    from .io import register_fixture_views
+
+    register_fixture_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(c_acctbal, 2) AS c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """
+    )
