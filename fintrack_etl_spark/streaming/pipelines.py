@@ -360,3 +360,69 @@ def stream_dedup_by_content(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def scd2_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tracked_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Streaming SCD2 (CDC face of ``windows.scd2_from_changes``):
+    fold a change stream into type-2 dimension history, emitting each
+    CLOSED version (valid_from/valid_to) the moment its successor
+    arrives; the open version per key lives in state.
+
+    State is one (state, valid_from) pair per key — O(distinct keys),
+    independent of stream length — via ``applyInPandasWithState``.
+    (Spark 4's ``transformWithStateInPandas`` is the typed-state
+    successor and this operator maps onto a ValueState 1:1, but its
+    state-server protocol needs protobuf, absent from this image —
+    same env-bound class as the Iceberg jar; the GroupState form below
+    is feature-equivalent for a single value state.)
+
+    Ordering contract: rows are sorted within each micro-batch, and
+    state carries the last version across batches — correct whenever
+    the source is per-key ordered across batches (the CDC-log
+    guarantee). A genuinely out-of-order source needs the watermarked
+    batch job instead; this operator does not time-travel history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, tie_col], kind="mergesort"
+        )
+        if state.exists:
+            cur_state, cur_from = state.get
+            have = True
+        else:
+            cur_state, cur_from, have = None, None, False
+        closed = []
+        for ts, val in zip(pdf[ts_col], pdf[tracked_col]):
+            if pd.isna(val):
+                val = None  # pandas NaN → typed NULL, storable in state
+            same = val == cur_state or (val is None and cur_state is None)
+            if have and same:
+                continue
+            if have:
+                closed.append((key[0], cur_state, cur_from, ts))
+            cur_state, cur_from, have = val, ts, True
+        state.update((cur_state, cur_from))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[key_col, tracked_col, "valid_from", "valid_to"]
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{key_col} long, {tracked_col} string, "
+            "valid_from timestamp, valid_to timestamp"
+        ),
+        stateStructType=f"{tracked_col} string, valid_from timestamp",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -343,3 +343,30 @@ def test_stratified_sample_composes_with_streaming(spark, events_dir, tmp_path):
     got_ids = sorted(r.event_id for r in spark.table(name).collect())
     want_ids = sorted(r.event_id for r in batch.collect())
     assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_scd2_stream_matches_batch_closed_versions(spark, events_dir, tmp_path):
+    """transformWithStateInPandas SCD2: the closed versions emitted by
+    the stream must equal the batch scd2_from_changes rows whose
+    valid_to is set (the open versions live in stream state)."""
+    from fintrack_etl_spark.operators.windows import scd2_from_changes
+    from fintrack_etl_spark.streaming.pipelines import scd2_stream
+
+    schema = _schema(spark, events_dir)
+    stream = file_source_stream(spark, events_dir, schema)
+    out = scd2_stream(stream)
+    name = f"scd2_{uuid.uuid4().hex[:8]}"
+    run_available_now(out, os.path.join(str(tmp_path), "ck"), name, output_mode="append")
+    got = _rows(spark.table(name), "user_id", "valid_from")
+
+    batch = scd2_from_changes(
+        spark.read.parquet(events_dir), ["user_id"], ["ts", "event_id"], ["event_type"]
+    )
+    want = _rows(
+        batch.where(F.col("valid_to").isNotNull()).select(
+            "user_id", "event_type", "valid_from", "valid_to"
+        ),
+        "user_id",
+        "valid_from",
+    )
+    assert len(got) == len(want) and got == want
