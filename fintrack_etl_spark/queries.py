@@ -2253,3 +2253,50 @@ def ext_sql_entry_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "ext_string_agg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — ordered string aggregation. Spark's ``listagg``
+    leaves element order unspecified (partition arrival order), so the
+    deterministic form is sort_array(collect_set) + array_join — same
+    one-shuffle plan, and the output is reproducible run to run, which
+    an unordered listagg is not."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count_distinct("o_orderstatus").cast("long").alias("n_statuses"),
+    )
+
+
+@register(
+    "ext_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 3)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 1) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def ext_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — grouped bivariate statistics (corr / covariance /
+    regression slope): native co-moment aggregates, map-side partials,
+    one |groups|-row exchange. Rounded because co-moment accumulation
+    order differs across engines in the last ulps."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+    )
