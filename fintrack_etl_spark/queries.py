@@ -2300,3 +2300,60 @@ def ext_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("covar_qty_price"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
     )
+
+
+@register(
+    "ext_skew_profile",
+    """
+    WITH k AS (
+        SELECT o_custkey AS key, count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM k),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, key ASC) AS rnk FROM k
+    )
+    SELECT CAST(tot.n_keys AS BIGINT)                       AS n_keys,
+           CAST(tot.total AS BIGINT)                        AS n_rows,
+           CAST(max(CASE WHEN rnk = 1 THEN n END) AS BIGINT)  AS top1_rows,
+           CAST(sum(CASE WHEN rnk <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10_rows,
+           round(CAST(max(CASE WHEN rnk = 1 THEN n END) AS DOUBLE)
+                 / CAST(tot.total AS DOUBLE) * tot.n_keys, 2) AS skew_factor
+    FROM ranked CROSS JOIN tot
+    GROUP BY tot.n_keys, tot.total
+    """,
+)
+def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — join/agg-key skew profiling: per-key counts, top-1 /
+    top-10 shares, and skew factor (top key's rows ÷ fair share). The
+    diagnostic that decides when ``operators/skew.py`` salting is worth
+    its overhead. Plan: one |keys|-row shuffle for the counts; the
+    ranking runs over the (small) key-count table, never the fact."""
+    o = T(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    ranked = k.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key")))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_keys", "total")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("n"))).cast("long").alias("top1_rows"),
+            F.sum(F.when(F.col("rnk") <= 10, F.col("n")).otherwise(0)).cast("long").alias("top10_rows"),
+        )
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("total").cast("long").alias("n_rows"),
+            "top1_rows",
+            "top10_rows",
+            F.round(
+                F.col("top1_rows").cast("double") / F.col("total").cast("double") * F.col("n_keys"),
+                2,
+            ).alias("skew_factor"),
+        )
+    )
