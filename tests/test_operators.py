@@ -425,3 +425,15 @@ def test_fuzzy_self_pairs_blocked_levenshtein(spark):
     assert got == [(1, 2, 1), (1, 3, 0), (2, 3, 1)]
     out_cols = fuzzy_self_pairs(df, "id", "name", ["blk"]).columns
     assert "blk" in out_cols
+
+
+def test_bloom_empty_dim_prunes_everything(spark):
+    from fintrack_etl_spark.operators.bloom import bloom_prune_join, build_bloom
+
+    import pytest as _pytest
+
+    dim = spark.range(0).withColumnRenamed("id", "dk")
+    fact = spark.range(100).select(F.col("id").alias("fk"))
+    assert bloom_prune_join(fact, dim, "fk", "dk", num_bits=1 << 10).count() == 0
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(dim, "dk", num_bits=100)
