@@ -167,3 +167,23 @@ def bloom_prune_join(
         .drop("__bloom_bm")
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+def merge_blooms(*bitmaps: bytes) -> bytes:
+    """Union filters built with identical (m, k): bitwise OR of the
+    bitmaps. ``might_contain(merge(a, b)) == might_contain(a) OR
+    might_contain(b)`` for build keys — Bloom filters are mergeable
+    state, so per-partition / per-day filters can be maintained
+    incrementally and OR-ed at query time instead of rebuilding over
+    the full history (same pattern as the HLL registers in
+    operators/incremental.py)."""
+    if not bitmaps:
+        raise ValueError("need at least one bitmap")
+    sizes = {len(b) for b in bitmaps}
+    if len(sizes) != 1:
+        raise ValueError(f"bitmap sizes differ: {sorted(sizes)}")
+    out = bytearray(bitmaps[0])
+    for bm in bitmaps[1:]:
+        for i, byte in enumerate(bm):
+            out[i] |= byte
+    return bytes(out)

@@ -437,3 +437,25 @@ def test_bloom_empty_dim_prunes_everything(spark):
     assert bloom_prune_join(fact, dim, "fk", "dk", num_bits=1 << 10).count() == 0
     with _pytest.raises(ValueError, match="multiple of 64"):
         build_bloom(dim, "dk", num_bits=100)
+
+
+def test_bloom_merge_is_union(spark):
+    from fintrack_etl_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+        merge_blooms,
+    )
+
+    m, k = 1 << 12, 5
+    a = build_bloom(spark.range(0, 50).withColumnRenamed("id", "x"), "x", m, k)
+    b = build_bloom(spark.range(50, 100).withColumnRenamed("id", "x"), "x", m, k)
+    both = build_bloom(spark.range(0, 100).withColumnRenamed("id", "x"), "x", m, k)
+    merged = merge_blooms(a, b)
+    assert merged == both  # deterministic hashing → identical bitmaps
+    hits = (
+        spark.range(0, 100)
+        .select(bloom_might_contain(F.col("id"), merged, m, k).alias("h"))
+        .agg(F.sum(F.col("h").cast("int")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert hits == 100  # no false negatives through the merge
