@@ -2357,3 +2357,297 @@ def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+@register(
+    "ext_left_join_count_q13",
+    """
+    WITH co AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def ext_left_join_count_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q13 shape (customer order-count distribution):
+    outer join with a join-side (not WHERE-side) predicate, then a
+    double aggregation. The reference never composes these, but its
+    budget-vs-actual report (``compare_budget.py``) is the same
+    keep-unmatched-rows pattern. Plan: the only fact shuffle is the
+    customer↔orders hash join + first groupBy on c_custkey (AQE
+    coalesces both); the second groupBy runs on |customers| rows."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "ext_promo_share_q14",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 3) AS promo_share_pct,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def ext_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q14 shape (promo revenue share): conditional
+    aggregate over a fact↔dim join. part broadcasts (2 k–200 k rows even
+    at sf100), the date filter pushes to the lineitem scan, and the
+    CASE runs inside the same whole-stage-codegen span as the join —
+    zero shuffles beyond the final 1-row agg."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                3,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "ext_top_supplier_q15",
+    """
+    WITH rev AS (
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def ext_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q15 shape (top-revenue supplier via a scalar
+    subquery over a derived view). The derived rev table is |suppliers|
+    rows, so the max and the supplier join both broadcast; the fact
+    side pays one groupBy(l_suppkey) shuffle with the date filter
+    pushed to the scan. Rounded BEFORE the max comparison on both
+    engines so the equality predicate sees identical values."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "ext_avg_subquery_q17",
+    """
+    WITH pa AS (
+        SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#12' AND l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def ext_avg_subquery_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q17 shape (small-quantity revenue): a
+    correlated per-key average subquery, decorrelated by hand into a
+    groupBy + broadcast join — the same rewrite Catalyst's
+    ``RewriteCorrelatedScalarSubquery`` performs, made explicit so the
+    plan is visibly one fact groupBy + two broadcasts, never a
+    per-row subquery execution."""
+    li = T(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "ext_or_predicate_q19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def ext_or_predicate_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q19 shape (disjunctive join predicate): an
+    OR-of-ANDs mixing dim-side and fact-side columns. Catalyst splits
+    the conjuncts it can push (the per-side implied filters
+    ``p_brand IN (...)`` / ``l_quantity BETWEEN 1 AND 30``) to the
+    scans and evaluates the residual disjunction post-join; part
+    broadcasts so the fact never shuffles."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#21") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#14") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "ext_not_exists_q22",
+    """
+    WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > ab.a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def ext_not_exists_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q22 shape (above-average-balance customers
+    with no urgent orders): global-average scalar subquery +
+    NOT EXISTS, decorrelated to a broadcast 1-row cross join + a
+    left-anti join. The anti join's build side is the filtered
+    DISTINCT o_custkey projection — at 100 TB that is one pruned
+    column of orders, not the table. (The classic Q22 "no orders at
+    all" predicate is empty on this fixture — every customer orders —
+    so the priority filter keeps the result non-degenerate.)"""
+    c = T(spark, sf_dir, "customer")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "ext_event_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def ext_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — ordered event funnel (view → click → purchase):
+    each stage keeps users whose earliest stage-k event strictly
+    follows their earliest stage-(k-1) event. Product analytics'
+    bread-and-butter query; no reference counterpart (the reference
+    has no event stream), events fixture per TESTDATA.md.
+
+    Plan: each stage is one groupBy(user_id) over a filtered scan with
+    the previous stage's per-user table broadcast onto it — user-level
+    tables are |users| rows (≪ fact), so the fact never shuffles for
+    the joins, only for the per-stage aggregates. The three scans
+    read disjoint event_type slices (filter pushed down)."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
