@@ -1355,3 +1355,100 @@ def x26_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_unigram_p"),
         )
     )
+
+
+@register(
+    "x27_chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0,
+                   greatest(CAST(ceil(len(toks) / 24.0) AS INT) - 1, 0)
+               )) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+                AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '
+           )) AS chunk_hash
+    FROM idx
+    """,
+)
+def x27_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (window=32, stride=24 → 8-token
+    overlap): documents → near-fixed-size training samples, identified
+    by (doc_id, chunk_id) with a content hash for downstream chunk-level
+    dedup. Narrow map + generate only — see
+    ``textops.chunk_documents`` for the 100 TB design notes."""
+    docs = T(spark, sf_dir, "documents")
+    out = TX.chunk_documents(docs, window=32, stride=24)
+    return out.withColumn("chunk_id", F.col("chunk_id").cast("long"))
+
+
+@register(
+    "x28_vocab_oov",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM df ORDER BY df DESC, tok ASC LIMIT 10)
+    SELECT lang,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
+                 / count(*), 4) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY lang
+    """,
+)
+def x28_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + out-of-vocabulary coverage: top-K tokens by
+    document frequency (ties broken lexicographically so the vocab is
+    deterministic), then per-language OOV token rate against it — the
+    coverage check run before committing to a tokenizer/vocab on a new
+    corpus.
+
+    Plan: the DF table is one |vocab|-row shuffle with map-side
+    distinct partials; the top-K is a TakeOrderedAndProject over it;
+    the scoring pass broadcast-joins the K-row vocab onto the token
+    stream, so the corpus shuffles only for the final per-lang rollup
+    — at 100 TB the vocab stays KB-sized no matter the corpus."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(TX.tokens("text")).alias("tok")
+    )
+    dfreq = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    vocab = dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(10).select(
+        "tok", F.lit(True).alias("__in_vocab")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )

@@ -127,6 +127,54 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding token-window chunking — the training-data prep step that
+    turns variable-length documents into near-fixed-size samples with
+    ``window - stride`` tokens of overlap (so no sequence boundary ever
+    splits context unseen). No reference counterpart (its documents are
+    row-shaped statements); standard LLM-corpus practice.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; chunks
+    exist for every ``i*stride < n_tokens`` (so the count is
+    ``ceil(n/stride)``, min 1 — the ``greatest`` guard also keeps
+    ``sequence`` from turning descending on empty text).
+
+    Scale: pure narrow map + generate (tokenize → ``sequence`` →
+    ``explode`` → ``slice``), zero shuffles and nothing driver-side;
+    output rows ≈ ``total_tokens / stride`` regardless of document
+    skew, so one multi-GB document fans out across tasks after a
+    ``repartition`` on (id, chunk_id) — which the caller only needs if
+    the SOURCE was a single file; a parquet scan is already split.
+    """
+    n_chunks = F.ceil(F.size(F.col("__toks")) / F.lit(stride)).cast("int")
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("__toks"), F.col("chunk_id") * stride + 1, window
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("chunk_tokens"),
+            F.md5(F.array_join("__chunk", " ")).alias("chunk_hash"),
+        )
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals — the standard pre-training
     filters for boilerplate/spam (Rae et al. 2021 §A1.1: fraction of

@@ -640,3 +640,35 @@ def test_redact_pii_spans(spark):
     assert got["b"] == ("cpf [CPF] and phone [PHONE]", 0, 1, 1)
     assert got["c"] == ("not pii: 12.34.56-78, user@nodot, (1) 234-5678", 0, 0, 0)
     assert got["d"] == ("two emails [EMAIL] [EMAIL]", 2, 0, 0)
+
+
+def test_chunk_documents_invariants(spark):
+    from fintrack_etl_spark import textops as TX
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),   # 100 toks → 5 chunks
+        (2, " ".join(f"t{i}" for i in range(32))),    # exactly one window
+        (3, " ".join(f"t{i}" for i in range(33))),    # one full + 9-tok tail
+        (4, "solo"),                                   # sub-window doc
+        (5, ""),                                       # empty text edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.chunk_documents(df, window=32, stride=24)
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_tokens for r in out.collect()
+    }
+    by_doc = {}
+    for (d, c), n in got.items():
+        by_doc.setdefault(d, []).append((c, n))
+    # chunk count = ceil(n_tokens / stride), min 1
+    assert len(by_doc[1]) == 5 and len(by_doc[2]) == 2 and len(by_doc[3]) == 2
+    assert len(by_doc[4]) == 1 and len(by_doc[5]) == 1
+    # chunk i is clipped to [i*stride, min(i*stride+window, n)):
+    # 100 toks → 32, 32, 32, 28, 4
+    assert [got[(1, i)] for i in range(5)] == [32, 32, 32, 28, 4]
+    assert got[(3, 0)] == 32 and got[(3, 1)] == 33 - 24
+    # chunk_ids are dense from 0
+    for d, chunks in by_doc.items():
+        assert sorted(c for c, _ in chunks) == list(range(len(chunks)))
+    # coverage: union of [i*stride, i*stride+len) spans all tokens
+    assert max(c * 24 + n for c, n in by_doc[1]) == 100
