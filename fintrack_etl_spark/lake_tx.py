@@ -174,6 +174,63 @@ def commit_table(df: DataFrame, root: str, batch_id: int | None = None) -> int:
     return n
 
 
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: list[str] | None = None,
+    batch_id: int | None = None,
+) -> tuple[int, int, int]:
+    """Small-file compaction — the Delta ``OPTIMIZE`` / Iceberg
+    ``rewrite_data_files`` maintenance op over the commit log: rewrite
+    the current version's data into ``ceil(bytes / target)`` files and
+    publish it as a new (value-identical) version. Readers of the old
+    version are undisturbed (immutable dirs); expiry reclaims it later.
+
+    Streaming sinks and per-batch merges leave a file per micro-batch
+    per partition; at 100 TB the resulting footer/open overhead — not
+    the bytes — dominates scan cost, which is why every real table
+    format ships this op (reference gap: its Iceberg conf sets
+    ``write.target-file-size-bytes`` but nothing ever rewrites).
+
+    ``cluster_by=None`` → ``coalesce`` (pure file merge, NO shuffle —
+    each output task concatenates input splits). With ``cluster_by`` →
+    ``repartitionByRange + sortWithinPartitions`` (one range shuffle)
+    so compaction doubles as sort-clustering and the parquet footer
+    min/max become selective on those columns (file skipping, same
+    contract as ``operators/layout.py``).
+
+    Size probing walks the local version dir (`os.walk`); on a real
+    DFS swap in the Hadoop FileSystem ``getContentSummary`` — the
+    planning logic is unchanged. Returns
+    ``(new_version, n_files_before, n_files_after)``."""
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed version at {root}")
+    vdir = _version_dir(root, m["version"])
+    data_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(vdir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in data_files)
+    n_out = max(1, -(-total_bytes // max(1, target_file_bytes)))
+    df = spark.read.parquet(vdir)
+    if cluster_by:
+        df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.coalesce(n_out)
+    n = commit_table(df, root, batch_id if batch_id is not None else m.get("batch_id"))
+    n_after = sum(
+        1
+        for dp, _, fs in os.walk(_version_dir(root, n))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return n, len(data_files), n_after
+
+
 def expire_versions(root: str, retain_last: int = 1) -> list[int]:
     """Vacuum old snapshots (D5,
     ``datatrack_spark_utils.py:756-768``): delete committed version

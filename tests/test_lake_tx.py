@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from fintrack_etl_spark import lake_tx
 from fintrack_etl_spark.io import table
@@ -247,3 +248,52 @@ def test_table_changes_whole_row_and_keyed(spark, tmp_path):
         (2, "b2", "update_postimage"),
         (3, "c", "delete"),
     }
+
+
+def test_compact_table_merges_files_value_identical(spark, tmp_path):
+    """Compaction rewrites the current version into fewer files with
+    byte-identical content: same rows, a new committed version, the
+    old one still time-travel readable, and the CDF between the two is
+    EMPTY (no insert/update/delete — the op moved bytes, not data).
+    The stream watermark (batch_id) must survive compaction, or a
+    replayed micro-batch would double-apply after an OPTIMIZE."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id AS pk", "id % 7 AS val", "id % 13 AS ts")
+    lake_tx.commit_table(df.repartition(16), root, batch_id=41)
+    before = sorted(tuple(r) for r in lake_tx.read_table(spark, root).collect())
+
+    v, n_before, n_after = lake_tx.compact_table(spark, root)
+    assert v == 2 and n_before == 16 and n_after == 1
+    assert lake_tx.last_batch_id(root) == 41  # watermark preserved
+    after = sorted(tuple(r) for r in lake_tx.read_table(spark, root).collect())
+    assert after == before
+    # old version still time-travels; CDF v1→v2 is empty
+    assert lake_tx.read_table(spark, root, version=1).count() == 1000
+    assert lake_tx.table_changes(spark, root, 1, 2).count() == 0
+
+
+def test_compact_table_cluster_by_tightens_file_stats(spark, tmp_path):
+    """cluster_by compaction range-partitions + sorts, so each output
+    file covers a disjoint pk range (selective footer min/max). Checked
+    via parquet footer stats per file, same contract as test_layout."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 4000).selectExpr("id AS pk", "id % 7 AS val", "id % 13 AS ts")
+    lake_tx.commit_table(df.orderBy(F.expr("hash(id)")).repartition(8), root)
+
+    v, _, n_after = lake_tx.compact_table(
+        spark, root, target_file_bytes=8 << 10, cluster_by=["pk"]
+    )
+    assert n_after > 1
+    import pyarrow.parquet as pq
+
+    vdir = os.path.join(root, f"v{v:08d}")
+    ranges = []
+    for f in sorted(os.listdir(vdir)):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(vdir, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            rg = md.row_group(0).column(idx["pk"]).statistics
+            ranges.append((rg.min, rg.max))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping pk ranges {(lo1, hi1)} vs {(lo2, _hi2)}"
