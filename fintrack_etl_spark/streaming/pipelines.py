@@ -331,6 +331,34 @@ def stream_interval_join(
     )
 
 
+def stream_enrich_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the most common streaming
+    join in practice (events × user/account/product attributes). The
+    static side is re-planned per micro-batch, so a dim backed by a
+    catalog table / commit-log root picks up dimension updates between
+    batches WITHOUT restarting the query — the "slowly changing"
+    behavior you actually want from a type-1 dim.
+
+    No watermark and no state store: a stream-static join keeps zero
+    join state (each batch joins against the current static snapshot),
+    so unlike the stream-stream interval join it is trivially
+    unbounded-safe. Broadcast the dim when it fits — per-batch fact
+    rows never shuffle; Spark plans the broadcast once per batch
+    against the refreshed snapshot.
+
+    Left join keeps un-matched events (late-created users) rather than
+    silently dropping them; pass ``how="inner"`` to drop.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"stream-static enrichment supports left/inner, got {how!r}")
+    return stream.join(F.broadcast(dim), on=key, how=how)
+
+
 def stream_dedup_by_content(
     docs: DataFrame,
     text_col: str = "text",

