@@ -1452,3 +1452,89 @@ def x28_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "x30_quality_gate",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))  AS n_tokens,
+               len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   AS n_distinct,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))
+                   AS n_stopwords,
+               length(regexp_replace(text, '\\s', '', 'g'))    AS n_nospace
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT)                AS n_tokens,
+           round(n_distinct / n_tokens, 4)         AS distinct_ratio,
+           round(n_stopwords / n_tokens, 4)        AS stop_ratio,
+           round(n_nospace / n_tokens, 4)          AS avg_token_len,
+           (n_tokens BETWEEN 10 AND 10000
+            AND n_distinct / n_tokens >= 0.45
+            AND n_stopwords / n_tokens >= 0.02
+            AND n_nospace / n_tokens BETWEEN 2.0 AND 12.0) AS keep,
+           concat_ws(',',
+               CASE WHEN n_tokens < 10 THEN 'too_short' END,
+               CASE WHEN n_tokens > 10000 THEN 'too_long' END,
+               CASE WHEN n_distinct / n_tokens < 0.45 THEN 'repetitive' END,
+               CASE WHEN n_stopwords / n_tokens < 0.02 THEN 'no_stopwords' END,
+               CASE WHEN n_nospace / n_tokens < 2.0 THEN 'tokens_too_short' END,
+               CASE WHEN n_nospace / n_tokens > 12.0 THEN 'tokens_too_long' END
+           ) AS reasons
+    FROM f
+    """,
+)
+def x30_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training quality gate (C4 / Gopher-rule style):
+    length band, lexical-diversity floor (distinct-token ratio — the
+    zero-shuffle proxy for repetition; the exact per-gram version is
+    x19), stopword-density floor, and mean-token-length band, folded
+    into one keep/drop verdict with machine-readable failure reasons
+    (``concat_ws`` skips the NULL non-failures in both engines, so the
+    reason list is deterministic and identical).
+
+    The gate is one narrow map over the corpus — every signal is an
+    array/regex expression on the row, no shuffle, no UDF — so at
+    100 TB it runs at scan speed and composes with any downstream
+    filter pushdown. Thresholds are corpus-calibrated (fixture mix:
+    both keeps and drops); callers tune per corpus."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b', 0)")
+        ).alias("n_stopwords"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nospace"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dr = d("n_distinct") / d("n_tokens")
+    sr = d("n_stopwords") / d("n_tokens")
+    al = d("n_nospace") / d("n_tokens")
+    return f.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(dr, 4).alias("distinct_ratio"),
+        F.round(sr, 4).alias("stop_ratio"),
+        F.round(al, 4).alias("avg_token_len"),
+        (
+            F.col("n_tokens").between(10, 10000)
+            & (dr >= 0.45)
+            & (sr >= 0.02)
+            & al.between(2.0, 12.0)
+        ).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_tokens") < 10, "too_short"),
+            F.when(F.col("n_tokens") > 10000, "too_long"),
+            F.when(dr < 0.45, "repetitive"),
+            F.when(sr < 0.02, "no_stopwords"),
+            F.when(al < 2.0, "tokens_too_short"),
+            F.when(al > 12.0, "tokens_too_long"),
+        ).alias("reasons"),
+    )
