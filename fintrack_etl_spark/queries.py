@@ -2651,3 +2651,73 @@ def ext_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+
+
+@register(
+    "ext_cohort_retention",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+                    AS INT) AS week_n
+        FROM events e JOIN first f USING (user_id)
+    ),
+    agg AS (
+        SELECT CAST(cohort_week AS DATE) AS cohort_week, week_n,
+               count(*) AS n_users
+        FROM act GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.week_n, a.n_users,
+           round(a.n_users / c.n0, 4) AS retention
+    FROM agg a
+    JOIN (SELECT cohort_week, n_users AS n0 FROM agg WHERE week_n = 0) c
+      USING (cohort_week)
+    """,
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — weekly cohort retention: users grouped by the week
+    of their first ``signup`` event; each later week's active share is reported
+    against the cohort's week-0 size. The other half of product
+    analytics next to ``ext_event_funnel``; no reference counterpart.
+
+    Both engines difference WEEK-TRUNCATED dates (always exact
+    multiples of 7 days), so the week index is integer-exact and
+    hash-stable. Plan: one groupBy(user) for cohort assignment, the
+    |users|-row result broadcast back onto the fact scan, one distinct
+    + rollup — the fact shuffles once; the week-0 join is over the
+    tiny cohort matrix."""
+    ev = T(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    aggd = act.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_n"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    week0 = aggd.filter(F.col("week_n") == 0).select(
+        "cohort_week", F.col("n_users").alias("n0")
+    )
+    return aggd.join(F.broadcast(week0), "cohort_week").select(
+        "cohort_week",
+        "week_n",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n0"), 4).alias("retention"),
+    )
