@@ -46,6 +46,15 @@ SUPPLEMENT = [
     "x26_unigram_lm_score",
     "ext_fuzzy_join",
     "ext_outlier_zscore",
+    # round 3 third wave
+    "ext_left_join_count_q13",
+    "ext_avg_subquery_q17",
+    "ext_not_exists_q22",
+    "ext_event_funnel",
+    "ext_cohort_retention",
+    "x27_chunk_documents",
+    "x28_vocab_oov",
+    "x30_quality_gate",
 ]
 
 
