@@ -296,10 +296,11 @@ def stream_interval_join(
     ts_col: str = "ts",
     max_lag: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ):
-    """Stream-stream INNER interval join: match each left event to
-    right events for the same key that happened within ``max_lag``
-    AFTER it (click→conversion, order→payment attribution).
+    """Stream-stream interval join: match each left event to right
+    events for the same key that happened within ``max_lag`` AFTER it
+    (click→conversion, order→payment attribution).
 
     Both sides carry watermarks and the join condition bounds
     right.ts ∈ [left.ts, left.ts + max_lag] — together these let the
@@ -308,7 +309,16 @@ def stream_interval_join(
     window), not O(stream). Without the time bound Spark rejects the
     plan (unbounded state); the bound is what makes the join runnable
     forever.
+
+    ``how="left_outer"`` additionally emits each unmatched left event
+    (NULL right columns) — but only once the watermark passes its join
+    window, when "no match" becomes a final verdict rather than
+    "no match YET". The deferred emission is the semantic price of
+    outer results on unbounded inputs; on a bounded availableNow drain
+    Spark emits the stragglers in the final batch.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval join supports inner/left_outer, got {how!r}")
     l = _with_event_time(left, ts_col).select(
         F.col(key).alias("l_key"),
         F.col(ts_col).alias("l_ts"),
@@ -326,7 +336,7 @@ def stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
         & (F.col("l_event") < F.col("r_event"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "l_key", "l_event", "r_event", "l_ts", "r_ts", F.round("r_value", 2).alias("r_value")
     )
 

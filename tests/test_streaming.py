@@ -450,3 +450,49 @@ def test_stream_enrich_dimension_refreshes_between_drains(spark, events_dir, tmp
         spark.sql(f"DROP TABLE IF EXISTS {dim_t}")
         spark.sql(f"DROP TABLE IF EXISTS {dim_t}_v2")
         spark.sql(f"DROP TABLE IF EXISTS {out_t}")
+
+
+def test_stream_interval_join_left_outer_matches_batch_closed_region(
+    spark, events_dir, tmp_path
+):
+    """Left-outer interval join: matched pairs equal the batch inner
+    join; unmatched lefts (NULL right) are emitted once the watermark
+    closes their window. Rows whose window is still open when the
+    drain ends are withheld (correct streaming semantics, not data
+    loss), so the batch comparison is restricted to the CLOSED region:
+    l_ts + max_lag + watermark < max event time."""
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.streaming.pipelines import (
+        file_source_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    ls = file_source_stream(spark, events_dir, ev.schema)
+    rs = file_source_stream(spark, events_dir, ev.schema)
+    joined = stream_interval_join(ls, rs, how="left_outer")
+    name = "interval_loj_t"
+    run_available_now(joined, os.path.join(str(tmp_path), "ck"), name, output_mode="append")
+    got = spark.table(name)
+
+    batch = stream_interval_join(ev, ev, how="left_outer")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    closed = max_ts - datetime.timedelta(hours=1, minutes=30)
+
+    def pairs(df, only_closed):
+        f = df.filter(F.col("l_ts") < F.lit(closed)) if only_closed else df
+        return {(r.l_event, r.r_event) for r in f.collect()}
+
+    # matched pairs: exact equality, full region
+    got_matched = {p for p in pairs(got, False) if p[1] is not None}
+    want_matched = {p for p in pairs(batch, False) if p[1] is not None}
+    assert got_matched == want_matched and len(got_matched) > 0
+
+    # unmatched lefts: exact equality on the closed region
+    got_null = {p[0] for p in pairs(got, True) if p[1] is None}
+    want_null = {p[0] for p in pairs(batch, True) if p[1] is None}
+    assert got_null == want_null and len(got_null) > 0
