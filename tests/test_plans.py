@@ -220,3 +220,47 @@ def test_tfidf_topk_broadcasts_stats_and_limits_window(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 1, plan       # df join
     assert plan.count("BroadcastNestedLoopJoin") >= 1, plan  # 1-row n_docs cross
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunking_is_zero_shuffle_and_prunes_columns(spark, sf_dir):
+    """x27: chunking must stay a narrow map — zero exchanges — and the
+    parquet scan must read ONLY (doc_id, text), not lang/source/n_chars.
+    At 100 TB either regression turns a scan-speed pass into a shuffle
+    of the whole corpus / a 2× wider scan."""
+    from fintrack_etl_spark.queries_ext import QUERIES
+
+    plan = _phys(QUERIES["x27_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in rs and "doc_id" in rs, rs
+    assert "lang" not in rs and "source" not in rs and "n_chars" not in rs, rs
+
+
+def test_quality_gate_is_single_narrow_pass(spark, sf_dir):
+    """x30: the composite gate is one map over the scan — no shuffle,
+    no UDF (PythonEval would mean a 10-100x slower scan)."""
+    from fintrack_etl_spark.queries_ext import QUERIES
+
+    plan = _phys(QUERIES["x30_quality_gate"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_funnel_fact_joins_are_broadcast(spark, sf_dir):
+    """ext_event_funnel: the per-stage user tables broadcast onto the
+    event scans; a SortMergeJoin would shuffle the fact three times."""
+    from fintrack_etl_spark.queries import QUERIES
+
+    plan = _phys(QUERIES["ext_event_funnel"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    """x28: the top-K vocab joins the token stream via broadcast; the
+    corpus must not shuffle for the membership probe."""
+    from fintrack_etl_spark.queries_ext import QUERIES
+
+    plan = _phys(QUERIES["x28_vocab_oov"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
