@@ -2721,3 +2721,467 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users").cast("double") / F.col("n0"), 4).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H remaining decorrelation shapes (round 3, fourth wave). The fixture
+# has no partsupp table and no commit/receipt dates, so Q2/Q9/Q11/Q16/Q20/Q21
+# are faithful shape analogs over lineitem: the decorrelation structure
+# (per-group min equality, HAVING vs scalar subquery, NOT IN, nested
+# semi-joins, EXISTS + NOT EXISTS) is identical, only the cost/stock columns
+# are derived from revenue instead of ps_supplycost/ps_availqty.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_min_cost_supplier_q2",
+    """
+    WITH pr AS (
+        SELECT l_partkey, l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    m AS (SELECT l_partkey, min(cost) AS mincost FROM pr GROUP BY l_partkey)
+    SELECT p_partkey, p_brand, s_name, cost
+    FROM pr
+    JOIN m ON pr.l_partkey = m.l_partkey AND pr.cost = m.mincost
+    JOIN part ON p_partkey = pr.l_partkey
+    JOIN supplier ON s_suppkey = pr.l_suppkey
+    WHERE p_size <= 3
+    """,
+)
+def ext_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q2 shape (min-cost supplier per part): the
+    correlated ``cost = (SELECT min(cost) ...)`` subquery decorrelated
+    into a per-part min + equality filter. Cost is ROUNDED before both
+    the min and the equality so both engines compare identical values
+    (same guard as ext_top_supplier_q15). Plan: one
+    groupBy(l_partkey, l_suppkey) shuffle on the fact; the per-part min
+    is a WINDOW over that view — at 100 TB the per-part min table is
+    |parts|-sized (too big to broadcast), while the window only
+    re-keys the already-aggregated (part, supp) rows. Ties at the min
+    are kept on both engines; part/supplier dims broadcast."""
+    pr = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("cost")
+        )
+    )
+    best = pr.withColumn(
+        "__mincost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("__mincost"))
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    s = T(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "cost")
+    )
+
+
+@register(
+    "ext_volume_shipping_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def ext_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q7 (volume shipping between two nations): a
+    5-way join where the same dim (nation) enters twice under different
+    roles. supplier/customer/nation all broadcast, so the only shuffles
+    are lineitem↔orders (AQE may demote to broadcast at sf0.01) and the
+    final small groupBy. The nation-pair OR predicate semi-prunes BOTH
+    broadcast sides before the fact join — Catalyst pushes each
+    disjunct's implied ``n_name IN ('NATION_1','NATION_2')`` down."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "ext_market_share_q8",
+    """
+    SELECT o_year,
+           round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+                 / round(sum(volume), 2), 4) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def ext_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q8 (national market share): an 8-way join with
+    a conditional-share aggregate. Every dim broadcasts; the customer-
+    side region filter prunes the broadcast customer set BEFORE the
+    fact join touches it. Both the numerator and denominator sums are
+    rounded to 2 dp before the division so the 4-dp share is computed
+    from identical doubles on both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+                    ),
+                    2,
+                )
+                / F.round(F.sum(vol), 2),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "ext_profit_by_nation_q9",
+    """
+    SELECT n_name AS nation, o_year,
+           round(sum(amount_cents) / 100.0, 2) AS sum_profit
+    FROM (
+        SELECT n_name, year(o_orderdate) AS o_year,
+               CAST(round((l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.05 * l_quantity) * 100, 0) AS BIGINT)
+                 AS amount_cents
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY n_name, o_year
+    """,
+)
+def ext_profit_by_nation_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q9 shape (product-type profit by nation/year).
+    The fixture has no partsupp, so supply cost is modeled as
+    ``p_retailprice * 0.05 * l_quantity`` — the join/aggregate
+    structure (fact × 4 dims, substring part filter, two-level group)
+    is Q9's. part is filtered by the LIKE before broadcasting, so the
+    fact join fans out only matching parts. The per-row amount is
+    rounded to integer CENTS before summing — a raw double sum differs
+    between engines in the last ulp when the aggregation association
+    differs, and this query's first gate run landed exactly on a .005
+    boundary; integer sums are association-free."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    s = T(spark, sf_dir, "supplier")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    n = T(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.05 * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.round(amount * 100, 0).cast("long")) / 100.0, 2).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@register(
+    "ext_important_stock_q11",
+    """
+    WITH pv AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_0', 'NATION_1')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(value, 2) AS value
+    FROM pv
+    WHERE value > (SELECT sum(value) * 0.002 FROM pv)
+    """,
+)
+def ext_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q11 shape (important stock): a HAVING
+    predicate against a scalar subquery over the SAME derived view.
+    The per-part value view is computed once and reused for both the
+    threshold and the output (Spark reuses the exchange; the oracle's
+    CTE is likewise single-evaluation in DuckDB). Plan: one fact
+    groupBy(l_partkey) shuffle; the 1-row threshold broadcasts back
+    via a cross join."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1")
+    )
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    thr = pv.agg((F.sum("value") * 0.002).alias("__thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("value") > F.col("__thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"), F.round("value", 2).alias("value")
+        )
+    )
+
+
+@register(
+    "ext_late_shipment_q12",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def ext_late_shipment_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q12 shape (late shipments by priority class).
+    The fixture has no l_shipmode/commitdate, so "late" is shipdate
+    more than 60 days after the order date — the join-then-conditional-
+    count structure and the IN/NOT-IN CASE pair are Q12's. The
+    late-shipment predicate references both sides, so it evaluates as
+    a post-join filter inside the same codegen span; integer counts
+    make the oracle exact."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "ext_supplier_count_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def ext_supplier_count_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q16 shape (supplier count by part attrs with a
+    NOT IN exclusion). The NOT IN subquery decorrelates to a left-anti
+    join against the (tiny, broadcast) excluded-supplier set — safe
+    because s_suppkey is non-nullable, so NOT IN ≡ anti-join. Plan:
+    part filters push to its scan, the anti join and part join both
+    broadcast, and the count-distinct pays the one fact shuffle."""
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = T(spark, sf_dir, "lineitem")
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "ext_excess_inventory_q20",
+    """
+    WITH pq AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, n_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM pq JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%' AND qty > 30
+    )
+    """,
+)
+def ext_excess_inventory_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q20 shape (suppliers with excess volume of
+    flagged parts): a nested IN chain decorrelated to
+    aggregate → filter → semi-join. qty sums integral-valued doubles,
+    so the > 30 threshold is exact in both engines. Plan: one fact
+    groupBy(l_suppkey, l_partkey) shuffle with the date filter pushed
+    to the scan; the flagged-part filter and the final left-semi both
+    broadcast (|qualifying suppkeys| ≤ |suppliers| = 100 rows)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    pq = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    qual = (
+        pq.filter(F.col("qty") > 30)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("l_suppkey")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "ext_waiting_supplier_q21",
+    """
+    WITH ls AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    om AS (
+        SELECT l_orderkey, max(sd) AS mx, count(*) AS nsupp
+        FROM ls GROUP BY l_orderkey
+    ),
+    lastcnt AS (
+        SELECT ls.l_orderkey, count(*) AS nlast
+        FROM ls JOIN om ON ls.l_orderkey = om.l_orderkey AND ls.sd = om.mx
+        GROUP BY ls.l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM ls
+    JOIN om ON ls.l_orderkey = om.l_orderkey
+    JOIN lastcnt ON ls.l_orderkey = lastcnt.l_orderkey
+    JOIN supplier ON s_suppkey = ls.l_suppkey
+    WHERE ls.sd = om.mx AND om.nsupp >= 2 AND lastcnt.nlast = 1
+    GROUP BY s_name
+    """,
+)
+def ext_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q21 shape (suppliers who kept orders waiting):
+    the EXISTS (another supplier on the order) + NOT EXISTS (another
+    supplier equally late) pair decorrelated into per-order counts —
+    nsupp ≥ 2 is the EXISTS, nlast = 1 is the NOT EXISTS. "Late" is
+    holding the order's max shipdate (the fixture has no receipt/commit
+    dates). Plan: ls pays the one fact groupBy shuffle; om and lastcnt
+    are |orders|-sized windows over it (computed via a window function
+    to reuse ls's partitioning instead of two more self-join shuffles);
+    supplier broadcasts. Timestamp max + integer counts → exact."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("sd"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = ls.select(
+        "l_orderkey",
+        "l_suppkey",
+        "sd",
+        F.max("sd").over(w).alias("mx"),
+        F.count(F.lit(1)).over(w).alias("nsupp"),
+    ).withColumn(
+        "nlast",
+        F.sum(F.when(F.col("sd") == F.col("mx"), 1).otherwise(0)).over(w),
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        per_order.filter(
+            (F.col("sd") == F.col("mx"))
+            & (F.col("nsupp") >= 2)
+            & (F.col("nlast") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

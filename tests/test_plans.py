@@ -264,3 +264,46 @@ def test_vocab_join_is_broadcast(spark, sf_dir):
     plan = _phys(QUERIES["x28_vocab_oov"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q16_not_in_decorrelates_to_broadcast_anti_join(spark, sf_dir):
+    """Q16's NOT IN must become a broadcast left-anti join, never a
+    cartesian/nested-loop NOT-IN execution."""
+    from fintrack_etl_spark.queries import ext_supplier_count_q16
+
+    plan = _phys(ext_supplier_count_q16(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan or "LeftAnti" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_exists_pair_is_single_fact_shuffle(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS decorrelation: one groupBy exchange on
+    the fact, then windows reuse that keying — no self-join of the fact
+    against itself (the naive translation shuffles lineitem 3x)."""
+    from fintrack_etl_spark.queries import ext_waiting_supplier_q21
+
+    plan = _phys(ext_waiting_supplier_q21(spark, sf_dir))
+    # lineitem appears exactly once as a scan: no self-joins
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q2_min_cost_uses_window_not_self_join(spark, sf_dir):
+    """Q2's per-part min must be a Window over the aggregated view, not
+    a second aggregate broadcast back (parts-sized — unboundable at
+    100 TB)."""
+    from fintrack_etl_spark.queries import ext_min_cost_supplier_q2
+
+    plan = _phys(ext_min_cost_supplier_q2(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q8_dim_filters_prune_before_fact_join(spark, sf_dir):
+    """Q8: the region/p_type filters must reach the dim scans (pruned
+    broadcast sides), not run post-join on the fanned-out fact."""
+    from fintrack_etl_spark.queries import ext_market_share_q8
+
+    plan = _phys(ext_market_share_q8(spark, sf_dir))
+    assert "= PROMO" in plan.split("FileScan parquet [p_partkey")[1].split("\n")[0], plan
+    assert "= AMERICA" in plan.split("FileScan parquet [r_regionkey")[1].split("\n")[0], plan
