@@ -437,3 +437,68 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    scoped to embedding clusters. Within each cluster, a row is DROPPED
+    when an earlier row (lower id — deterministic keep-first) has
+    cosine ≥ threshold with it; cluster boundaries cap the pairwise
+    work, which is the paper's whole point — per-cluster O(n²) instead
+    of corpus O(N²).
+
+    Returns one row per input row: (id, cluster, is_kept,
+    nearest_earlier_sim) where nearest_earlier_sim is the max cosine to
+    any earlier same-cluster row at/above threshold (NULL for kept
+    rows with no such neighbor).
+
+    Scale: both self-join sides hash-partition on the cluster column,
+    so the quadratic is per-cluster; pick #clusters ~ sqrt(N) to bound
+    it. The dot product is a sequential ``F.aggregate`` fold — same
+    association as DuckDB's ``list_dot_product``, so the oracle
+    compares bit-identical doubles. At 100 TB, swap the inner pair
+    loop for a per-cluster BLAS matmul via applyInPandas (same
+    partitioning, vectorized kernel); the join formulation here keeps
+    the whole plan JVM-side and oracle-exact.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        v.alias("v"),
+        norm.alias("nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    hits = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("b.id").alias("id"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id")
+        .agg(F.max("cosine").alias("nearest_earlier_sim"))
+    )
+    return (
+        base.select("id", "cluster")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.col("nearest_earlier_sim").isNull().alias("is_kept"),
+            "nearest_earlier_sim",
+        )
+    )

@@ -1538,3 +1538,112 @@ def x30_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(al > 12.0, "tokens_too_long"),
         ).alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 fourth wave: semantic dedup + embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x31_semdedup",
+    """
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    normed AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM base
+    ),
+    hits AS (
+        SELECT b.vec_id AS id,
+               max(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4))
+                 AS nearest_earlier_sim
+        FROM normed a JOIN normed b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.9
+        GROUP BY b.vec_id
+    )
+    SELECT base.vec_id AS id, base.label AS cluster,
+           hits.id IS NULL AS is_kept,
+           hits.nearest_earlier_sim
+    FROM base LEFT JOIN hits ON base.vec_id = hits.id
+    """,
+)
+def x31_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    within each embedding cluster, drop rows whose cosine to an
+    earlier row is ≥ 0.9 (keep-first). The fixture's ``label`` column
+    is the cluster assignment (the learned-k-means variant is
+    ``similarity.kmeans_centroids`` + the same operator — pytest-
+    contracted; labels keep the oracle pure SQL). Planted re-ingest
+    dups (vec_id % 50) guarantee droppable rows."""
+    emb = T(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return DD.semdedup(
+        emb.unionByName(dup), "vec_id", "embedding", "label", threshold=0.9
+    )
+
+
+@register(
+    "x29_quantize_embeddings",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+                 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano,
+           list_transform(v, x -> CAST(round(x / scale, 0) AS TINYINT)) AS q8,
+           CAST(floor(list_sum(list_transform(v,
+                 x -> abs(x - round(x / scale, 0) * scale))) / len(v) * 1e9) AS BIGINT)
+             AS mae_nano
+    FROM q
+    """,
+)
+def x29_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization — the storage path for a
+    100 TB embedding table (4× smaller than float32, 8× than the
+    double-typed oracle view; ADC-style scoring reads q8 + one scale).
+    Pure native array expressions: per-vector absmax/127 scale,
+    round-to-nearest int8 codes, and the reconstruction mean-abs-error
+    as the quality audit column. Zero shuffles — a single narrow map
+    pass, exactly reproducible in the DuckDB oracle because every step
+    (abs, max, round, divide) is a correctly-rounded scalar op over
+    the same doubles in the same order. Scale/error are reported as
+    FLOOR(x * 1e9) integer nano-units: the doubles are bit-identical
+    across engines, but decimal round() half-way behavior is not
+    (Spark HALF_UP vs DuckDB away-from-zero met a .5 on this fixture);
+    floor over identical doubles cannot disagree."""
+    emb = T(spark, sf_dir, "embeddings")
+    v0 = F.col("embedding").cast("array<double>")
+    scale0 = F.array_max(F.transform(v0, lambda x: F.abs(x))) / 127.0
+    v = F.col("v")
+    q8 = F.transform(v, lambda x: F.round(x / F.col("scale"), 0).cast("tinyint"))
+    err = (
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda a, x: a + F.abs(x - F.round(x / F.col("scale"), 0) * F.col("scale")),
+        )
+        / F.size(v)
+    )
+    return (
+        emb.select("vec_id", "label", v0.alias("v"), scale0.alias("scale"))
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("scale") * 1e9).cast("long").alias("scale_nano"),
+            q8.alias("q8"),
+            F.floor(err * 1e9).cast("long").alias("mae_nano"),
+        )
+    )

@@ -672,3 +672,48 @@ def test_chunk_documents_invariants(spark):
         assert sorted(c for c, _ in chunks) == list(range(len(chunks)))
     # coverage: union of [i*stride, i*stride+len) spans all tokens
     assert max(c * 24 + n for c, n in by_doc[1]) == 100
+
+
+def test_semdedup_learned_clusters_drop_planted_dups(spark):
+    """SemDeDup over LEARNED k-means clusters (the non-oracle variant
+    promised by x31's docstring): a planted exact dup has an identical
+    vector, so argmax-cosine assignment routes it to the same cluster
+    as its original and cosine 1.0 >= any threshold — every planted
+    dup must be dropped, and its recorded neighbor sim must be 1.0."""
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.similarity import kmeans_centroids
+
+    emb = table(spark, "embeddings", "/root/testdata/sf0.001")
+    dup = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dup)
+    assigned, _ = kmeans_centroids(corpus, k=4, iters=2)
+    clustered = corpus.join(assigned, "vec_id")
+    out = DD.semdedup(clustered, "vec_id", "embedding", "cid", threshold=0.9)
+    planted = out.filter(F.col("id") >= 100000).collect()
+    assert planted, "fixture must contain planted dups"
+    for r in planted:
+        assert not r["is_kept"], r
+        assert r["nearest_earlier_sim"] == 1.0, r
+    # keep-first: originals of the planted pairs survive unless they
+    # themselves have an earlier >=0.9 neighbor — at minimum, SOME rows
+    # are kept and kept+dropped partitions the corpus
+    n_total = out.count()
+    n_kept = out.filter(F.col("is_kept")).count()
+    assert 0 < n_kept < n_total
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """Int8 quantization contract: codes stay in [-127, 127] and the
+    per-vector mean reconstruction error is below half a quantization
+    step (scale/2 would be the worst case for round-to-nearest)."""
+    from fintrack_etl_spark.queries_ext import x29_quantize_embeddings
+
+    out = x29_quantize_embeddings(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r["q8"]), r["vec_id"]
+        # mae_nano / scale_nano = mae/scale; round-to-nearest keeps
+        # per-element error <= scale/2, so the mean must too
+        assert r["mae_nano"] <= r["scale_nano"] / 2 + 1, r
