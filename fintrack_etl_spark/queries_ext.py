@@ -1647,3 +1647,116 @@ def x29_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(err * 1e9).cast("long").alias("mae_nano"),
         )
     )
+
+
+@register(
+    "ext_source_overlap",
+    """
+    WITH tok AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, g
+        FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM tok WHERE len(toks) >= 3
+        )
+    ),
+    sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           za.sz + zb.sz - n_shared AS n_union,
+           round(n_shared / (za.sz + zb.sz - n_shared), 4) AS jaccard
+    FROM inter
+    JOIN sz za ON source_a = za.source
+    JOIN sz zb ON source_b = zb.source
+    """,
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: 3-gram shingle Jaccard
+    between every pair of SOURCES (not documents) — the corpus-level
+    audit behind mixture design ("how much of src_a is already in
+    src_b?"). Scale: the unit of joining is the DISTINCT
+    (source, shingle) table — one groupBy-distinct shuffle over the
+    exploded shingles — and a shingle shared by s sources emits only
+    C(s,2) pair rows with s bounded by the source catalog (dozens),
+    not the document count, so the self-join cannot go quadratic in
+    docs. Pair counting is one more shuffle on (source_a, source_b):
+    |sources|² rows at most."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    sh = (
+        docs.select("source", TX.shingles(toks, 3).alias("sh"))
+        .select("source", F.explode("sh").alias("g"))
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    uni = F.col("za.sz") + F.col("zb.sz") - F.col("n_shared")
+    return (
+        inter.join(F.broadcast(sz.alias("za")), F.col("source_a") == F.col("za.source"))
+        .join(F.broadcast(sz.alias("zb")), F.col("source_b") == F.col("zb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            uni.alias("n_union"),
+            F.round(F.col("n_shared") / uni, 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "x32_feature_stats",
+    """
+    WITH ex0 AS (
+        SELECT unnest(list_transform(range(0, len(embedding)),
+               i -> {'dim': i, 'x': CAST(embedding[i + 1] AS DOUBLE)})) AS s
+        FROM embeddings
+    ),
+    ex AS (SELECT s.dim AS dim, s.x AS x FROM ex0)
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(CAST(floor(x * 1e9) AS BIGINT)) / count(*)) AS BIGINT)
+             AS mean_nano,
+           round(min(x), 6) AS min_x,
+           round(max(x), 6) AS max_x
+    FROM ex GROUP BY dim
+    """,
+)
+def x32_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding feature statistics — the audit pass
+    before normalization/whitening of a 100 TB embedding table. One
+    posexplode → groupBy(dim) shuffle of (rows × dims) small records;
+    at scale this is the map-side-combined partial-agg pattern (64
+    groups regardless of corpus size). Mean is computed over
+    per-element floor(x·1e9) integer nano-units: double sums differ
+    across engines by association, integer sums cannot; min/max are
+    order-free and stay exact doubles."""
+    emb = T(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).select("dim", "x", F.floor(F.col("x") * 1e9).cast("long").alias("x_nano"))
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("x_nano") / F.count(F.lit(1))).cast("long").alias("mean_nano"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
