@@ -502,3 +502,79 @@ def semdedup(
             "nearest_earlier_sim",
         )
     )
+
+
+def signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The persisted side of incremental corpus dedup: each document's
+    LSH band buckets ``(id, band, bh)`` — at 100 TB this table is
+    written once at ingest (bucketed/partitioned by ``(band, bh)``)
+    and every future batch probes it instead of re-hashing the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _shingled(df, id_col, text_col, n)
+    sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def dedup_against_store(
+    batch: DataFrame,
+    store_sigs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental corpus dedup: score an incoming BATCH against an
+    existing corpus via its materialized signature store — the
+    continuous-ingest path (a new crawl lands; only it gets hashed;
+    the corpus is never rescanned for candidates).
+
+    batch → shingle+minhash (one narrow pass over the batch only) →
+    band buckets → join against ``store_sigs`` on (band, bh) — the
+    candidate set is ~linear in true near-dups, and with the store
+    bucketed by (band, bh) this join is shuffle-free on the store
+    side — → exact-Jaccard verification against only the candidate
+    corpus docs. Output: (batch_id, dup_of, jaccard) for pairs at or
+    above threshold.
+
+    ``corpus`` is needed only to fetch shingles of candidate dup
+    targets for verification; at scale that is a semi-join-pruned read
+    of the few matched docs, not a corpus scan.
+    """
+    batch_sigs = signature_store(batch, id_col, text_col, n, num_hashes, bands)
+    cands = (
+        batch_sigs.alias("nb")
+        .join(
+            store_sigs.alias("st"),
+            (F.col("nb.band") == F.col("st.band")) & (F.col("nb.bh") == F.col("st.bh")),
+        )
+        .select(F.col("st.id").alias("doc_a"), F.col("nb.id").alias("doc_b"))
+        .distinct()
+    )
+    both = corpus.unionByName(batch)
+    return verify_pairs_exact_jaccard(
+        cands, both, id_col, text_col, n=n, threshold=threshold
+    ).withColumnRenamed("doc_a", "dup_of").withColumnRenamed("doc_b", "batch_id").select(
+        "batch_id", "dup_of", "jaccard"
+    )

@@ -102,3 +102,41 @@ def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     if keys:
         return dedup_latest(df, keys)
     return df.dropDuplicates()
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC apply: fold an ordered change log (upserts + delete
+    tombstones) into a snapshot — the standard change-data-capture
+    materialization (APPLY CHANGES INTO semantics over plain
+    DataFrames).
+
+    ``changes`` carries the snapshot's columns plus ``seq_col``
+    (monotone per key) and ``op_col`` (anything ≠ ``delete_op`` is an
+    upsert). Per key the highest-seq change wins; if that winner is a
+    delete the key disappears; keys without changes keep their
+    snapshot row (snapshot acts as seq −∞).
+
+    One shuffle: union → window row_number over (keys, seq desc).
+    Replaying the same change log is idempotent — same winner, same
+    state — which is what makes this safe as a foreachBatch body under
+    at-least-once delivery.
+    """
+    snap = snapshot.withColumn(op_col, F.lit("I")).withColumn(
+        seq_col, F.lit(None).cast(changes.schema[seq_col].dataType)
+    )
+    unioned = snap.unionByName(changes)
+    # NULL seq (snapshot) sorts last under desc_nulls_last → any real
+    # change outranks the snapshot row.
+    w = Window.partitionBy(*keys).orderBy(F.desc_nulls_last(seq_col))
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", op_col, seq_col)
+    )

@@ -3185,3 +3185,151 @@ def ext_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "ext_cdc_apply",
+    """
+    WITH survivors AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 21 <> 0
+        UNION ALL
+        SELECT o_orderkey + 5000000 AS o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS total, o_orderpriority
+    FROM survivors
+    """,
+)
+def ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (APPLY CHANGES INTO semantics): fold an ordered change
+    log — upserts, inserts of new keys, delete tombstones — into a
+    snapshot via ``upsert.apply_changes`` (one union + one window
+    shuffle, idempotent under replay). The synthetic log updates every
+    key ≡0 mod 7 (price +100, seq 1), deletes every key ≡0 mod 21
+    (seq 2 — outranks the update on the same key), and inserts a new
+    key (+5 000 000) for every key ≡0 mod 50. The oracle derives the
+    expected FINAL STATE independently (CASE + filters, no fold) so
+    the two engines agree via different derivations — a stronger check
+    than twin implementations."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+        .withColumn("seq", F.lit(1).cast("int"))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        o.filter(F.col("o_orderkey") % 21 == 0)
+        .withColumn("seq", F.lit(2).cast("int"))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 50 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 5000000)
+        .withColumn("seq", F.lit(1).cast("int"))
+        .withColumn("op", F.lit("U"))
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    state = upsert_ops.apply_changes(
+        o, changes, keys=["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return state.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "ext_referential_integrity",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        UNION ALL
+        SELECT l_orderkey + 1000000000, l_partkey + 1000000000,
+               l_suppkey + 1000000000
+        FROM lineitem WHERE l_orderkey % 997 = 0
+    ),
+    checks AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_rows,
+               CAST(sum(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM orders WHERE o_orderkey = li.l_orderkey)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM li
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', count(*),
+               CAST(sum(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM part WHERE p_partkey = li.l_partkey)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+        FROM li
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', count(*),
+               CAST(sum(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM supplier WHERE s_suppkey = li.l_suppkey)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+        FROM li
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', count(*),
+               CAST(sum(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders o
+    )
+    SELECT fk, n_rows, n_orphans,
+           round(n_orphans / n_rows, 6) AS orphan_rate
+    FROM checks
+    """,
+)
+def ext_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts + rates for every
+    foreign key in the star schema (with deterministic injected
+    orphans so the check provably fires). Each relationship is a
+    LEFT-ANTI count; part/supplier/customer broadcast, and only the
+    lineitem→orders anti-join pays a shuffle — at 100 TB that one is
+    the candidate for ``operators/bloom.bloom_prune_join`` (probe the
+    orders-key Bloom filter below the exchange) since a >99.9 %-valid
+    FK makes the anti-join's output tiny."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    bad = li.filter(F.col("l_orderkey") % 997 == 0).select(
+        *[(F.col(c) + 1000000000).alias(c) for c in li.columns]
+    )
+    li = li.unionByName(bad)
+    o = T(spark, sf_dir, "orders")
+    checks = []
+    for fk, child, ckey, parent, pkey, bcast in [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", False),
+        ("lineitem.l_partkey->part", li, "l_partkey", T(spark, sf_dir, "part"), "p_partkey", True),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", T(spark, sf_dir, "supplier"), "s_suppkey", True),
+        ("orders.o_custkey->customer", o, "o_custkey", T(spark, sf_dir, "customer"), "c_custkey", True),
+    ]:
+        parent_keys = parent.select(pkey)
+        if bcast:
+            parent_keys = F.broadcast(parent_keys)
+        orphans = child.join(
+            parent_keys, child[ckey] == parent_keys[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        checks.append(
+            total.crossJoin(orphans).select(
+                F.lit(fk).alias("fk"), "n_rows", "n_orphans"
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "fk",
+        "n_rows",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_rate"),
+    )

@@ -1760,3 +1760,54 @@ def x32_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("x"), 6).alias("max_x"),
     )
+
+
+@register(
+    "x33_incremental_corpus_dedup",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM tok WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS dup_of, b.doc_id AS batch_id, count(*) AS inter
+        FROM ex a JOIN ex b
+          ON a.g = b.g AND a.doc_id < 100000 AND b.doc_id >= 100000
+        GROUP BY 1, 2
+    )
+    SELECT batch_id, dup_of,
+           round(inter / (za.sz + zb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sz za ON dup_of = za.doc_id
+    JOIN sz zb ON batch_id = zb.doc_id
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.6
+    """,
+)
+def x33_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the continuous-ingest path: a new
+    crawl batch is scored against the EXISTING corpus via its
+    materialized LSH signature store (``dedup_text.signature_store`` +
+    ``dedup_against_store``). Only the batch is hashed; candidates
+    come from probing the store's (band, bh) buckets — at 100 TB the
+    store is bucketed on those columns so the probe join is
+    shuffle-free on the corpus side, and verification reads only the
+    few matched corpus docs. The oracle computes exact cross-set
+    Jaccard (batch × store) with no LSH, so the signature path's
+    recall at threshold 0.6 is itself value-gated (same discipline as
+    x4 vs x3)."""
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    store = DD.signature_store(docs, "doc_id", "text")
+    return DD.dedup_against_store(
+        batch, store, docs, "doc_id", "text", threshold=0.6
+    )

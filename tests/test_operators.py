@@ -459,3 +459,34 @@ def test_bloom_merge_is_union(spark):
         .collect()[0]["n"]
     )
     assert hits == 100  # no false negatives through the merge
+
+
+def test_apply_changes_tombstone_replay_and_ordering(spark):
+    """CDC fold contracts: (1) the highest-seq change wins, (2) a
+    delete tombstone removes the key even when an earlier upsert
+    exists, (3) keys without changes keep their snapshot row, (4)
+    replaying the whole log over the already-folded state is a no-op
+    for surviving keys (idempotence under at-least-once delivery)."""
+    from fintrack_etl_spark.operators.upsert import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "val"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # update
+            (2, "b2", 1, "U"),   # update then...
+            (2, "b2", 2, "D"),   # ...tombstone wins by seq
+            (4, "d", 1, "U"),    # brand-new key
+        ],
+        ["k", "val", "seq", "op"],
+    )
+    state = apply_changes(snap, changes, ["k"], "seq", "op")
+    got = {r["k"]: r["val"] for r in state.collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}, got
+
+    # replay the same log over the folded state: key 2 stays deleted,
+    # everything else unchanged
+    replayed = apply_changes(state, changes, ["k"], "seq", "op")
+    got2 = {r["k"]: r["val"] for r in replayed.collect()}
+    assert got2 == got, got2
