@@ -13,7 +13,7 @@ Scale notes (1000-executor target):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -464,3 +464,74 @@ def scd2_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_sink_stream(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    table: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+):
+    """Streaming CDC sink (APPLY CHANGES INTO): fold a change stream —
+    upserts AND delete tombstones — into a managed table. The
+    row-level sibling of ``continuous_aggregate_stream``: where that
+    folds mergeable agg state, this folds keyed row state with
+    deletes.
+
+    The state table retains ``__seq`` (last applied sequence per key)
+    and ``__deleted`` tombstone rows, which is what makes the fold
+    correct under BOTH at-least-once replay and out-of-order delivery
+    ACROSS micro-batches: a late-arriving lower-seq update loses to
+    the remembered winner, and a post-delete straggler cannot
+    resurrect the key because the tombstone (with its higher seq) is
+    still in the table. Per key, the change with the highest
+    ``seq_col`` wins — ``seq_col`` must totally order each key's
+    changes (CDC logs carry the source LSN/commit-seq, which does).
+    Read the current rows with :func:`cdc_current_state`; tombstones
+    are vacuumable once the source's replay horizon has passed them
+    (same retention reasoning as lake_tx snapshot expiry).
+
+    Same two-statement commit window as ``upsert_sink_stream``
+    (overwrite after localCheckpoint); the atomic variant composes the
+    identical fold with ``lake_tx``'s manifest-swap commit.
+
+    Returns the started query; callers ``awaitTermination()``.
+    """
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tagged = (
+            batch_df.withColumn("__deleted", F.col(op_col) == F.lit(delete_op))
+            .withColumn("__seq", F.col(seq_col))
+            .drop(op_col, seq_col)
+        )
+        if spark.catalog.tableExists(table):
+            unioned = spark.table(table).unionByName(tagged)
+        else:
+            unioned = tagged
+        w = Window.partitionBy(*keys).orderBy(F.desc("__seq"))
+        folded = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()
+        )
+        folded.write.mode("overwrite").saveAsTable(table)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_current_state(spark, table: str) -> DataFrame:
+    """Current rows of a :func:`cdc_sink_stream` table: tombstones
+    filtered, bookkeeping columns dropped."""
+    return spark.table(table).filter(~F.col("__deleted")).drop("__seq", "__deleted")

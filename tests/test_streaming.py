@@ -496,3 +496,63 @@ def test_stream_interval_join_left_outer_matches_batch_closed_region(
     got_null = {p[0] for p in pairs(got, True) if p[1] is None}
     want_null = {p[0] for p in pairs(batch, True) if p[1] is None}
     assert got_null == want_null and len(got_null) > 0
+
+
+def test_cdc_sink_stream_matches_batch_apply(spark, events_dir, tmp_path):
+    """foreachBatch CDC sink: drain a change log cut into per-file
+    micro-batches; the managed table must equal one batch
+    apply_changes over the whole log — updates applied, tombstoned
+    keys absent — regardless of batch boundaries."""
+    import os
+
+    from fintrack_etl_spark.operators.upsert import apply_changes
+    from fintrack_etl_spark.streaming.pipelines import (
+        cdc_current_state,
+        cdc_sink_stream,
+        file_source_stream,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    # synthesize a CDC log from events: key=user_id, seq=epoch micros,
+    # op=D for every third user's latest record
+    # seq = event_id: unique per key, so the fold's winner is
+    # batch-cut-independent even though repartition(4) scatters the log
+    # across files in random order (out-of-order delivery is the point)
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("user_id") % 3 == 0, "D").otherwise("U").alias("op"),
+    )
+    logdir = os.path.join(str(tmp_path), "cdclog")
+    log.repartition(4).write.parquet(logdir)
+
+    tbl = "cdc_sink_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # a crashed earlier run can leave the managed location behind after
+    # the catalog entry is gone; saveAsTable then refuses the name
+    import shutil
+
+    shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+    stream = file_source_stream(
+        spark, logdir, spark.read.parquet(logdir).schema, max_files_per_trigger=1
+    )
+    q = cdc_sink_stream(
+        stream, os.path.join(str(tmp_path), "ck"), tbl,
+        keys=["user_id"], seq_col="seq", op_col="op",
+    )
+    q.awaitTermination()
+
+    payload = spark.read.parquet(logdir)
+    empty = spark.createDataFrame([], payload.drop("seq", "op").schema)
+    want_df = apply_changes(empty, payload, ["user_id"], "seq", "op")
+    got = {
+        tuple(r)
+        for r in cdc_current_state(spark, tbl).select("user_id", "event_id").collect()
+    }
+    want = {tuple(r) for r in want_df.select("user_id", "event_id").collect()}
+    assert got == want and len(got) > 0
+    # tombstoned keys really are gone
+    assert not any(k % 3 == 0 for k, _ in got)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
