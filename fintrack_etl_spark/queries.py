@@ -3333,3 +3333,80 @@ def ext_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphans",
         F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_rate"),
     )
+
+
+@register(
+    "ext_order_priority_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q4 (order-priority count over a correlated
+    EXISTS): orders that had at least one line shipped >30 days after
+    the order date (the fixture's "late" stand-in for commit <
+    receipt). Decorrelated to a LEFT SEMI join whose condition carries
+    the cross-side date comparison; the orders date window pushes to
+    its scan, and the semi join means no lineitem row is ever
+    materialized into the output. This completes explicit coverage of
+    all 22 TPC-H query shapes (Q1=a1, Q3/Q5/Q10/Q13-15/Q17-19/Q22 =
+    ext_*, Q2/Q7-9/Q11/Q12/Q16/Q20/Q21 = fourth wave, Q6 =
+    ext_revenue_q6)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "ext_revenue_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def ext_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — TPC-H Q6 (forecast revenue change): the pure
+    scan-filter-aggregate. Every predicate (date range, discount band,
+    quantity cap) must reach the parquet scan as a pushed filter; the
+    whole query is one WholeStageCodegen span ending in a 1-row
+    partial+final agg — the canonical 'filters push down, nothing else
+    moves' plan."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -307,3 +307,25 @@ def test_q8_dim_filters_prune_before_fact_join(spark, sf_dir):
     plan = _phys(ext_market_share_q8(spark, sf_dir))
     assert "= PROMO" in plan.split("FileScan parquet [p_partkey")[1].split("\n")[0], plan
     assert "= AMERICA" in plan.split("FileScan parquet [r_regionkey")[1].split("\n")[0], plan
+
+
+def test_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: date range, discount band,
+    and quantity cap must ALL appear as data filters on the lineitem
+    scan, and the read schema must carry only the 4 referenced
+    columns."""
+    from fintrack_etl_spark.queries import ext_revenue_q6
+
+    plan = _phys(ext_revenue_q6(spark, sf_dir))
+    scan_line = plan.split("FileScan parquet [l_")[1].split("\n")[0]
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in scan_line, scan_line
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs, rs
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from fintrack_etl_spark.queries import ext_order_priority_q4
+
+    plan = _phys(ext_order_priority_q4(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
