@@ -3410,3 +3410,79 @@ def ext_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "ext_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           round(n / sum(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM cnt
+    """,
+)
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences (the
+    product-analytics "what happens after X" table): lead() within
+    user, pair counts, row-normalized probabilities. Plan: ONE fact
+    shuffle (the user window); the pair groupBy and the normalizing
+    window both run on |event_type|² rows. Counts are integers, so the
+    probabilities divide identical longs on both engines."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    cnt = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("event_type")
+    return cnt.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+@register(
+    "ext_exact_k_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 10
+    """,
+)
+def ext_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-stratum sample (eval-set construction: "exactly 10
+    docs per language, stable across runs"): rank by md5(id) within
+    the stratum and keep the first k — deterministic, engine-portable
+    (md5 hex compares identically everywhere), and unlike rate-based
+    ``stratified_sample`` the output size is exact. Plan: one shuffle
+    on the stratum; WindowGroupLimit prunes each partition to k rows
+    BEFORE the sort completes (same plan contract as w1), so the
+    cost is top-k per group, not a full per-group sort."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )

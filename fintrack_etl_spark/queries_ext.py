@@ -1811,3 +1811,74 @@ def x33_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_against_store(
         batch, store, docs, "doc_id", "text", threshold=0.6
     )
+
+
+@register(
+    "x34_bigram_pmi",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> {'a': toks[i], 'b': toks[i+1]})) AS s
+        FROM tok WHERE len(toks) >= 2
+    ),
+    pairs AS (SELECT s.a AS a, s.b AS b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+    lefts  AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY a),
+    rights AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY b),
+    tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM pairs)
+    SELECT a, b, n_ab,
+           round(n_ab * n / (n_a * CAST(n_b AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN lefts USING (a) JOIN rights USING (b)
+    CROSS JOIN tot
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, a ASC, b ASC
+    LIMIT 20
+    """,
+)
+def x34_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram association mining (PMI lift — phrase/collocation
+    discovery for tokenizer + n-gram vocab work): lift =
+    P(ab)/(P(a)P(b)) over bigram-position marginals, min-count 5,
+    global top-20. All inputs are integer counts, so the single double
+    division is deterministic across engines (counts stay < 2^53 —
+    at 100 TB switch the lift to log-space per-partial sums or keep
+    counts in DECIMAL). Plan: one explode + pair groupBy shuffle; the
+    marginals are |vocab|-sized aggregates of the PAIR table (not a
+    second corpus pass) and broadcast back; top-20 is
+    TakeOrderedAndProject."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    bg = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("s")
+        )
+        .select("s.a", "s.b")
+    )
+    pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    lefts = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    rights = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = pairs.agg(F.sum("n_ab").alias("n"))
+    lift = F.round(
+        F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b").cast("double")), 6
+    )
+    return (
+        pairs.filter(F.col("n_ab") >= 5)
+        .join(F.broadcast(lefts), "a")
+        .join(F.broadcast(rights), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "n_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

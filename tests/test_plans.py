@@ -329,3 +329,12 @@ def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
 
     plan = _phys(ext_order_priority_q4(spark, sf_dir))
     assert "LeftSemi" in plan, plan
+
+
+def test_exact_k_sample_uses_window_group_limit(spark, sf_dir):
+    """Exact-k sampling must prune to k rows per stratum inside the
+    window (WindowGroupLimit), not sort whole strata."""
+    from fintrack_etl_spark.queries import ext_exact_k_sample
+
+    plan = _phys(ext_exact_k_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
