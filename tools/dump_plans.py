@@ -55,6 +55,18 @@ SUPPLEMENT = [
     "x27_chunk_documents",
     "x28_vocab_oov",
     "x30_quality_gate",
+    # round 3 fourth wave
+    "ext_min_cost_supplier_q2",
+    "ext_market_share_q8",
+    "ext_waiting_supplier_q21",
+    "ext_revenue_q6",
+    "x31_semdedup",
+    "x33_incremental_corpus_dedup",
+    "ext_cdc_apply",
+    "ext_referential_integrity",
+    "ext_source_overlap",
+    "x34_bigram_pmi",
+    "ext_exact_k_sample",
 ]
 
 
