@@ -1866,7 +1866,10 @@ def x34_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.a", "s.b")
     )
-    pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    # pin the pair table: the three marginals below each re-derive it,
+    # and column-pruning differences defeat ReuseExchange — without the
+    # checkpoint the corpus is exploded and aggregated four times
+    pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).localCheckpoint()
     lefts = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     rights = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
     tot = pairs.agg(F.sum("n_ab").alias("n"))
