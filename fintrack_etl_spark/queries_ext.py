@@ -1885,3 +1885,108 @@ def x34_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+def _curation_oracle() -> str:
+    from .operators.sampling import token_budget_sql_cte
+
+    tb = token_budget_sql_cte(
+        "lang",
+        "len(regexp_split_to_array(trim(text), '\\s+'))",
+        "doc_id",
+        _TB_BUDGETS,
+        "cleaned",
+    )
+    return f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    f AS (
+        SELECT doc_id, lang, text,
+               len(regexp_split_to_array(trim(text), '\\s+'))  AS n_tokens,
+               len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   AS n_distinct,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))
+                   AS n_stopwords,
+               length(regexp_replace(text, '\\s', '', 'g'))    AS n_nospace
+        FROM docs
+    ),
+    gated AS (
+        SELECT doc_id, lang, text FROM f
+        WHERE n_tokens BETWEEN 10 AND 10000
+          AND n_distinct / n_tokens >= 0.45
+          AND n_stopwords / n_tokens >= 0.02
+          AND n_nospace / n_tokens BETWEEN 2.0 AND 12.0
+    ),
+    cleaned AS (
+        SELECT g.doc_id, g.lang, g.text
+        FROM gated g
+        JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
+              FROM gated GROUP BY 1) k
+          ON md5(g.text) = k.h AND g.doc_id = k.keep_id
+    ),
+    {tb}
+    SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM kept
+    """
+
+
+@register("x35_curation_pipeline", None)
+def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data curation flow as ONE composed,
+    row-level oracle-gated query: quality gate (x30's keep predicate)
+    → exact dedup keep-first over the re-crawl-augmented corpus (x1)
+    → domain mixing to per-language token budgets
+    (``sampling.sample_to_token_budget``). Output = the surviving
+    training set's (doc_id, lang, n_tokens).
+
+    Plan shape end to end: the gate is a narrow map (scan-speed, no
+    shuffle); dedup is a window min over md5(text) — one shuffle, no
+    keeper table (that table is |distinct texts|-sized, corpus-scale
+    at 100 TB, so broadcasting it is a non-design); the budget stage
+    shuffles only |strata|
+    totals and broadcasts the thresholds — the corpus itself crosses
+    the wire exactly once (the dedup groupBy). Every stage is a pure
+    function of row content/ids, so the DuckDB twin reproduces the
+    surviving set row for row."""
+    from .operators.sampling import sample_to_token_budget
+
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    toks = TX.tokens("text")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b', 0)")
+        ).alias("n_stopwords"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nospace"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gated = f.filter(
+        F.col("n_tokens").between(10, 10000)
+        & (d("n_distinct") / d("n_tokens") >= 0.45)
+        & (d("n_stopwords") / d("n_tokens") >= 0.02)
+        & (d("n_nospace") / d("n_tokens")).between(2.0, 12.0)
+    ).select("doc_id", "lang", "text")
+    from pyspark.sql import Window as _W
+
+    # keep-first dedup as a window min over the content hash: one
+    # shuffle on md5(text), no keeper table to broadcast (it would be
+    # |distinct texts|-sized — corpus-scale at 100 TB)
+    cleaned = (
+        gated.withColumn(
+            "__keep_id", F.min("doc_id").over(_W.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("__keep_id"))
+        .drop("__keep_id")
+        .withColumn("n_tokens", TX.token_count(F.col("text")).cast("bigint"))
+    )
+    kept = sample_to_token_budget(
+        cleaned, spark, "lang", "n_tokens", "doc_id", _TB_BUDGETS
+    )
+    return kept.select("doc_id", "lang", "n_tokens")
+
+
+ORACLES["x35_curation_pipeline"] = _curation_oracle()
