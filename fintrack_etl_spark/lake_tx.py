@@ -373,3 +373,86 @@ def continuous_aggregate_stream_versioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer published a version between this transaction's
+    snapshot read and its commit attempt."""
+
+
+def commit_table_cas(
+    df: DataFrame,
+    root: str,
+    expected_version: int,
+    batch_id: int | None = None,
+    lock_timeout_s: float = 30.0,
+) -> int:
+    """Optimistic-concurrency commit: publish ``df`` as the next
+    version ONLY if the table still points at ``expected_version``
+    (the version this transaction read its inputs from). Two writers
+    that raced from the same snapshot cannot both win — the loser gets
+    :class:`CommitConflictError` and must re-derive from the new
+    current version and retry (the standard Iceberg/Delta OCC loop).
+
+    Mechanics: the parquet write still happens in an invisible
+    version directory; the check-and-swap is serialized by an
+    ``O_CREAT|O_EXCL`` lock file — atomic on POSIX local filesystems
+    and HDFS, the same primitive the manifest swap already relies on.
+    (On S3-class stores you'd swap this for a conditional PUT /
+    DynamoDB mutex, exactly as the commit-point note at the top of
+    this module says.) A lock older than ``lock_timeout_s`` is
+    presumed abandoned by a crashed writer and broken — versions are
+    immutable and the manifest swap is atomic, so breaking a stale
+    lock can duplicate no data; the worst case is two writers racing
+    the SAME stale lock, which collapses back to the plain
+    last-replace-wins window the timeout makes arbitrarily unlikely.
+    """
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    cur = current_version(root)
+    if cur != expected_version:
+        raise CommitConflictError(
+            f"{root}: expected version {expected_version}, found {cur}"
+        )
+    n = cur + 1
+    df.write.mode("overwrite").parquet(_version_dir(root, n))
+
+    lock = os.path.join(root, "_commit.lock")
+    deadline = time.time() + lock_timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
+            if age > lock_timeout_s:
+                try:
+                    os.unlink(lock)  # break a crashed writer's lock
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(f"commit lock busy at {root}")
+            time.sleep(0.05)
+    try:
+        if current_version(root) != expected_version:
+            raise CommitConflictError(
+                f"{root}: version advanced past {expected_version} during commit"
+            )
+        tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": n, "batch_id": batch_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _manifest_path(root))  # THE commit point
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+    return n

@@ -297,3 +297,47 @@ def test_compact_table_cluster_by_tightens_file_stats(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping pk ranges {(lo1, hi1)} vs {(lo2, _hi2)}"
+
+
+def test_commit_cas_rejects_stale_writer_and_retry_succeeds(spark, tmp_path):
+    """Optimistic concurrency: two writers read the same snapshot;
+    the first commit wins, the second raises CommitConflictError and
+    must re-derive from the new current version — after which its
+    retry lands as the next version with both writers' effects."""
+    import pytest as _pytest
+
+    from fintrack_etl_spark.lake_tx import (
+        CommitConflictError,
+        commit_table,
+        commit_table_cas,
+        current_version,
+        read_table,
+    )
+
+    root = str(tmp_path / "occ_t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    v1 = commit_table(base, root)
+
+    # writer A and writer B both read v1
+    snap_a = read_table(spark, root, v1)
+    snap_b = read_table(spark, root, v1)
+
+    # A appends (3, c) and wins
+    a_out = snap_a.unionByName(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    v2 = commit_table_cas(a_out, root, expected_version=v1)
+    assert v2 == v1 + 1
+
+    # B appends (4, d) against the stale snapshot → conflict
+    b_out = snap_b.unionByName(spark.createDataFrame([(4, "d")], ["k", "v"]))
+    with _pytest.raises(CommitConflictError):
+        commit_table_cas(b_out, root, expected_version=v1)
+
+    # OCC retry loop: re-derive from the NEW current and commit
+    cur = current_version(root)
+    b_retry = read_table(spark, root).unionByName(
+        spark.createDataFrame([(4, "d")], ["k", "v"])
+    )
+    v3 = commit_table_cas(b_retry, root, expected_version=cur)
+    assert v3 == v2 + 1
+    got = sorted(tuple(r) for r in read_table(spark, root).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
