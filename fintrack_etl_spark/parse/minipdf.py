@@ -273,7 +273,11 @@ def extract_pdf_text(data: bytes) -> str | None:
         # text block (fonts, images, metadata) yield nothing.
         if b"BT" not in stream and b"Tj" not in stream and b"TJ" not in stream:
             continue
-        text = _stream_to_text(stream).strip("\n")
+        # rstrip only: a document whose first lines are EMPTY still has
+        # them (leading `Tj ""` + T* moves) — stripping them would shift
+        # every following line up. Trailing newlines have no extraction
+        # concept (there is no "line move then nothing"), so they go.
+        text = _stream_to_text(stream).rstrip("\n")
         if text:
             parts.append(text)
     return "\n".join(parts) if parts else None
