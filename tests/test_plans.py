@@ -338,3 +338,76 @@ def test_exact_k_sample_uses_window_group_limit(spark, sf_dir):
 
     plan = _phys(ext_exact_k_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join canary: with one key holding half the left side,
+    the FINAL adaptive plan must show SortMergeJoin(skew=true) with an
+    `AQEShuffleRead skewed` child — Spark's built-in complement to
+    operators/skew.salted_join (which exists for the agg-then-join
+    shapes AQE cannot split). The conf recipe is what a cluster
+    profile sets; thresholds are shrunk so the local fixture
+    qualifies. The plan must be read AFTER executing THIS DataFrame —
+    .count() builds its own query execution and leaves this one
+    isFinalPlan=false."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        left = spark.range(0, 500000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.rand(1).alias("lv"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.rand(2).alias("rv")
+        )
+        j = left.join(right, "k")
+        j.collect()
+        plan = _phys(j)
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP canary: a partitioned fact joined to a filtered dim must
+    carry a dynamicpruning subquery on the fact's partition column —
+    at 100 TB this is the difference between scanning 2 partitions and
+    scanning all of them. Partition layout comes from the same
+    partitionBy(...) write path lake.py uses."""
+    d = str(tmp_path / "fact")
+    fact = spark.range(0, 100000).select(
+        F.col("id"), (F.col("id") % 10).alias("pt"), (F.col("id") % 100).alias("v")
+    )
+    fact.write.partitionBy("pt").mode("overwrite").parquet(d)
+    dim = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("pt"), F.lit("x").alias("name"))
+        .filter(F.col("pt").isin(3, 7))
+    )
+    f = spark.read.parquet(d)
+    j = f.join(dim, "pt").groupBy("pt").agg(F.sum("v").alias("s"))
+    plan = _phys(j)
+    assert "dynamicpruning" in plan.lower(), plan
