@@ -3486,3 +3486,138 @@ def ext_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "ext_attribution",
+    """
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type IN ('view', 'click') THEN event_id END AS t_id,
+               CASE WHEN event_type IN ('view', 'click') THEN event_type END AS t_type,
+               CASE WHEN event_type IN ('view', 'click') THEN ts END AS t_ts
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    carried AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(t_id IGNORE NULLS) OVER w AS touch_id,
+               last_value(t_type IGNORE NULLS) OVER w AS touch_type,
+               last_value(t_ts IGNORE NULLS) OVER w AS touch_ts
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+           CAST(floor((epoch_us(ts) - epoch_us(touch_ts)) / 60000000) AS BIGINT)
+             AS gap_minutes
+    FROM carried
+    WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+      AND ts - touch_ts <= INTERVAL 7 DAY
+    """,
+)
+def ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding view/click within a 7-day
+    lookback. One shuffle (the per-user window); the carry-forward is
+    ``last(..., ignorenulls=True)`` over the (ts, event_id)-ordered
+    union of touches and purchases — the same forward-fill machinery
+    as w2, applied to the product-analytics question. Deterministic
+    because the window order carries the unique event_id tie-break."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(is_touch, F.col("event_id")).alias("t_id"),
+        F.when(is_touch, F.col("event_type")).alias("t_type"),
+        F.when(is_touch, F.col("ts")).alias("t_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last("t_id", ignorenulls=True).over(w).alias("touch_id"),
+        F.last("t_type", ignorenulls=True).over(w).alias("touch_type"),
+        F.last("t_ts", ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return (
+        carried.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_id").isNotNull()
+            & (F.col("ts") <= F.col("touch_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "touch_id",
+            "touch_type",
+            # elapsed whole minutes from µs epochs — DuckDB's
+            # date_diff('minute') counts boundary CROSSINGS, not elapsed
+            # time, so both engines floor the same integer µs delta
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                    - F.unix_micros(F.col("touch_ts").cast("timestamp_ltz"))
+                )
+                / 60000000
+            ).cast("long").alias("gap_minutes"),
+        )
+    )
+
+
+@register(
+    "ext_rolling_wau",
+    """
+    WITH daily AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    fanned AS (
+        SELECT d + CAST(u AS INTEGER) AS target_day, user_id
+        FROM daily, unnest(range(0, 7)) AS t(u)
+    )
+    SELECT target_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM fanned
+    WHERE target_day IN (SELECT d FROM days)
+    GROUP BY target_day
+    """,
+)
+def ext_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the classic product
+    health metric, computed WITHOUT a range self-join: each (day,
+    user) pair fans out to the 7 target days it contributes to (a
+    narrow 7× explode), then one count-distinct groupBy. At 100 TB
+    the fanout unit is the DAILY-distinct pair table (already tiny
+    relative to raw events), so the shuffle carries 7 × |daily actives|
+    rows — versus a range join whose build side is the same table 7
+    times over with none of the join-planning risk. Target days with
+    no events of their own are excluded on both engines (semi-join
+    against the observed day set)."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select("d").distinct()
+    fanned = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("u"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("u")).alias("target_day"), "user_id")
+    return (
+        fanned.join(
+            F.broadcast(days), fanned.target_day == days.d, "left_semi"
+        )
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
