@@ -3621,3 +3621,83 @@ def ext_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("target_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "ext_anomaly_mad",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey + 1000000000, l_linenumber, l_returnflag,
+               l_extendedprice * 20
+        FROM lineitem WHERE l_orderkey % 5000 = 0
+    ),
+    med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM li GROUP BY 1
+    ),
+    dev AS (
+        SELECT l.l_returnflag,
+               quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        FROM li l JOIN med m ON l.l_returnflag = m.l_returnflag
+        GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round(l.l_extendedprice, 2) AS price,
+           round(abs(l.l_extendedprice - m.med) / (1.4826 * d.mad), 4)
+             AS robust_z
+    FROM li l
+    JOIN med m ON l.l_returnflag = m.l_returnflag
+    JOIN dev d ON l.l_returnflag = d.l_returnflag
+    WHERE abs(l.l_extendedprice - m.med) / (1.4826 * d.mad) > 3.5
+    """,
+)
+def ext_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe sibling of ext_outlier_zscore (mean/stddev break
+    under the very outliers being hunted; median/MAD do not). Two
+    grouped exact-median passes (median, then median of |x−median|),
+    both |groups|-sized and broadcast back; the corpus itself is
+    scanned twice but never shuffled — at 100 TB swap the exact
+    medians for approx_percentile sketches and one scan. The 1.4826
+    constant rescales MAD to σ-equivalents (normal consistency
+    factor); both engines compute the identical doubles through the
+    same interpolated-median path ext_percentiles already gates.
+    Deterministic 20x-price outliers are injected (every 5000th order)
+    so the detector provably fires on the uniform fixture, where the
+    natural max robust-z is ~1.35."""
+    base = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    inj = base.filter(F.col("l_orderkey") % 5000 == 0).select(
+        (F.col("l_orderkey") + 1000000000).alias("l_orderkey"),
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_extendedprice") * 20).alias("l_extendedprice"),
+    )
+    li = base.unionByName(inj)
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("med")
+    )
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(abs(l_extendedprice - med), 0.5D)").alias("mad")
+        )
+    )
+    rz = F.abs(F.col("l_extendedprice") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(dev), "l_returnflag")
+        .filter(rz > 3.5)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )
