@@ -28,9 +28,10 @@ Design for scale:
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -111,3 +112,53 @@ def cluster_write(
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
+
+
+def parquet_footer_stats(
+    spark: SparkSession, paths: list[str], column: str
+) -> DataFrame:
+    """Distributed parquet footer audit: per (file, row group) row
+    counts and min/max statistics for ``column`` — the table a
+    file-skipping planner consults, surfaced as a DataFrame (the
+    operational check behind z-order/compaction: "are my files'
+    ranges actually disjoint?").
+
+    The file list parallelizes across the cluster and each task reads
+    ONLY footers via Arrow (a few KB per file regardless of file
+    size) — at 100 TB this audits a million files with zero data-page
+    I/O. Python is unavoidable here (footer decoding is not a Spark
+    expression), so it is an Arrow-batched ``mapInPandas`` over paths,
+    never over data.
+    """
+    import pandas as pd
+
+    files_df = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], ["path"]
+    ).repartition(min(len(paths), 64))
+
+    def read_meta(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    stat_min = stat_max = None
+                    for i in range(g.num_columns):
+                        c = g.column(i)
+                        if c.path_in_schema == column and c.statistics is not None:
+                            stat_min = c.statistics.min
+                            stat_max = c.statistics.max
+                    rows.append(
+                        (os.path.basename(p), rg, g.num_rows, stat_min, stat_max)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["file", "row_group_id", "n_rows", "min_key", "max_key"]
+            )
+
+    return files_df.mapInPandas(
+        read_meta,
+        "file string, row_group_id int, n_rows long, min_key long, max_key long",
+    )

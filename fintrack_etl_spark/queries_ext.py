@@ -1990,3 +1990,31 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["x35_curation_pipeline"] = _curation_oracle()
+
+
+@register(
+    "x36_file_stats",
+    """
+    SELECT regexp_extract(file_name, '[^/]+$') AS file,
+           CAST(row_group_id AS INTEGER) AS row_group_id,
+           CAST(row_group_num_rows AS BIGINT) AS n_rows,
+           CAST(stats_min_value AS BIGINT) AS min_key,
+           CAST(stats_max_value AS BIGINT) AS max_key
+    FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+    WHERE path_in_schema = 'l_orderkey'
+    """,
+)
+def x36_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parquet footer audit
+    (``layout.parquet_footer_stats``): per (file, row-group) counts
+    and l_orderkey min/max — footer-only I/O parallelized over the
+    file list, the operational check behind z-order clustering and
+    file skipping. The oracle reads the same footers via DuckDB's
+    parquet_metadata() at the gate's fixed sf0.01 path (oracle SQL is
+    static text; the Spark side follows sf_dir)."""
+    import os as _os
+
+    from .operators.layout import parquet_footer_stats
+
+    path = _os.path.join(sf_dir, "lineitem.parquet")
+    return parquet_footer_stats(spark, [path], "l_orderkey")

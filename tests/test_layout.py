@@ -118,3 +118,28 @@ def test_with_zorder_key_is_deterministic(spark, sf_dir):
     a = with_zorder_key(li, ["l_partkey", "l_suppkey"]).select(F.sum("__zkey")).first()[0]
     b = with_zorder_key(li, ["l_partkey", "l_suppkey"]).select(F.sum("__zkey")).first()[0]
     assert a == b
+
+
+def test_parquet_footer_stats_audits_range_clustered_files(spark, sf_dir, tmp_path):
+    """Distributed footer audit: over a range-clustered multi-file
+    table, the per-file (min, max) l_orderkey windows must cover all
+    rows and be pairwise DISJOINT — the property file skipping relies
+    on, read back through the same footers the planner uses."""
+    import glob
+
+    from fintrack_etl_spark.operators.layout import parquet_footer_stats
+
+    li = table(spark, "lineitem", sf_dir)
+    out = str(tmp_path / "ranged")
+    li.repartitionByRange(6, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(out)
+
+    paths = sorted(glob.glob(out + "/part-*.parquet"))
+    stats = parquet_footer_stats(spark, paths, "l_orderkey").collect()
+    assert len(stats) >= 6
+    assert sum(r["n_rows"] for r in stats) == li.count()
+    spans = sorted((r["min_key"], r["max_key"]) for r in stats)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 and lo2 <= hi2
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
