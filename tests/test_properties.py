@@ -172,3 +172,42 @@ def test_zvalue_matches_python_interleave(spark, bins):
     expect = [py_z(t) for t in [(r, g, b) for r, g, b in bins]]
     assert sorted(got) == sorted(expect)
     assert len(set(py_z(t) for t in set(bins))) == len(set(bins))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key
+            st.integers(min_value=0, max_value=99),   # payload
+            st.booleans(),                            # is delete
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_apply_changes_matches_reference_fold(spark, ops):
+    """CDC fold property: for ANY change log (unique seqs assigned by
+    position), apply_changes over an empty snapshot equals the obvious
+    sequential Python fold — last op per key wins, deletes remove."""
+    from fintrack_etl_spark.operators.upsert import apply_changes
+
+    state: dict[int, int] = {}
+    for k, v, is_del in ops:           # reference: fold in seq order
+        if is_del:
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    snap = spark.createDataFrame([], "k int, v int")
+    if ops:
+        changes = spark.createDataFrame(
+            [(k, v, i, "D" if d else "U") for i, (k, v, d) in enumerate(ops)],
+            ["k", "v", "seq", "op"],
+        )
+        folded = apply_changes(snap, changes, ["k"], "seq", "op")
+    else:
+        folded = snap
+    got = {r["k"]: r["v"] for r in folded.collect()}
+    assert got == state, (got, state)
