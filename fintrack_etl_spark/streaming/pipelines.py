@@ -535,3 +535,23 @@ def cdc_current_state(spark, table: str) -> DataFrame:
     """Current rows of a :func:`cdc_sink_stream` table: tombstones
     filtered, bookkeeping columns dropped."""
     return spark.table(table).filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
+def cdc_vacuum_tombstones(spark: SparkSession, table: str, below_seq: int) -> int:
+    """Retention for :func:`cdc_sink_stream` state: drop tombstone rows
+    whose ``__seq`` is below the source's replay horizon (changes older
+    than that can never be redelivered, so the tombstone has nothing
+    left to suppress). Live rows are never touched. Returns the number
+    of tombstones removed.
+
+    The horizon is the CALLER's contract with the source (e.g. the
+    log's retention LSN) — vacuuming above it re-opens the resurrect
+    window the tombstone existed to close.
+    """
+    cur = spark.table(table)
+    doomed = cur.filter(F.col("__deleted") & (F.col("__seq") < below_seq))
+    n = doomed.count()
+    if n:
+        kept = cur.filter(~(F.col("__deleted") & (F.col("__seq") < below_seq)))
+        kept.localCheckpoint().write.mode("overwrite").saveAsTable(table)
+    return n

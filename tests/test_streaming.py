@@ -556,3 +556,37 @@ def test_cdc_sink_stream_matches_batch_apply(spark, events_dir, tmp_path):
     # tombstoned keys really are gone
     assert not any(k % 3 == 0 for k, _ in got)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_cdc_vacuum_drops_only_expired_tombstones(spark):
+    """Vacuum removes tombstones strictly below the replay horizon and
+    nothing else; the current-state view is unchanged."""
+    from fintrack_etl_spark.streaming.pipelines import (
+        cdc_current_state,
+        cdc_vacuum_tombstones,
+    )
+
+    tbl = "cdc_vac_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil
+
+    shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+    rows = [
+        (1, "a", 10, False),   # live
+        (2, "b", 5, True),     # expired tombstone
+        (3, "c", 20, True),    # tombstone still inside horizon
+    ]
+    spark.createDataFrame(
+        rows, "k int, v string, __seq long, __deleted boolean"
+    ).write.saveAsTable(tbl)
+
+    before = {tuple(r) for r in cdc_current_state(spark, tbl).collect()}
+    n = cdc_vacuum_tombstones(spark, tbl, below_seq=15)
+    assert n == 1
+    keys = {r["k"]: r["__deleted"] for r in spark.table(tbl).collect()}
+    assert keys == {1: False, 3: True}
+    after = {tuple(r) for r in cdc_current_state(spark, tbl).collect()}
+    assert after == before
+    # idempotent: nothing left below the horizon
+    assert cdc_vacuum_tombstones(spark, tbl, below_seq=15) == 0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
