@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import textops as TX
@@ -2018,3 +2018,96 @@ def x36_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _os.path.join(sf_dir, "lineitem.parquet")
     return parquet_footer_stats(spark, [path], "l_orderkey")
+
+
+@register(
+    "x37_contrastive_pairs",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+        SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, cand_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim,
+               md5(CAST(query_id AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR)) AS h
+        FROM q JOIN c ON cand_id <> query_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id ASC) AS rnk_pos
+        FROM scored
+    ),
+    negs AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY h ASC, cand_id ASC) AS rnk_neg
+        FROM ranked WHERE rnk_pos > 1
+    )
+    SELECT query_id, cand_id, 'pos' AS role, round(sim, 6) AS cosine
+    FROM ranked WHERE rnk_pos = 1
+    UNION ALL
+    SELECT query_id, cand_id, 'neg' AS role, round(sim, 6) AS cosine
+    FROM negs WHERE rnk_neg <= 3
+    """,
+)
+def x37_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each query embedding, the
+    exact nearest neighbor as the positive and 3 DETERMINISTIC random
+    negatives (ranked by md5(query:cand) — reproducible across runs
+    and engines, no RNG state). The standard data-prep step for
+    embedding-model fine-tuning. Plan mirrors x11: queries broadcast,
+    corpus scanned once without a shuffle, and both per-query windows
+    (top-1 by sim, bottom-3 by hash) ride one |q|-partitioned exchange
+    of partition-pruned candidates. The sequential F.aggregate dot is
+    bit-identical to DuckDB's list_dot_product."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot / (nrm("qv") * nrm("cv"))).alias("sim"),
+            F.md5(
+                F.concat_ws(":", F.col("query_id").cast("string"), F.col("cand_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    ranked = scored.withColumn("rnk_pos", F.row_number().over(w_pos))
+    pos = ranked.filter(F.col("rnk_pos") == 1).select(
+        "query_id", "cand_id", F.lit("pos").alias("role"), F.round("sim", 6).alias("cosine")
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(F.asc("h"), F.asc("cand_id"))
+    neg = (
+        ranked.filter(F.col("rnk_pos") > 1)
+        .withColumn("rnk_neg", F.row_number().over(w_neg))
+        .filter(F.col("rnk_neg") <= 3)
+        .select(
+            "query_id", "cand_id", F.lit("neg").alias("role"), F.round("sim", 6).alias("cosine")
+        )
+    )
+    return pos.unionByName(neg)
