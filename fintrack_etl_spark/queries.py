@@ -3701,3 +3701,75 @@ def ext_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+@register(
+    "ext_pit_join",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+        SELECT * FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    ),
+    scd AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to
+        FROM chg
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+        SELECT * FROM scd
+        WHERE valid_to IS NULL OR valid_to > valid_from
+    ),
+    fact AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.event_type AS state_at_event,
+           d.valid_from AS state_since
+    FROM fact f JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def ext_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store primitive:
+    attach to each fact row the dimension VERSION that was valid at
+    the fact's event time. The dim is the SCD2 table ext_scd2_build
+    produces (zero-width same-timestamp versions dropped: they carry
+    no time); the lookup is NOT a range join but an as-of join on
+    ``valid_from`` (``operators/joins.asof_join``: union + one keyed
+    shuffle + forward fill — neither side needs to fit in memory, no
+    range-state blowup, AQE handles skew like any shuffle). With a
+    contiguous SCD2 history the greatest valid_from ≤ ts IS the
+    containing version, so the as-of result equals the oracle's
+    explicit BETWEEN join row for row."""
+    from .operators import windows as win_ops
+
+    ev = T(spark, sf_dir, "events")
+    scd = win_ops.scd2_from_changes(ev, ["user_id"], ["ts", "event_id"], ["event_type"])
+    dim = scd.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    )
+    fact = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = join_ops.asof_join(
+        fact,
+        dim,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols={"event_type": "state_at_event"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "state_at_event",
+        F.col("asof_ts").alias("state_since"),
+    )
