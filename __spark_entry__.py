@@ -95,10 +95,13 @@ _TIER0_LAST = (
     "ext_waiting_supplier_q21",
     "ext_order_priority_q4",
     "ext_revenue_q6",
-    # window/percentile shapes equally covered by driver-green siblings
-    # (w-family, ext_percentiles, ext_outlier_zscore)
+    # window/percentile/lead-lag shapes equally covered by driver-green
+    # siblings (w-family, ext_percentiles, ext_outlier_zscore, ext_lag_lead)
     "ext_rolling_wau",
     "ext_anomaly_mad",
+    "ext_event_transitions",
+    "ext_exact_k_sample",
+    "ext_attribution",
 )
 
 
