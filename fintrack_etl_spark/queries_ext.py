@@ -2111,3 +2111,66 @@ def x37_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pos.unionByName(neg)
+
+
+@register(
+    "ext_audience_overlap",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_purchase,
+           CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+             AS n_both_exact,
+           TRUE AS hll_within_bound
+    """,
+)
+def ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap — distinct users present in BOTH event cohorts
+    ('view' ∩ 'purchase'), the segmentation question behind every
+    funnel/retargeting report. Exact side: two distinct sets + one
+    semi-join count (value-checked). Sketch side: |A∩B| by
+    inclusion–exclusion over HLL sketches — |A| + |B| − |A∪B| with
+    ``hll_union`` — which at 100 TB needs one pass per cohort and
+    merges across partitions/time like any mergeable state (the
+    sketches can be PERSISTED per day and unioned across arbitrary
+    date ranges without rescanning events). Sketch bytes are
+    engine-specific, so the oracle gates the accuracy contract, same
+    pattern as ext_incremental_distinct: the in-query boolean asserts
+    the estimate lands within 15% of exact (inclusion–exclusion
+    doubles the rse; lg_k=12 still leaves ~5× margin). All three
+    exact counts come from ONE per-user bool_or pass (one shuffle,
+    one action), not three separate distinct jobs; the two driver
+    scalars are O(1) values, not data movement."""
+    ev = T(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("has_a"),
+            F.max(F.col("event_type") == "purchase").alias("has_b"),
+        )
+    )
+    row = per_user.agg(
+        F.sum(F.col("has_a").cast("long")).alias("n_a"),
+        F.sum(F.col("has_b").cast("long")).alias("n_b"),
+        F.sum((F.col("has_a") & F.col("has_b")).cast("long")).alias("n_both"),
+    ).first()
+    exact_a, exact_b, exact_both = row["n_a"], row["n_b"], row["n_both"]
+    sk = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    )
+    est = sk.agg(
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk)) AS e_union"
+        ),
+        F.sum(F.expr("hll_sketch_estimate(sk)")).alias("e_sum"),
+    ).select((F.col("e_sum") - F.col("e_union")).alias("e_both"))
+    e_both = est.first()["e_both"]
+    ok = exact_both == 0 or abs(e_both - exact_both) / exact_both <= 0.15
+    return spark.createDataFrame(
+        [(exact_a, exact_b, exact_both, bool(ok))],
+        "n_view long, n_purchase long, n_both_exact long, hll_within_bound boolean",
+    )
