@@ -3773,3 +3773,73 @@ def ext_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_at_event",
         F.col("asof_ts").alias("state_since"),
     )
+
+
+@register(
+    "ext_entity_resolution",
+    """
+    WITH RECURSIVE b AS (
+        SELECT p_partkey, p_name, p_type,
+               regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS src, c.p_partkey AS dst
+        FROM b a JOIN b c
+          ON a.blk = c.blk AND a.p_type = c.p_type AND a.p_partkey < c.p_partkey
+        WHERE levenshtein(a.p_name, c.p_name) <= 3
+    ),
+    edges(a, e_b) AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.e_b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    cc AS (SELECT node, min(lab) AS cid FROM walk GROUP BY node),
+    labels AS (
+        SELECT p.p_partkey, p.p_name,
+               CAST(coalesce(cc.cid, p.p_partkey) AS BIGINT) AS canonical_id
+        FROM b p LEFT JOIN cc ON p.p_partkey = cc.node
+    )
+    SELECT p_partkey, p_name, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size
+    FROM labels
+    """,
+)
+def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (``joins.fuzzy_self_pairs``, per-block Levenshtein) → distributed
+    connected components (``graph.connected_components``, min-label
+    propagation) → every part labeled with a canonical entity id and
+    its cluster size. The composition the reference's dedup pipelines
+    stop short of: pair detection alone leaves A~B, B~C unresolved;
+    the transitive closure is what yields one golden record per
+    entity. The oracle closes the same edges with a recursive CTE —
+    the declarative fixpoint checking the iterative propagation, same
+    discipline as x16."""
+    from .operators.graph import attach_clusters, connected_components
+    from .operators.joins import fuzzy_self_pairs
+
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
+    )
+    pairs = fuzzy_self_pairs(p, "p_partkey", "p_name", ["blk", "p_type"], max_dist=3)
+    comps = connected_components(
+        pairs.select(F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b")),
+        "doc_a",
+        "doc_b",
+    )
+    labeled = attach_clusters(p.select("p_partkey", "p_name"), comps, "p_partkey")
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "p_partkey",
+        "p_name",
+        F.col("cluster_id").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
