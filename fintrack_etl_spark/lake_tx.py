@@ -456,3 +456,32 @@ def commit_table_cas(
         except FileNotFoundError:
             pass
     return n
+
+
+def delete_rows(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    batch_id: int | None = None,
+) -> tuple[int, int]:
+    """Row-level DELETE through the commit log — the
+    right-to-be-forgotten path (``forms_main.py:408-413``'s DELETE
+    WHERE, versioned): write a new version WITHOUT the matching rows
+    and atomically publish it. Readers never see a half-deleted table;
+    the change-data-feed (``table_changes``) reports exactly the
+    removed rows as deletes, which is the audit artifact an erasure
+    request needs.
+
+    ``predicate`` is a Column (or SQL string) selecting rows to REMOVE.
+    Returns ``(new_version, n_deleted)``. NOTE: prior versions still
+    contain the rows until ``expire_versions`` vacuums them — complete
+    erasure = delete_rows + expire_versions(retain_last=1), exactly
+    like Delta/Iceberg VACUUM semantics.
+    """
+    cur = read_table(spark, root)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    doomed = cur.filter(cond)
+    n = doomed.count()
+    kept = cur.filter(~cond | cond.isNull())
+    v = commit_table(kept, root, batch_id=batch_id)
+    return v, n

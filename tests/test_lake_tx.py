@@ -341,3 +341,50 @@ def test_commit_cas_rejects_stale_writer_and_retry_succeeds(spark, tmp_path):
     assert v3 == v2 + 1
     got = sorted(tuple(r) for r in read_table(spark, root).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_delete_rows_erasure_flow(spark, tmp_path):
+    """Right-to-be-forgotten: delete_rows publishes a version without
+    the subject's rows (atomic swap — the old version stays readable
+    via time travel until vacuumed), the CDF reports exactly the
+    removed rows as deletes, and delete_rows + expire_versions leaves
+    no version containing the subject."""
+    import os
+
+    from fintrack_etl_spark.lake_tx import (
+        commit_table,
+        delete_rows,
+        expire_versions,
+        read_table,
+        table_changes,
+    )
+
+    root = str(tmp_path / "gdpr_t")
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "alice"), (4, "eve")], ["id", "user"]
+    )
+    v1 = commit_table(df, root)
+
+    v2, n = delete_rows(spark, root, F.col("user") == "alice")
+    assert n == 2 and v2 == v1 + 1
+    assert read_table(spark, root).filter(F.col("user") == "alice").count() == 0
+    # time travel still sees the old version (deletion is not silent
+    # history rewrite)...
+    assert read_table(spark, root, v1).filter(F.col("user") == "alice").count() == 2
+    # ...and the CDF audit trail shows exactly the erased rows
+    ch = table_changes(spark, root, v1, v2)
+    dels = {
+        (r["id"], r["user"])
+        for r in ch.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert dels == {(1, "alice"), (3, "alice")}
+
+    # full erasure: vacuum history
+    removed = expire_versions(root, retain_last=1)
+    assert v1 in removed
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p):
+            assert (
+                spark.read.parquet(p).filter(F.col("user") == "alice").count() == 0
+            )
