@@ -67,6 +67,14 @@ SUPPLEMENT = [
     "ext_source_overlap",
     "x34_bigram_pmi",
     "ext_exact_k_sample",
+    # round 3 fifth wave
+    "ext_pit_join",
+    "ext_entity_resolution",
+    "x37_contrastive_pairs",
+    "ext_audience_overlap",
+    "ext_attribution",
+    "ext_rolling_wau",
+    "x36_file_stats",
 ]
 
 
