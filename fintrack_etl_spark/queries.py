@@ -3843,3 +3843,220 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("canonical_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@register(
+    "x38_triangle_count",
+    """
+    WITH b AS (
+        SELECT p_partkey, p_name, p_type,
+               regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
+        FROM part
+    ),
+    e AS (
+        SELECT a.p_partkey AS src, c.p_partkey AS dst
+        FROM b a JOIN b c
+          ON a.blk = c.blk AND a.p_type = c.p_type AND a.p_partkey < c.p_partkey
+        WHERE levenshtein(a.p_name, c.p_name) <= 3
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(DISTINCT x) FROM
+                 (SELECT src AS x FROM e UNION SELECT dst FROM e)) AS BIGINT)
+             AS n_nodes,
+           CAST((SELECT count(*)
+                 FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                           JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def x38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the fuzzy-similarity graph — the
+    clustering-coefficient primitive (how clique-like are the
+    near-duplicate neighborhoods?). Edges are kept in canonical
+    src < dst orientation, so each triangle is counted exactly once
+    by the two-hop join: e1=(a,b), e2=(b,c), closed by e3=(a,c).
+    Plan: two self-joins of the EDGE table (pair-detection output,
+    orders of magnitude smaller than the node table); at web scale
+    the standard degree-ordering refinement applies unchanged —
+    orient each edge from the lower-degree endpoint so no join key
+    fans out beyond sqrt(|E|)."""
+    from .operators.joins import fuzzy_self_pairs
+
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
+    )
+    e = fuzzy_self_pairs(p, "p_partkey", "p_name", ["blk", "p_type"], max_dist=3).select(
+        F.col("id_l").alias("src"), F.col("id_r").alias("dst")
+    ).localCheckpoint()
+    n_edges = e.count()
+    n_nodes = (
+        e.select(F.col("src").alias("x"))
+        .unionByName(e.select(F.col("dst").alias("x")))
+        .distinct()
+        .count()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_edges, n_nodes, tri)], "n_edges long, n_nodes long, n_triangles long"
+    )
+
+
+@register(
+    "ext_session_paths",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_n
+        FROM ordered
+    ),
+    paths AS (
+        SELECT user_id, sess_n,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, sess_n
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    HAVING count(*) >= 5
+    """,
+)
+def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: sessionize (30-min idle gap), concatenate
+    each session's ordered event types into a path string, count the
+    frequent paths (support >= 5) — the "how do users actually move"
+    table. One shuffle for the user window, one for the per-session
+    ordered aggregation (array_sort over (ts, event_id)-keyed structs
+    → deterministic '>' join, identical to the oracle's ORDER BY
+    string_agg), one |paths|-sized count."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = (
+        F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
+    )
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us >= 1800 * 1000000), 1
+        ).otherwise(0).alias("new_sess"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_n"),
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_n")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
+@register(
+    "ext_time_to_convert",
+    """
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN ts END AS v_ts
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    carried AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(v_ts IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ts
+        FROM tagged
+    ),
+    conv AS (
+        SELECT (epoch_us(ts) - epoch_us(v_ts)) / 60000000.0 AS mins
+        FROM carried
+        WHERE event_type = 'purchase' AND v_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(mins, 0.5), 4)  AS p50_minutes,
+           round(quantile_cont(mins, 0.9), 4)  AS p90_minutes,
+           round(quantile_cont(mins, 0.99), 4) AS p99_minutes
+    FROM conv
+    """,
+)
+def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every purchase, minutes since
+    the user's most recent view (same carry-forward machinery as
+    ext_attribution), summarized as interpolated p50/p90/p99 — the
+    funnel-latency health metric. One user-window shuffle + one 1-row
+    percentile aggregate; µs-epoch arithmetic keeps both engines on
+    identical doubles before the identical interpolation."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_type",
+        "ts",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        ).over(w).alias("v_ts"),
+    )
+    mins = (
+        F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        - F.unix_micros(F.col("v_ts").cast("timestamp_ltz"))
+    ) / 60000000.0
+    conv = carried.filter(
+        (F.col("event_type") == "purchase") & F.col("v_ts").isNotNull()
+    ).select(mins.alias("mins"))
+    pct = F.expr("percentile(mins, array(0.5D, 0.9D, 0.99D))")
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"), pct.alias("p")
+    ).select(
+        "n_conversions",
+        *[
+            F.round(F.col("p")[i], 4).alias(n)
+            for i, n in enumerate(("p50_minutes", "p90_minutes", "p99_minutes"))
+        ],
+    )
