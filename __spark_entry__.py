@@ -102,6 +102,9 @@ _TIER0_LAST = (
     "ext_event_transitions",
     "ext_exact_k_sample",
     "ext_attribution",
+    "ext_time_to_convert",
+    "ext_session_paths",
+    "x38_triangle_count",
 )
 
 
