@@ -211,3 +211,46 @@ def test_apply_changes_matches_reference_fold(spark, ops):
         folded = snap
     got = {r["k"]: r["v"] for r in folded.collect()}
     assert got == state, (got, state)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=15),  # left (key, t)
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=15),  # right (key, t)
+)
+def test_asof_join_matches_reference_scan(spark, lrows, rrows):
+    """As-of join property: for ANY left/right tables, each left row
+    gets the right row with the greatest right_ts <= left_ts per key
+    (ties allowed: equal right_ts at the left's time IS visible),
+    matching a quadratic reference scan."""
+    from fintrack_etl_spark.operators.joins import asof_join
+
+    # unique right timestamps per key so "the" matched row is well
+    # defined (the operator's tie rule among identical right_ts rows is
+    # unspecified, as in every as-of engine)
+    rseen = {}
+    for k, t in rrows:
+        rseen.setdefault((k, t), (k, t))
+    rrows = list(rseen.values())
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k int, t int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, t * 1000 + k) for (k, t) in rrows], "k int, t int, payload int"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        right_cols={"payload": "asof_payload"},
+    )
+    got = {r["lid"]: r["asof_payload"] for r in out.collect()}
+
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        best = None
+        for rk, rt in rrows:
+            if rk == k and rt <= t and (best is None or rt > best):
+                best = rt
+        want[i] = None if best is None else best * 1000 + k
+    assert got == want, (got, want)
