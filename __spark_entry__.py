@@ -105,6 +105,7 @@ _TIER0_LAST = (
     "ext_time_to_convert",
     "ext_session_paths",
     "x38_triangle_count",
+    "ext_profile_table",
 )
 
 

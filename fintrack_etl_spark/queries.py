@@ -4060,3 +4060,66 @@ def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(("p50_minutes", "p90_minutes", "p99_minutes"))
         ],
     )
+
+
+@register(
+    "ext_profile_table",
+    """
+    WITH s AS (
+        SELECT count(*) AS n,
+               count(o_custkey) AS nn_custkey,
+               count(o_orderstatus) AS nn_status,
+               count(o_totalprice) AS nn_price,
+               count(DISTINCT o_orderstatus) AS nd_status,
+               count(DISTINCT o_orderpriority) AS nd_priority,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+    )
+    SELECT col, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        SELECT 'o_orderstatus' AS col, CAST(n AS BIGINT) AS n_rows,
+               CAST(n - nn_status AS BIGINT) AS n_nulls,
+               CAST(nd_status AS BIGINT) AS n_distinct,
+               NULL AS min_val, NULL AS max_val
+        FROM s
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(n AS BIGINT),
+               CAST(0 AS BIGINT), CAST(nd_priority AS BIGINT), NULL, NULL
+        FROM s
+        UNION ALL
+        SELECT 'o_totalprice', CAST(n AS BIGINT),
+               CAST(n - nn_price AS BIGINT), CAST(NULL AS BIGINT),
+               min_price, max_price
+        FROM s
+    )
+    """,
+)
+def ext_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style column statistics as data):
+    null counts, distinct counts, and min/max per column, computed in
+    ONE aggregation pass over the table and unpivoted to a
+    (column, stats) report — the input to both query planning
+    (lake.analyze_table feeds the catalog) and data-quality review.
+    At 100 TB exact count-distinct per column is the only shuffle-heavy
+    piece; swap to approx_count_distinct per column (still one pass)
+    and the whole profile is a scan + 1-row aggregate."""
+    o = T(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count_distinct("o_orderpriority").alias("nd_priority"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    ).first()
+    rows = [
+        ("o_orderstatus", s["n"], s["n"] - s["nn_status"], s["nd_status"], None, None),
+        ("o_orderpriority", s["n"], 0, s["nd_priority"], None, None),
+        ("o_totalprice", s["n"], s["n"] - s["nn_price"], None, s["min_price"], s["max_price"]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, n_rows long, n_nulls long, n_distinct long, "
+        "min_val double, max_val double",
+    )
