@@ -128,7 +128,9 @@ def _merge_registry(attr: str) -> dict:
     ordered.update(
         {k: v for k, v in merged.items() if tier(k) == 0 and k not in _TIER0_LAST}
     )
-    ordered.update({k: merged[k] for k in _TIER0_LAST if k in merged})
+    ordered.update(
+        {k: merged[k] for k in _TIER0_LAST if k in merged and tier(k) == 0}
+    )
     for t in (1, 2):
         ordered.update({k: v for k, v in merged.items() if tier(k) == t})
     return ordered

@@ -394,18 +394,20 @@ def commit_table_cas(
     :class:`CommitConflictError` and must re-derive from the new
     current version and retry (the standard Iceberg/Delta OCC loop).
 
-    Mechanics: the parquet write still happens in an invisible
-    version directory; the check-and-swap is serialized by an
-    ``O_CREAT|O_EXCL`` lock file — atomic on POSIX local filesystems
-    and HDFS, the same primitive the manifest swap already relies on.
-    (On S3-class stores you'd swap this for a conditional PUT /
-    DynamoDB mutex, exactly as the commit-point note at the top of
-    this module says.) A lock older than ``lock_timeout_s`` is
-    presumed abandoned by a crashed writer and broken — versions are
-    immutable and the manifest swap is atomic, so breaking a stale
-    lock can duplicate no data; the worst case is two writers racing
-    the SAME stale lock, which collapses back to the plain
-    last-replace-wins window the timeout makes arbitrarily unlikely.
+    Mechanics: the parquet write goes to a UNIQUE staging directory —
+    never the deterministic ``v{n}`` path, which a slow losing writer
+    would otherwise clobber AFTER the winner published it. Under the
+    ``O_CREAT|O_EXCL`` lock (atomic on POSIX/HDFS; a conditional PUT /
+    DynamoDB mutex on S3-class stores, as the commit-point note at the
+    top of this module says) the current version is re-read, the next
+    version number assigned, the staging dir renamed into place, and
+    the manifest swapped — so the loser's data never touches a
+    published path. A lock older than ``lock_timeout_s`` is presumed
+    abandoned by a crashed writer and broken — versions are immutable
+    and the manifest swap is atomic, so breaking a stale lock can
+    duplicate no data; the worst case is two writers racing the SAME
+    stale lock, which collapses back to the plain last-replace-wins
+    window the timeout makes arbitrarily unlikely.
     """
     import time
 
@@ -415,8 +417,8 @@ def commit_table_cas(
         raise CommitConflictError(
             f"{root}: expected version {expected_version}, found {cur}"
         )
-    n = cur + 1
-    df.write.mode("overwrite").parquet(_version_dir(root, n))
+    staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
 
     lock = os.path.join(root, "_commit.lock")
     deadline = time.time() + lock_timeout_s
@@ -436,6 +438,7 @@ def commit_table_cas(
                     pass
                 continue
             if time.time() > deadline:
+                shutil.rmtree(staging, ignore_errors=True)
                 raise TimeoutError(f"commit lock busy at {root}")
             time.sleep(0.05)
     try:
@@ -443,6 +446,12 @@ def commit_table_cas(
             raise CommitConflictError(
                 f"{root}: version advanced past {expected_version} during commit"
             )
+        n = expected_version + 1
+        vdir = _version_dir(root, n)
+        # a crashed earlier attempt may have left a partial dir for this
+        # never-published version; it was never visible
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.replace(staging, vdir)
         tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"version": n, "batch_id": batch_id}, f)
@@ -455,6 +464,7 @@ def commit_table_cas(
             os.unlink(lock)
         except FileNotFoundError:
             pass
+        shutil.rmtree(staging, ignore_errors=True)  # no-op after rename
     return n
 
 

@@ -129,8 +129,19 @@ def parquet_footer_stats(
     I/O. Python is unavoidable here (footer decoding is not a Spark
     expression), so it is an Arrow-batched ``mapInPandas`` over paths,
     never over data.
+
+    ``column`` must be an INTEGER-typed column (the stats land in
+    BIGINT min/max columns); non-integer statistics (timestamps,
+    strings, decimals) would need a per-type schema, so they are
+    rejected eagerly rather than failing inside the Arrow conversion.
     """
     import pandas as pd
+
+    schema = (
+        "file string, row_group_id int, n_rows long, min_key long, max_key long"
+    )
+    if not paths:
+        return spark.createDataFrame([], schema)
 
     files_df = spark.createDataFrame(
         [(p,) for p in sorted(paths)], ["path"]
@@ -143,6 +154,16 @@ def parquet_footer_stats(
             rows = []
             for p in pdf["path"]:
                 md = pq.ParquetFile(p).metadata
+                for i, name in enumerate(md.schema.names):
+                    if name == column and md.schema.column(i).physical_type not in (
+                        "INT32",
+                        "INT64",
+                    ):
+                        raise TypeError(
+                            f"parquet_footer_stats: {column} is "
+                            f"{md.schema.column(i).physical_type}; only "
+                            "INT32/INT64 columns fit the BIGINT stats schema"
+                        )
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
                     stat_min = stat_max = None
@@ -158,7 +179,4 @@ def parquet_footer_stats(
                 rows, columns=["file", "row_group_id", "n_rows", "min_key", "max_key"]
             )
 
-    return files_df.mapInPandas(
-        read_meta,
-        "file string, row_group_id int, n_rows long, min_key long, max_key long",
-    )
+    return files_df.mapInPandas(read_meta, schema)

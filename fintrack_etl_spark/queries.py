@@ -2965,16 +2965,18 @@ def ext_profit_by_nation_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_important_stock_q11",
     """
     WITH pv AS (
-        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS cents
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE n_name IN ('NATION_0', 'NATION_1')
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(value, 2) AS value
+    SELECT l_partkey AS partkey, round(cents / 100.0, 2) AS value
     FROM pv
-    WHERE value > (SELECT sum(value) * 0.002 FROM pv)
+    WHERE cents > (SELECT sum(cents) * 0.002 FROM pv)
     """,
 )
 def ext_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2984,24 +2986,32 @@ def ext_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold and the output (Spark reuses the exchange; the oracle's
     CTE is likewise single-evaluation in DuckDB). Plan: one fact
     groupBy(l_partkey) shuffle; the 1-row threshold broadcasts back
-    via a cross join."""
+    via a cross join. Values aggregate as integer CENTS so both the
+    threshold and the compared totals are association-free (the same
+    guard ext_profit_by_nation_q9 needed after a real .005 flake —
+    an unrounded double sum compared against a fraction of its own
+    grand total is the worst case for cross-engine ulp divergence)."""
     li = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_0", "NATION_1")
     )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
     pv = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+        .agg(F.sum(rev_cents).alias("cents"))
     )
-    thr = pv.agg((F.sum("value") * 0.002).alias("__thr"))
+    thr = pv.agg((F.sum("cents") * 0.002).alias("__thr"))
     return (
         pv.join(F.broadcast(thr))
-        .filter(F.col("value") > F.col("__thr"))
+        .filter(F.col("cents") > F.col("__thr"))
         .select(
-            F.col("l_partkey").alias("partkey"), F.round("value", 2).alias("value")
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("value"),
         )
     )
 

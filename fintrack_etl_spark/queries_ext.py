@@ -1970,14 +1970,12 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (d("n_stopwords") / d("n_tokens") >= 0.02)
         & (d("n_nospace") / d("n_tokens")).between(2.0, 12.0)
     ).select("doc_id", "lang", "text")
-    from pyspark.sql import Window as _W
-
     # keep-first dedup as a window min over the content hash: one
     # shuffle on md5(text), no keeper table to broadcast (it would be
     # |distinct texts|-sized — corpus-scale at 100 TB)
     cleaned = (
         gated.withColumn(
-            "__keep_id", F.min("doc_id").over(_W.partitionBy(F.md5("text")))
+            "__keep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
         )
         .filter(F.col("doc_id") == F.col("__keep_id"))
         .drop("__keep_id")

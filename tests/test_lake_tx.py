@@ -388,3 +388,55 @@ def test_delete_rows_erasure_flow(spark, tmp_path):
             assert (
                 spark.read.parquet(p).filter(F.col("user") == "alice").count() == 0
             )
+
+
+def test_commit_cas_loser_cannot_clobber_published_version(
+    spark, tmp_path, monkeypatch
+):
+    """The clobber window: writer B passes the cheap pre-write check
+    (simulated by patching the first current_version read), stages its
+    data, and only discovers the conflict under the lock. The winner's
+    PUBLISHED version directory must be untouched by B's staging write
+    and no staging litter may remain."""
+    import glob
+    import os
+
+    from fintrack_etl_spark import lake_tx
+    from fintrack_etl_spark.lake_tx import (
+        CommitConflictError,
+        commit_table,
+        commit_table_cas,
+        read_table,
+    )
+
+    root = str(tmp_path / "occ_clobber_t")
+    v1 = commit_table(spark.createDataFrame([(1, "a")], ["k", "v"]), root)
+    # winner A publishes v2
+    v2 = commit_table_cas(
+        spark.createDataFrame([(1, "a"), (2, "winner")], ["k", "v"]),
+        root,
+        expected_version=v1,
+    )
+
+    # loser B believes the table is still at v1: first pre-check lies,
+    # every later read (under the lock) tells the truth
+    real = lake_tx.current_version
+    calls = {"n": 0}
+
+    def lying_current_version(r):
+        calls["n"] += 1
+        return v1 if calls["n"] == 1 else real(r)
+
+    monkeypatch.setattr(lake_tx, "current_version", lying_current_version)
+    with pytest.raises(CommitConflictError):
+        commit_table_cas(
+            spark.createDataFrame([(9, "loser")], ["k", "v"]),
+            root,
+            expected_version=v1,
+        )
+    monkeypatch.setattr(lake_tx, "current_version", real)
+
+    # winner's published data is intact and no staging dirs remain
+    got = sorted(tuple(r) for r in read_table(spark, root, v2).collect())
+    assert got == [(1, "a"), (2, "winner")]
+    assert not glob.glob(os.path.join(root, ".stage-*"))

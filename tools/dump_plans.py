@@ -71,7 +71,9 @@ SUPPLEMENT = [
     "ext_pit_join",
     "ext_entity_resolution",
     "x37_contrastive_pairs",
-    "ext_audience_overlap",
+    # NOT ext_audience_overlap / ext_profile_table / x38_triangle_count:
+    # their builders materialize driver-side scalars, so the returned
+    # DataFrame is a LocalTableScan — nothing to pin
     "ext_attribution",
     "ext_rolling_wau",
     "x36_file_stats",
