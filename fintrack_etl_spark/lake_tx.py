@@ -495,3 +495,57 @@ def delete_rows(
     kept = cur.filter(~cond | cond.isNull())
     v = commit_table(kept, root, batch_id=batch_id)
     return v, n
+
+
+def cdc_sink_stream_versioned(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    root: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+):
+    """Streaming CDC sink with exactly-once COMMITS — the atomic
+    variant of ``streaming.cdc_sink_stream``: the same seq-aware
+    tombstone fold, but each micro-batch publishes through the commit
+    log's manifest swap with the batch_id recorded AT the commit
+    point. A batch replayed after any crash is either fully committed
+    (batch_id watermark detects and skips it) or never visible
+    (re-folded from identical inputs) — no two-statement window at
+    all. State rows carry ``__seq``/``__deleted`` exactly like the
+    managed-table sink; read current rows by filtering ``__deleted``
+    on ``read_table``.
+
+    Returns the started query; callers ``awaitTermination()``."""
+    from pyspark.sql import Window
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_batch_id(root):
+            return  # already committed — checkpoint replay
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tagged = (
+            batch_df.withColumn("__deleted", F.col(op_col) == F.lit(delete_op))
+            .withColumn("__seq", F.col(seq_col))
+            .drop(op_col, seq_col)
+        )
+        if table_exists(root):
+            unioned = read_table(spark, root).unionByName(tagged)
+        else:
+            unioned = tagged
+        w = Window.partitionBy(*keys).orderBy(F.desc("__seq"))
+        folded = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        commit_table(folded, root, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

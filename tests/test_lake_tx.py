@@ -440,3 +440,64 @@ def test_commit_cas_loser_cannot_clobber_published_version(
     got = sorted(tuple(r) for r in read_table(spark, root, v2).collect())
     assert got == [(1, "a"), (2, "winner")]
     assert not glob.glob(os.path.join(root, ".stage-*"))
+
+
+def test_cdc_sink_versioned_matches_batch_and_replays_cleanly(spark, tmp_path):
+    """Atomic CDC sink: drain a scattered change log through the
+    commit log; current rows must equal one batch apply_changes, a
+    second drain over the same checkpoint commits nothing new, and
+    every intermediate version stays readable (time travel)."""
+    import os
+
+    from fintrack_etl_spark.lake_tx import (
+        cdc_sink_stream_versioned,
+        current_version,
+        read_table,
+    )
+    from fintrack_etl_spark.operators.upsert import apply_changes
+    from fintrack_etl_spark.streaming.pipelines import file_source_stream
+
+    ev = table(spark, "events", "/root/testdata/sf0.001")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("user_id") % 3 == 0, "D").otherwise("U").alias("op"),
+    )
+    logdir = os.path.join(str(tmp_path), "log")
+    log.repartition(3).write.parquet(logdir)
+
+    root = str(tmp_path / "cdc_v")
+    ck = os.path.join(str(tmp_path), "ck")
+
+    def drain():
+        q = cdc_sink_stream_versioned(
+            file_source_stream(
+                spark, logdir, spark.read.parquet(logdir).schema,
+                max_files_per_trigger=1,
+            ),
+            ck, root, keys=["user_id"], seq_col="seq", op_col="op",
+        )
+        q.awaitTermination()
+
+    drain()
+    v_after = current_version(root)
+    got = {
+        tuple(r)
+        for r in read_table(spark, root)
+        .filter(~F.col("__deleted"))
+        .select("user_id", "event_id")
+        .collect()
+    }
+    payload = spark.read.parquet(logdir)
+    empty = spark.createDataFrame([], payload.drop("seq", "op").schema)
+    want = {
+        tuple(r)
+        for r in apply_changes(empty, payload, ["user_id"], "seq", "op")
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    drain()  # same checkpoint: no new commits
+    assert current_version(root) == v_after
