@@ -590,3 +590,76 @@ def test_cdc_vacuum_drops_only_expired_tombstones(spark):
     # idempotent: nothing left below the horizon
     assert cdc_vacuum_tombstones(spark, tbl, below_seq=15) == 0
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_watermark_drops_late_rows_and_bounds_state(spark, tmp_path):
+    """The watermark CONTRACT, not just pass-through: in append mode a
+    row arriving after the watermark passed its window must be DROPPED
+    (its window already finalized and its state evicted) — this is
+    what bounds streaming state at scale. Two micro-batches: batch 1
+    advances the watermark far past day D; batch 2 delivers a late
+    day-D row. The late row must not resurrect the closed window,
+    so the emitted day-D count excludes it — while the same data in
+    one BATCH query (no watermark) includes it."""
+    import os
+
+    from fintrack_etl_spark.streaming.pipelines import (
+        file_source_stream,
+        run_available_now,
+        windowed_agg_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "late_land")
+    raw = "event_id long, ts string, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "view", 1.0),   # day D
+            (2, "2024-01-10 10:00:00", "view", 1.0),   # advances watermark to D+9-1d
+        ],
+        raw,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 11:00:00", "view", 1.0)], raw  # LATE day-D row
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(os.path.join(land, "f1"))
+
+    ck = os.path.join(str(tmp_path), "ck")
+    out = os.path.join(str(tmp_path), "out")
+    schema = spark.read.parquet(os.path.join(land, "f1")).schema
+
+    def drain():
+        # parquet sink: unlike the memory sink it RECOVERS from the
+        # checkpoint, which this two-drain scenario needs
+        q = (
+            windowed_agg_stream(file_source_stream(spark, land + "/f*", schema))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # drain batch 1 (file f1), closing day D once the watermark passes
+    drain()
+    # now the late row lands and a second drain processes only it
+    b2.coalesce(1).write.parquet(os.path.join(land, "f2"))
+    drain()
+
+    got = {
+        (str(r["window_start"]), r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # day D emitted with n=1 (late row DROPPED); never re-emitted with n=2
+    day_d = [n for ws, n in got if ws.startswith("2024-01-01")]
+    assert day_d == [1], got
+    # the batch (no-watermark) answer over the same files is n=2 — the
+    # difference IS the watermark contract
+    batch = windowed_agg_stream(spark.read.parquet(land + "/f*"))
+    b_day_d = [
+        r["n"]
+        for r in batch.collect()
+        if str(r["window_start"]).startswith("2024-01-01")
+    ]
+    assert b_day_d == [2]
