@@ -2172,3 +2172,72 @@ def ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(exact_a, exact_b, exact_both, bool(ok))],
         "n_view long, n_purchase long, n_both_exact long, hll_within_bound boolean",
     )
+
+
+@register(
+    "x39_dup_rate_estimate",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    hashed AS (
+        SELECT doc_id, md5(text) AS h,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS in_sample
+        FROM docs
+    ),
+    exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dups
+        FROM hashed
+    ),
+    sample AS (
+        SELECT CAST(count(*) AS BIGINT) AS s_docs,
+               CAST(count(*) - count(DISTINCT h) AS BIGINT) AS s_dups
+        FROM hashed WHERE in_sample
+    )
+    SELECT n_docs, n_dups,
+           round(n_dups * 1.0 / n_docs, 4) AS exact_rate,
+           s_docs, s_dups,
+           round(s_dups * 1.0 / s_docs, 4) AS sampled_rate,
+           abs(s_dups * 1.0 / s_docs - n_dups * 1.0 / n_docs) < 0.1
+             AS estimate_within_bound
+    FROM exact, sample
+    """,
+)
+def x39_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate estimation by deterministic sampling — the
+    corpus-triage question ("is this crawl 2% or 40% duplicated?")
+    answered WITHOUT hashing the full corpus: an md5(doc_id) ~25%
+    sample's within-sample dup rate approximates the full rate when
+    duplication is id-independent (true for re-crawls; the planted
+    dups here are id-correlated with the sample, making this the
+    conservative case). Both the exact and the sampled numbers are
+    deterministic — the oracle value-checks them all — and the
+    statistical claim itself is the in-query bound boolean. Scale:
+    the sample path hashes ~25% of bytes; the groupBy runs on the
+    sample only. (A HLL distinct-count variant drops the dedup
+    shuffle entirely — see ext_incremental_distinct.)"""
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        F.md5("text").alias("h"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+            "in_sample"
+        ),
+    )
+    ex = hashed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dups"),
+    )
+    sa = hashed.filter("in_sample").agg(
+        F.count(F.lit(1)).alias("s_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("s_dups"),
+    )
+    er = F.col("n_dups") / F.col("n_docs")
+    sr = F.col("s_dups") / F.col("s_docs")
+    return ex.crossJoin(sa).select(
+        "n_docs",
+        "n_dups",
+        F.round(er, 4).alias("exact_rate"),
+        "s_docs",
+        "s_dups",
+        F.round(sr, 4).alias("sampled_rate"),
+        (F.abs(sr - er) < 0.1).alias("estimate_within_bound"),
+    )
