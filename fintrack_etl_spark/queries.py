@@ -4133,3 +4133,50 @@ def ext_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col string, n_rows long, n_nulls long, n_distinct long, "
         "min_val double, max_val double",
     )
+
+
+@register(
+    "ext_incremental_join_view",
+    """
+    SELECT o_orderkey, c_custkey, c_name, o_orderstatus,
+           round(o_totalprice, 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def ext_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN
+    (``incremental.merge_join_view``): the orders⋈customer view is
+    first materialized from 80% of each side, then the remaining 20%
+    folds in via the delta rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — and the result
+    must equal the from-scratch join the oracle computes. The split is
+    deterministic (key modulo), so the maintained view is value-equal,
+    not just cardinality-equal. Delta joins broadcast the delta side;
+    the full sides never reshuffle for maintenance."""
+    from .operators.incremental import merge_join_view
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o_old = o.filter(F.col("o_orderkey") % 5 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 5 == 0)
+    c_old = c.filter(F.col("c_custkey") % 5 != 0)
+    c_new = c.filter(F.col("c_custkey") % 5 == 0)
+    base = o_old.join(c_old, o_old.o_custkey == c_old.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name", "o_orderstatus", "o_totalprice"
+    )
+    view = merge_join_view(
+        base,
+        o_old,
+        c_old,
+        F.broadcast(o_new),
+        F.broadcast(c_new),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return view.select(
+        "o_orderkey",
+        "c_custkey",
+        "c_name",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+    )
