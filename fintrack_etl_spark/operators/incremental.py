@@ -16,7 +16,7 @@ Both stay batch operators; the streaming analog (file-source checkpoint
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -218,3 +218,55 @@ def merge_join_view(
         .unionByName(d2.select(cols))
         .unionByName(d3.select(cols))
     )
+
+
+def partial_quantile_state(
+    df: DataFrame, keys: list[str], value_col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Mergeable quantile state: per-key equi-width histogram counts
+    over the fixed range [lo, hi] — ``(keys, bin, n)`` rows. Merging
+    two states is a groupBy-sum (exact, commutative, associative), so
+    like the n/sum/min/max and HLL states this folds incrementally:
+    history binned once, each delta binned alone. Values outside the
+    range clamp to the edge bins (the estimate degrades gracefully,
+    the state never loses rows)."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")),
+    )
+    return df.groupBy(*keys, b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def merge_quantile_state(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Union + groupBy-sum: the histogram merge."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def estimate_quantile(
+    state: DataFrame, keys: list[str], q: float, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Quantile estimate from binned state: the left edge of the first
+    bin whose cumulative count reaches q·total. Deterministic integer
+    arithmetic + one double multiply — bit-identical across engines —
+    with worst-case error one bin width (the in-query accuracy
+    contract callers should pin)."""
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*keys)
+    ranked = state.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(tot).alias("total"),
+    )
+    hit = ranked.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("total"))).groupBy(
+        *keys
+    ).agg(F.min("bin").alias("qbin"))
+    return hit.select(*keys, (F.lit(lo) + F.col("qbin") * width).alias("q_est"))

@@ -4180,3 +4180,84 @@ def ext_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("total"),
     )
+
+
+@register(
+    "ext_incremental_quantiles",
+    """
+    WITH binned AS (
+        SELECT o_orderpriority,
+               least(63, greatest(0,
+                   CAST(floor(o_totalprice / (600000.0 / 64)) AS INTEGER)))
+                 AS bin,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_orderpriority, bin, n,
+               sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY o_orderpriority) AS total
+        FROM binned
+    ),
+    est AS (
+        SELECT o_orderpriority, min(bin) AS qbin
+        FROM ranked
+        WHERE cum >= ceil(0.5 * total)
+        GROUP BY o_orderpriority
+    )
+    SELECT e.o_orderpriority,
+           e.qbin * (600000.0 / 64) AS p50_est,
+           round(x.p50_exact, 2) AS p50_exact,
+           TRUE AS within_one_bin
+    FROM est e
+    JOIN (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50_exact
+        FROM orders GROUP BY 1
+    ) x ON e.o_orderpriority = x.o_orderpriority
+    """,
+)
+def ext_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained QUANTILES: per-key equi-width histogram
+    state (``incremental.partial_quantile_state``) — history binned
+    once, the delta binned alone, merged with a groupBy-sum (exact,
+    commutative; replay-safe like every mergeable state here). The
+    binned p50 estimate is deterministic integer arithmetic, so the
+    oracle value-checks the ESTIMATE itself (not just a bound) by
+    recomputing the same bins declaratively; the accuracy contract —
+    estimate within one bin width of the exact interpolated median —
+    rides as the in-query boolean. At 100 TB this is the
+    streaming-compatible percentile: O(keys × bins) state, no raw
+    retention, arbitrary re-partitioning of history/delta."""
+    from .operators.incremental import (
+        estimate_quantile,
+        merge_quantile_state,
+        partial_quantile_state,
+    )
+
+    LO, HI, BINS = 0.0, 600000.0, 64
+    o = T(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0)
+    state = merge_quantile_state(
+        partial_quantile_state(hist, ["o_orderpriority"], "o_totalprice", LO, HI, BINS),
+        partial_quantile_state(delta, ["o_orderpriority"], "o_totalprice", LO, HI, BINS),
+        ["o_orderpriority"],
+    )
+    est = estimate_quantile(state, ["o_orderpriority"], 0.5, LO, HI, BINS)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("p50_exact")
+    )
+    width = (HI - LO) / BINS
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("q_est").alias("p50_est"),
+            F.round("p50_exact", 2).alias("p50_exact"),
+            (F.abs(F.col("q_est") - F.col("p50_exact")) <= width).alias(
+                "within_one_bin"
+            ),
+        )
+    )
