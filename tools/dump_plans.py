@@ -77,6 +77,11 @@ SUPPLEMENT = [
     "ext_attribution",
     "ext_rolling_wau",
     "x36_file_stats",
+    "ext_incremental_join_view",
+    "ext_incremental_quantiles",
+    "ext_session_paths",
+    "ext_time_to_convert",
+    "x39_dup_rate_estimate",
 ]
 
 
