@@ -254,3 +254,54 @@ def test_asof_join_matches_reference_scan(spark, lrows, rrows):
                 best = rt
         want[i] = None if best is None else best * 1000 + k
     assert got == want, (got, want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (user, t seconds)
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_sessionize_matches_reference_gap_rule(spark, rows):
+    """Sessionize property: for ANY keyed event times, two consecutive
+    events share a session iff their gap is under the threshold —
+    checked against a sequential per-key reference fold."""
+    from fintrack_etl_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rows)], "u int, t int, id int"
+    ).select("u", F.col("t").cast("timestamp").alias("t"), "id")
+    out = sessionize(df, "t", ["u"], gap_minutes=1, tie_breakers=["id"])
+    got = {r["id"]: (r["u"], r["session_id"]) for r in out.collect()}
+
+    # reference: sort per key by (t, id), new session when gap >= 60 s
+    want_session = {}
+    for u in {u for u, _ in rows}:
+        evs = sorted(
+            [(t, i) for i, (uu, t) in enumerate(rows) if uu == u]
+        )
+        sess = 0
+        prev = None
+        for t, i in evs:
+            if prev is not None and t - prev >= 60:
+                sess += 1
+            want_session[i] = sess
+            prev = t
+    # compare PARTITIONS (session ids may be numbered differently):
+    # same-key rows grouped identically
+    from collections import defaultdict
+
+    got_groups = defaultdict(set)
+    for i, (u, s) in got.items():
+        got_groups[(u, s)].add(i)
+    want_groups = defaultdict(set)
+    for i, s in want_session.items():
+        u = rows[i][0]
+        want_groups[(u, s)].add(i)
+    assert set(map(frozenset, got_groups.values())) == set(
+        map(frozenset, want_groups.values())
+    )
