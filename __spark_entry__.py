@@ -84,6 +84,9 @@ _JUDGE_VERIFIED = frozenset({
 # machinery (PDF codec, curation pipeline, semantic/signature dedup,
 # quantization, CDC) stays inside the window.
 _TIER0_LAST = (
+    "ext_sql_entry_q3",
+    "ext_sql_entry_q10",
+    "ext_left_join_count_q13",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",
