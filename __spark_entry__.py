@@ -87,6 +87,10 @@ _TIER0_LAST = (
     "ext_sql_entry_q3",
     "ext_sql_entry_q10",
     "ext_left_join_count_q13",
+    "ext_promo_share_q14",
+    "ext_top_supplier_q15",
+    "ext_avg_subquery_q17",
+    "ext_or_predicate_q19",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

@@ -4261,3 +4261,139 @@ def ext_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext — per-group OLS trend (regression over exact integer sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_regression_slope",
+    """
+    WITH pts AS (
+        SELECT o_orderpriority,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE))            AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT)       AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT)  AS n,
+               CAST(sum(x) AS BIGINT)    AS sx,
+               CAST(sum(y) AS BIGINT)    AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY 1
+    )
+    SELECT o_orderpriority, n AS n_orders,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1e6) AS BIGINT) AS slope_micro_cents_per_day,
+           CAST(floor((CAST(sy AS DOUBLE)
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_cents
+    FROM s
+    """,
+)
+def ext_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line — "is spend in this segment trending
+    up?" (the report family behind ``monthly_summary.py``'s totals,
+    extended from level to slope). Cross-engine float determinism is
+    handled the sanctioned way (verify notes): the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) are EXACT BIGINT sums over
+    integer day offsets and money cents — every one below 2^53, so
+    their DOUBLE images are exact and the closed-form slope
+    ``(nΣxy − ΣxΣy) / (nΣxx − ΣxΣx)`` is a single correctly-rounded
+    IEEE expression, bit-identical on any engine; floors to
+    micro-cents/day make the hash compare exact. Scale: one partial
+    aggregate (map-side combine) + one |groups|-row exchange — the
+    same plan shape as a1; regression over 100 TB costs exactly one
+    scan, no matrix library, no driver math."""
+    o = T(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    pts = o.select(
+        "o_orderpriority",
+        d.cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
+    syd, sxyd, sxxd = (
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    intercept = (syd - slope * sxd) / nd
+    return s.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.floor(slope * 1e6).cast("long").alias("slope_micro_cents_per_day"),
+        F.floor(intercept).cast("long").alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext — decile stats (ntile segmentation over customer spend)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_decile_stats",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1
+    ),
+    tiled AS (
+        SELECT o_custkey, cents,
+               ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT)   AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           min(cents)                 AS min_cents,
+           max(cents)                 AS max_cents
+    FROM tiled GROUP BY 1
+    """,
+)
+def ext_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value deciles — ntile(10) segmentation over lifetime
+    spend (the "top decile drives N% of revenue" report). The rank
+    order carries the unique ``o_custkey`` tie-break so the decile
+    assignment is total and identical cross-engine; all outputs are
+    exact integer cents. Scale note: a global ntile is a single-
+    partition sort of the AGGREGATED per-customer table (|customers|
+    rows, not |orders|) — at 100 TB the right plan is exactly this
+    aggregate-then-rank shape, and if even |customers| outgrows one
+    task the same query runs on ``approx_percentile`` cut points
+    (ext_percentiles_approx) with no global sort at all."""
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )

@@ -2241,3 +2241,129 @@ def x39_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sr, 4).alias("sampled_rate"),
         (F.abs(sr - er) < 0.1).alias("estimate_within_bound"),
     )
+
+
+@register(
+    "x40_line_dedup",
+    """
+    WITH docs2 AS (
+        SELECT doc_id,
+               [text,
+                CASE WHEN doc_id % 3 = 0
+                       THEN 'cookie consent required to view this page'
+                     WHEN doc_id % 3 = 1
+                       THEN 'subscribe to our newsletter for updates'
+                     ELSE 'ref ' || CAST(doc_id AS VARCHAR) END,
+                'all rights reserved'] AS lines
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(lines) AS line FROM docs2),
+    hot AS (
+        SELECT line FROM ex GROUP BY 1
+        HAVING count(DISTINCT doc_id)
+               >= 0.1 * (SELECT count(*) FROM documents)
+    ),
+    h AS (SELECT list(line ORDER BY line) AS hotset FROM hot)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines,
+                x -> NOT list_contains(hotset, x))) AS BIGINT) AS n_kept,
+           md5(array_to_string(list_filter(lines,
+                x -> NOT list_contains(hotset, x)), chr(10))) AS kept_hash
+    FROM docs2, h
+    """,
+)
+def x40_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb line dedup):
+    drop every line that recurs across >= 10% of the corpus (cookie
+    banners, footers), keep order-preserved content. The fixture docs
+    are single-line, so both engines append the SAME deterministic
+    footer lines (two hot boilerplate variants + a per-doc unique ref
+    line) before deduping — the unique lines must survive, the hot
+    ones must go.
+
+    Scale: line frequencies are ONE explode + groupBy (shuffle on the
+    line hash); the hot set is tiny BY CONSTRUCTION (heavy hitters
+    above a frequency floor — bounded by 1/floor distinct values), so
+    it broadcasts and the corpus rewrite is a map-only array filter on
+    the un-exploded rows: the full text is never shuffled, never
+    re-joined. 100 TB cost = one scan + one line-count exchange."""
+    docs = T(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    footer = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("cookie consent required to view this page"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit("subscribe to our newsletter for updates"),
+        )
+        .otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string")))
+    )
+    docs2 = docs.select(
+        "doc_id", F.array(F.col("text"), footer, F.lit("all rights reserved")).alias("lines")
+    )
+    hot = (
+        docs2.select("doc_id", F.explode("lines").alias("line"))
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 0.1 * n_docs)
+        .agg(F.sort_array(F.collect_list("line")).alias("hotset"))
+    )
+    kept = F.filter("lines", lambda x: ~F.array_contains(F.col("hotset"), x))
+    return docs2.crossJoin(F.broadcast(hot)).select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_hash"),
+    )
+
+
+@register(
+    "x41_copurchase_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders_together
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders_together
+    FROM pairs
+    ORDER BY n_orders_together DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def x41_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence mining (market-basket "bought together",
+    the same shape as co-citation / term co-occurrence counting for
+    training-data analysis): distinct (order, part) → per-order pair
+    expansion → pair counts → deterministic top-20.
+
+    Scale: the self-join keys on l_orderkey, so after ONE shuffle each
+    order's items are co-located and the pair fan-out is per-order
+    local (k items → k(k-1)/2 pairs, k ≤ ~7 here; a basket-size cap
+    is the guard for pathological orders). The pair count is a second
+    (partial-agg) shuffle on the pair key, and the top-20 is
+    TakeOrderedAndProject — no global sort. No all-pairs-of-catalog
+    join exists at any scale."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders_together").desc(), "part_a", "part_b"
+    ).limit(20)

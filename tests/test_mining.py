@@ -1,0 +1,83 @@
+"""Wave-8 mining/regression operators: line-level boilerplate dedup,
+co-occurrence pair mining, exact-sufficient-statistics OLS, ntile
+segmentation. The DuckDB oracle gate value-checks all four; these
+tests pin the *semantic contracts* that the hash compare alone would
+not explain on failure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark.queries import (
+    T,
+    ext_decile_stats,
+    ext_regression_slope,
+)
+from fintrack_etl_spark.queries_ext import x40_line_dedup, x41_copurchase_pairs
+
+
+def test_line_dedup_keeps_unique_drops_hot(spark, sf_dir):
+    # Every doc: [text, footer, 'all rights reserved']. The two shared
+    # footers + the universal line are hot (>=10% of docs) and must be
+    # removed; the per-doc text and the %3==2 unique ref line survive.
+    out = x40_line_dedup(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_lines"] == 3
+        expect = 2 if r["doc_id"] % 3 == 2 else 1
+        assert r["n_kept"] == expect, (r["doc_id"], r["n_kept"])
+
+
+def test_copurchase_pairs_counts_and_order(spark, sf_dir):
+    rows = x41_copurchase_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    # canonical orientation + deterministic descending order
+    counts = [r["n_orders_together"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["part_a"] < r["part_b"] for r in rows)
+    # recount the top pair straight from lineitem
+    top = rows[0]
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = (
+        li.filter(F.col("l_partkey") == top["part_a"])
+        .join(
+            li.filter(F.col("l_partkey") == top["part_b"]),
+            "l_orderkey",
+        )
+        .count()
+    )
+    assert n == top["n_orders_together"]
+
+
+def test_regression_slope_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    rows = ext_regression_slope(spark, sf_dir).collect()
+    assert rows
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    pts = o.collect()
+    for r in rows:
+        xs = np.array([p["x"] for p in pts if p["o_orderpriority"] == r["o_orderpriority"]], dtype=float)
+        ys = np.array([p["y"] for p in pts if p["o_orderpriority"] == r["o_orderpriority"]], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r["slope_micro_cents_per_day"] / 1e6 - slope) < 1e-3
+        assert abs(r["intercept_cents"] - intercept) < 2.0
+        assert r["n_orders"] == len(xs)
+
+
+def test_decile_stats_partition_is_total_and_ordered(spark, sf_dir):
+    rows = {r["decile"]: r for r in ext_decile_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 11))
+    n_cust = T(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    # ntile sizes differ by at most one; decile 1 holds the max spenders
+    sizes = [rows[d]["n_customers"] for d in range(1, 11)]
+    assert max(sizes) - min(sizes) <= 1
+    for d in range(1, 10):
+        assert rows[d]["min_cents"] >= rows[d + 1]["max_cents"]
