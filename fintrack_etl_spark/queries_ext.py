@@ -2345,22 +2345,29 @@ def x41_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data analysis): distinct (order, part) → per-order pair
     expansion → pair counts → deterministic top-20.
 
-    Scale: the self-join keys on l_orderkey, so after ONE shuffle each
-    order's items are co-located and the pair fan-out is per-order
-    local (k items → k(k-1)/2 pairs, k ≤ ~7 here; a basket-size cap
-    is the guard for pathological orders). The pair count is a second
+    Scale: NOT a self-join — that would scan and shuffle the fact
+    table twice. One scan groups items per order (shuffle on
+    l_orderkey), then the k(k-1)/2 pair expansion runs order-locally
+    on the sorted distinct basket array (k ≤ ~7 here; baskets past
+    1000 items are dropped as pathological — same quarantine stance
+    as the oversized-document guard). The pair count is a second
     (partial-agg) shuffle on the pair key, and the top-20 is
     TakeOrderedAndProject — no global sort. No all-pairs-of-catalog
     join exists at any scale."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    li = T(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 1000)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
     )
