@@ -91,6 +91,9 @@ _TIER0_LAST = (
     "ext_top_supplier_q15",
     "ext_avg_subquery_q17",
     "ext_or_predicate_q19",
+    "ext_not_exists_q22",
+    "ext_histogram",
+    "ext_string_agg",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

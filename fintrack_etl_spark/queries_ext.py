@@ -2374,3 +2374,277 @@ def x41_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("n_orders_together").desc(), "part_a", "part_b"
     ).limit(20)
+
+
+@register(
+    "x42_pagerank",
+    """
+    WITH raw AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM raw
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM raw
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+    r1 AS (
+        SELECT e.dst AS node,
+               150000000 + sum((r.rank * 85) // (100 * d.outdeg)) AS rank
+        FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               150000000 + sum((r.rank * 85) // (100 * d.outdeg)) AS rank
+        FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               150000000 + sum((r.rank * 85) // (100 * d.outdeg)) AS rank
+        FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    )
+    SELECT node, CAST(rank AS BIGINT) AS rank_nano
+    FROM r3 ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def x42_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the undirected
+    customer–supplier purchase graph — the canonical iterative graph
+    workload (importance ranking for curation: which sources/hubs
+    dominate a crawl graph). All arithmetic is INTEGER: ranks start at
+    1e9 nano-units and every contribution is ``(rank * 85) div
+    (100 * outdeg)`` integer division, so the fixpoint trajectory is
+    bit-identical on any engine — no float summation order anywhere
+    (the sanctioned determinism pattern from the verify notes, applied
+    to an algorithm usually run in doubles).
+
+    Scale: the edge list is built once (one join + distinct), then
+    CACHED and re-partitioned by src — each of the 3 iterations is one
+    shuffle-join (ranks ⋈ edges on src) + one partial-agg shuffle on
+    dst; rank state is |nodes| rows, never the fact table. At 100 TB
+    the edges would live bucketed by src so every iteration's join is
+    shuffle-free; iteration count is fixed (streaming-style bounded
+    rounds), not convergence-polled — matching how web-scale PR runs
+    (power iteration with early cutoff). Top-20 is
+    TakeOrderedAndProject."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition("src")
+    edges = edges.localCheckpoint()  # cut lineage; reused 3×
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src")  # (src, dst, outdeg) — co-partitioned by src
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000000).cast("long").alias("rank"))
+    for _ in range(3):
+        ranks = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * 85) DIV (100 * outdeg)").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg((F.lit(150000000) + F.sum("contrib")).alias("rank"))
+        )
+    return (
+        ranks.select("node", F.col("rank").alias("rank_nano"))
+        .orderBy(F.col("rank_nano").desc(), "node")
+        .limit(20)
+    )
+
+
+@register(
+    "x43_canonical_pick",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    variants AS (
+        SELECT doc_id,
+               CASE WHEN doc_id >= 100000
+                    THEN text || '   ###  !!!  ***   '
+                    ELSE text END AS text
+        FROM docs
+    ),
+    scored AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS fp,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM variants
+    ),
+    ranked AS (
+        SELECT doc_id, fp, n_chars,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY n_chars ASC, doc_id ASC) AS rn
+        FROM scored
+    )
+    SELECT fp, doc_id AS keep_id, n_chars AS keep_n_chars,
+           CAST((SELECT count(*) FROM scored s WHERE s.fp = ranked.fp)
+                AS BIGINT) AS n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x43_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — after near-dup clustering,
+    keep the BEST copy, not an arbitrary one (the curation step after
+    every dedup pass: prefer the copy without the boilerplate tail /
+    OCR junk). Re-crawled copies get a deterministic non-alphanumeric junk tail
+    (vanishes under fingerprint normalization, inflates raw length), so each normalized-fingerprint cluster holds variants of
+    different raw quality; the pick is the shortest raw text (junk-free
+    original), doc_id tie-break. One window per cluster key — same
+    WindowGroupLimit shape as w1 — plus a cluster-size count; nothing
+    touches an all-pairs comparison. At 100 TB this runs on the OUTPUT
+    of the LSH/CC cluster assignment (cluster_id as the partition
+    key), so the window partitions are bounded by cluster size."""
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    variants = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") >= 100000,
+            F.concat(F.col("text"), F.lit("   ###  !!!  ***   ")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scored = variants.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    sized = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_candidates", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    return sized.filter(F.col("rn") == 1).select(
+        "fp",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_chars").alias("keep_n_chars"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+    )
+
+
+@register(
+    "x44_span_coverage",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM docs
+    ),
+    grams AS (
+        SELECT doc_id, len(toks) AS n_toks, u.i AS pos,
+               md5(array_to_string(toks[u.i:u.i+7], ' ')) AS g
+        FROM tok, LATERAL (
+            SELECT unnest(range(1, len(toks) - 6)) AS i
+        ) u
+        WHERE len(toks) >= 8
+    ),
+    shared AS (
+        SELECT g FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+    ),
+    covered AS (
+        SELECT DISTINCT gr.doc_id, gr.n_toks, v.p
+        FROM grams gr JOIN shared s ON gr.g = s.g,
+             LATERAL (SELECT unnest(range(gr.pos, gr.pos + 8)) AS p) v
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(max(n_toks) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_covered
+        FROM covered GROUP BY 1
+    ),
+    alln AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok
+        WHERE len(toks) >= 8
+    )
+    SELECT a.doc_id, a.n_tokens,
+           COALESCE(p.n_covered, 0) AS n_covered,
+           (1000000000 * COALESCE(p.n_covered, 0)) // a.n_tokens
+             AS covered_frac_nano
+    FROM alln a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
+    """,
+)
+def x44_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span-duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of token positions covered by some
+    8-gram that also appears verbatim in ANOTHER document — the
+    memorization-risk signal that line- and doc-level dedup both miss.
+    Re-crawled copies guarantee fully-covered docs; originals without
+    a re-crawl partner score 0.
+
+    Scale: grams are md5-keyed (engine-portable, uniform), the
+    shared-gram filter is one partial-agg shuffle on the gram hash,
+    and the coverage join keys on the SAME gram hash — the classic
+    shingle-join shape of x3 with its pruning properties (only grams
+    that recur ever join). Position coverage explodes ×8 per shared
+    gram only, then distinct-counts per doc. The fraction is integer
+    nano-units via integer division — exact cross-engine. A hot-gram
+    guard (max_df cap, as in x3) is the 100 TB skew valve for
+    degenerate boilerplate grams."""
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    grams = (
+        tok.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7), "
+                    "i -> struct(i AS pos, "
+                    "md5(array_join(slice(toks, i, 8), ' ')) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "n_toks", "x.pos", "x.g")
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    covered = (
+        grams.join(shared, "g")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_toks").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_covered"),
+        )
+    )
+    alln = tok.filter(F.size("toks") >= 8).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    return (
+        alln.join(covered.drop("n_tokens"), "doc_id", "left")
+        .na.fill({"n_covered": 0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_covered",
+            F.expr("(1000000000 * n_covered) DIV n_tokens").alias(
+                "covered_frac_nano"
+            ),
+        )
+    )

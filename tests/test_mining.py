@@ -81,3 +81,47 @@ def test_decile_stats_partition_is_total_and_ordered(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     for d in range(1, 10):
         assert rows[d]["min_cents"] >= rows[d + 1]["max_cents"]
+
+
+def test_pagerank_integer_trajectory_invariants(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import x42_pagerank
+
+    rows = x42_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 20
+    ranks = [r["rank_nano"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # every rank >= the teleport floor; node ids carry the bipartite tag
+    assert all(r["rank_nano"] >= 150000000 for r in rows)
+    assert all(r["node"][0] in ("c", "s") for r in rows)
+    # suppliers fan in from many customers -> the global hub is a supplier
+    assert rows[0]["node"].startswith("s")
+
+
+def test_canonical_pick_prefers_junk_free_original(spark, sf_dir):
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import x43_canonical_pick
+
+    rows = x43_canonical_pick(spark, sf_dir).collect()
+    n_dupes = (
+        table(spark, sf_dir, "documents").filter("doc_id % 5 = 0").count()
+    )
+    two = [r for r in rows if r["n_candidates"] == 2]
+    assert len(two) == n_dupes
+    # the junk-padded re-crawl (doc_id+100000) must never win
+    assert all(r["keep_id"] < 100000 for r in two)
+    assert all(r["n_candidates"] in (1, 2) for r in rows)
+
+
+def test_span_coverage_recrawls_fully_covered(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import x44_span_coverage
+
+    rows = x44_span_coverage(spark, sf_dir).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    full = [r for r in rows if r["doc_id"] >= 100000]
+    assert full
+    for r in full:  # exact copies: every position covered
+        assert r["n_covered"] == r["n_tokens"]
+        assert r["covered_frac_nano"] == 1000000000
+        orig = by_id[r["doc_id"] - 100000]
+        assert orig["covered_frac_nano"] == 1000000000
