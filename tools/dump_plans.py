@@ -82,6 +82,14 @@ SUPPLEMENT = [
     "ext_session_paths",
     "ext_time_to_convert",
     "x39_dup_rate_estimate",
+    # round 3 eighth/ninth waves
+    "x40_line_dedup",
+    "x41_copurchase_pairs",
+    "x42_pagerank",
+    "x43_canonical_pick",
+    "x44_span_coverage",
+    "ext_regression_slope",
+    "ext_decile_stats",
 ]
 
 
