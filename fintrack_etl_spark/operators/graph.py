@@ -94,3 +94,46 @@ def attach_clusters(
         nodes.join(comp, id_col, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
     )
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """PageRank with a bit-identical trajectory: ranks in integer
+    ``scale`` units, contributions via integer division
+    ``(rank * damping_pct) div (100 * outdeg)`` — no float summation
+    order anywhere, so any engine (or a sequential fold) reproduces
+    the exact ranks. ``edges`` is (src, dst) directed; nodes are the
+    distinct srcs (make the graph undirected by unioning the reverse
+    direction first if every node must have outdegree ≥ 1 — dangling
+    dsts receive rank but contribute nothing).
+
+    Scale: edges are repartitioned by src ONCE and localCheckpointed
+    (the state reused every round); each iteration is one join shuffle
+    of the |nodes|-row rank state + one partial-agg shuffle on dst.
+    Fixed iteration count — web-scale PR runs bounded power iteration,
+    not convergence polling. Returns (node, rank) for nodes with
+    inbound edges plus teleport-only srcs."""
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src")
+    teleport = (scale * (100 - damping_pct)) // 100
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(scale).cast("long").alias("rank")
+    )
+    for _ in range(iterations):
+        ranks = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(rank * {damping_pct}) DIV (100 * outdeg)"
+                ).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg((F.lit(teleport) + F.sum("contrib")).alias("rank"))
+        )
+    return ranks

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from . import textops as TX
 from .operators import dedup_text as DD
+from .operators import graph as GR
 from .queries import T
 from .similarity import cosine_topk_bruteforce, cosine_topk_lsh, ivf_topk, label_centroids
 
@@ -2445,21 +2446,8 @@ def x42_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = raw.unionByName(
         raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).repartition("src")
-    edges = edges.localCheckpoint()  # cut lineage; reused 3×
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src")  # (src, dst, outdeg) — co-partitioned by src
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000000).cast("long").alias("rank"))
-    for _ in range(3):
-        ranks = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(rank * 85) DIV (100 * outdeg)").alias("contrib"),
-            )
-            .groupBy("node")
-            .agg((F.lit(150000000) + F.sum("contrib")).alias("rank"))
-        )
+    )
+    ranks = GR.integer_pagerank(edges, iterations=3, damping_pct=85)
     return (
         ranks.select("node", F.col("rank").alias("rank_nano"))
         .orderBy(F.col("rank_nano").desc(), "node")

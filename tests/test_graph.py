@@ -52,3 +52,58 @@ def test_connected_components_iteration_cap(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(9)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def _sequential_pagerank(edges, iterations=3, damping_pct=85, scale=10**9):
+    """Reference fold: same integer recurrence, plain dicts."""
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    teleport = (scale * (100 - damping_pct)) // 100
+    ranks = {s: scale for s in outdeg}
+    for _ in range(iterations):
+        nxt = defaultdict(lambda: teleport)
+        for s, d in edges:
+            nxt[d] += (ranks.get(s, 0) * damping_pct) // (100 * outdeg[s])
+        ranks = dict(nxt)
+    return ranks
+
+
+def test_integer_pagerank_matches_sequential_fold(spark):
+    import random
+
+    from fintrack_etl_spark.operators.graph import integer_pagerank
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        n = 40
+        directed = {
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(120)
+        }
+        edges = {(s, d) for s, d in directed if s != d}
+        edges |= {(d, s) for s, d in edges}  # undirected: outdeg >= 1 everywhere
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["rank"]
+            for r in integer_pagerank(df, iterations=3).collect()
+        }
+        want = _sequential_pagerank(edges)
+        assert got == want  # bit-identical trajectory, not approximately
+
+
+def test_integer_pagerank_total_mass_bounded(spark):
+    from fintrack_etl_spark.operators.graph import integer_pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in integer_pagerank(df, iterations=3).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    # mass is conserved up to integer-division floors: never above n*scale,
+    # never below the teleport floor per node
+    assert all(v >= 150_000_000 for v in ranks.values())
+    assert sum(ranks.values()) <= 3 * 10**9
+    # b receives from both a and c -> strictly the hub
+    assert ranks["b"] > ranks["a"] and ranks["b"] > ranks["c"]
