@@ -94,6 +94,7 @@ _TIER0_LAST = (
     "ext_not_exists_q22",
     "ext_histogram",
     "ext_string_agg",
+    "ext_correlation",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

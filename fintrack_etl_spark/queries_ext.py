@@ -2636,3 +2636,128 @@ def x44_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _x45_oracle() -> str:
+    # dHash recomputed arithmetically from the SAME pixel definition the
+    # BMP encoder uses: pixel[i] = ascii(char i of text right-padded to
+    # 72 with 'x') mod 256, laid out as 8 rows x 9 cols; row byte =
+    # sum_c (p[r,c] < p[r,c+1]) << c, hash = 16 uppercase hex chars.
+    px = (
+        "list_transform(range(1, 73), "
+        "i -> ascii(substring(rpad(text, 72, 'x'), i, 1)) % 256)"
+    )
+    row_bytes = []
+    for r in range(8):
+        bits = " + ".join(
+            f"(CASE WHEN p[{r * 9 + c + 1}] < p[{r * 9 + c + 2}] "
+            f"THEN {1 << c} ELSE 0 END)"
+            for c in range(8)
+        )
+        row_bytes.append(f"lpad(hex({bits}), 2, '0')")
+    phash = " || ".join(row_bytes)
+    return f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    pix AS (SELECT doc_id, {px} AS p FROM docs),
+    hashed AS (SELECT doc_id, {phash} AS phash FROM pix)
+    SELECT phash,
+           min(doc_id)              AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM hashed GROUP BY 1
+    """
+
+
+@register("x45_image_phash_dedup", _x45_oracle())
+def x45_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) image dedup with REAL container plumbing
+    under the value gate: each document's first 72 chars become the
+    grayscale pixels of a genuine top-down 24-bit BMP (9×8) built
+    byte-for-byte per the BITMAPINFOHEADER spec in an Arrow encode
+    pass; a separate decode pass parses the container back — magic,
+    pixel-array offset, width/height/bpp, row stride — recovers the
+    pixel matrix, and computes the 64-bit difference hash (adjacent-
+    pixel gradient signs, the standard near-dup image fingerprint).
+    Exact re-crawl copies collide; the oracle recomputes the hash
+    arithmetically from the text so any container-layout, stride, or
+    bit-order bug surfaces as a value mismatch.
+
+    Scale: both passes are mapInPandas (Arrow-batched, zero
+    row-Python); the only shuffle is the final hash groupBy — the
+    image bytes themselves never shuffle. Swap the deterministic
+    text→pixels stub for a real JPEG/PNG decode (Pillow slot,
+    ``multimodal.decode_image``) and nothing else changes: dHash
+    bucketing at 100 TB is one scan + one |distinct-hash| exchange;
+    a Hamming-ball near-dup variant adds the SimHash rotate-and-block
+    tables from x5 on the SAME 64-bit codes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    docs = _with_recrawl(T(spark, sf_dir, "documents")).select("doc_id", "text")
+    W, H = 9, 8
+    stride = (W * 3 + 3) & ~3  # BMP rows pad to 4 bytes
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def bmp(text: str) -> bytes:
+            s = (text + "x" * (W * H))[: W * H]
+            px = [ord(c) % 256 for c in s]
+            rows = b""
+            for r in range(H):  # negative height => top-down row order
+                row = b"".join(
+                    bytes((v, v, v)) for v in px[r * W : (r + 1) * W]
+                )
+                rows += row + b"\x00" * (stride - W * 3)
+            header = b"BM" + struct.pack(
+                "<IHHI", 14 + 40 + len(rows), 0, 0, 14 + 40
+            )
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, W, -H, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+            )
+            return header + info + rows
+
+        for b in batches:
+            yield pd.DataFrame(
+                {"media_id": b["doc_id"], "content": [bmp(t) for t in b["text"]]}
+            )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def dhash(blob: bytes) -> str:
+            assert blob[:2] == b"BM"
+            (off,) = struct.unpack_from("<I", blob, 10)
+            w, h = struct.unpack_from("<ii", blob, 18)
+            (bpp,) = struct.unpack_from("<H", blob, 28)
+            assert (w, h, bpp) == (W, -H, 24), (w, h, bpp)
+            st = (w * 3 + 3) & ~3
+            out = []
+            for r in range(H):
+                base = off + r * st
+                p = [blob[base + c * 3] for c in range(w)]
+                byte = sum(
+                    (1 << c) for c in range(w - 1) if p[c] < p[c + 1]
+                )
+                out.append(f"{byte:02X}")
+            return "".join(out)
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "phash": [dhash(x) for x in b["content"]],
+                }
+            )
+
+    media = docs.mapInPandas(
+        _encode, TT.StructType().add("media_id", "long").add("content", "binary")
+    )
+    hashed = media.mapInPandas(
+        _decode, TT.StructType().add("media_id", "long").add("phash", "string")
+    )
+    return hashed.groupBy("phash").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -125,3 +125,30 @@ def test_span_coverage_recrawls_fully_covered(spark, sf_dir):
         assert r["covered_frac_nano"] == 1000000000
         orig = by_id[r["doc_id"] - 100000]
         assert orig["covered_frac_nano"] == 1000000000
+
+
+def test_image_phash_locality_and_collision(spark, sf_dir):
+    """dHash contract: exact re-crawl copies collide; a single-pixel
+    perturbation flips at most 2 gradient bits (the two comparisons
+    that touch the pixel)."""
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import x45_image_phash_dedup
+
+    rows = x45_image_phash_dedup(spark, sf_dir).collect()
+    n_dupes = table(spark, sf_dir, "documents").filter("doc_id % 5 = 0").count()
+    assert sum(r["n_copies"] - 1 for r in rows) >= n_dupes
+
+    # locality: recompute two hashes by the same pixel rule in Python
+    def dhash(s):
+        px = [ord(c) % 256 for c in (s + "x" * 72)[:72]]
+        return [
+            sum(1 << c for c in range(8) if px[r * 9 + c] < px[r * 9 + c + 1])
+            for r in range(8)
+        ]
+
+    base = "the quick brown fox jumps over the lazy dog again and again and again padpad"
+    mut = base[:40] + chr(ord(base[40]) + 1) + base[41:]
+    diff = sum(
+        bin(a ^ b).count("1") for a, b in zip(dhash(base), dhash(mut))
+    )
+    assert diff <= 2
