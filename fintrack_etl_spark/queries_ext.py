@@ -2761,3 +2761,124 @@ def x45_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def _x46_oracle(rounds: int = 3) -> str:
+    # Each round: weighted adjacent-pair counts over the word dictionary
+    # -> deterministic top pair (count desc, pair asc) -> left-to-right
+    # non-overlapping merge via replace() (identical semantics in both
+    # engines). Symbols separated by two spaces; merges joined by '~'.
+    sql = """
+    WITH dict0 AS (
+        SELECT array_to_string(
+                   list_transform(range(1, len(w) + 1), i -> w[i]), '  ') AS sym,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE len(w) >= 2
+        GROUP BY 1
+    )"""
+    for r in range(rounds):
+        sql += f""",
+    pairs{r} AS (
+        SELECT p.a, p.b, sum(d.freq) AS cnt
+        FROM dict{r} d, LATERAL (
+            SELECT s[i] AS a, s[i + 1] AS b
+            FROM (SELECT string_split(d.sym, '  ') AS s),
+                 (SELECT unnest(range(1, len(string_split(d.sym, '  ')))) AS i)
+        ) p
+        GROUP BY 1, 2
+    ),
+    top{r} AS (
+        SELECT a, b, cnt FROM pairs{r}
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    dict{r + 1} AS (
+        SELECT replace(d.sym, t.a || '  ' || t.b, t.a || '~' || t.b) AS sym,
+               d.freq
+        FROM dict{r} d, top{r} t
+    )"""
+    selects = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, a AS sym_a, b AS sym_b, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(rounds)
+    )
+    return sql + f"\n    {selects}"
+
+
+@register("x46_bpe_merges", _x46_oracle())
+def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — the first 3 merge rounds of
+    byte-pair encoding, exactly as tokenizer training runs at corpus
+    scale: (1) the corpus collapses ONCE to the word-frequency
+    dictionary (the only pass that touches 100 TB — BPE never rescans
+    the corpus); (2) each round counts adjacent symbol pairs weighted
+    by word frequency, picks the deterministic argmax (count desc,
+    pair asc), and applies the merge left-to-right non-overlapping via
+    ``replace`` — the same greedy semantics as reference BPE trainers.
+    Everything is integer counts + string ops, so the oracle
+    value-checks all three chosen merges and their counts.
+
+    Scale: the dictionary is |distinct words| rows (~5 orders smaller
+    than the corpus); each round is one partial-agg shuffle of pair
+    counts + a 1-row broadcast of the winning pair (TakeOrdered, not a
+    sort). Driver holds only the 1-row winner per round. Real
+    tokenizer training = the same loop to 50k rounds with the pair
+    counts INCREMENTALLY maintained (only words containing the merged
+    pair change — a delta update, not a recount); the per-round plan
+    shape here is that inner loop."""
+    docs = T(spark, sf_dir, "documents")
+    dic = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.array_join(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+                "  ",
+            ).alias("sym"),
+            "freq",
+        )
+    ).localCheckpoint()  # tiny dictionary state, iterated on
+    out = []
+    for r in range(3):
+        pairs = (
+            dic.select(
+                F.split("sym", "  ").alias("s"), "freq"
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(s[i - 1] AS a, s[i] AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).localCheckpoint()
+        out.append(
+            top.select(
+                F.lit(r + 1).alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        dic = dic.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("sym"),
+                F.concat(F.col("a"), F.lit("  "), F.col("b")),
+                F.concat(F.col("a"), F.lit("~"), F.col("b")),
+            ).alias("sym"),
+            "freq",
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -152,3 +152,44 @@ def test_image_phash_locality_and_collision(spark, sf_dir):
         bin(a ^ b).count("1") for a, b in zip(dhash(base), dhash(mut))
     )
     assert diff <= 2
+
+
+def test_bpe_merges_match_reference_trainer(spark, sf_dir):
+    """Run classic dictionary BPE (Sennrich et al.) in plain Python on
+    the same word-frequency dict and demand the identical 3 merges."""
+    import re
+    from collections import Counter
+
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import x46_bpe_merges
+
+    texts = [r["text"] for r in table(spark, sf_dir, "documents").select("text").collect()]
+    words = Counter(
+        w for t in texts for w in re.split(r"\s+", t.strip()) if len(w) >= 2
+    )
+    dic = {tuple(w): f for w, f in words.items()}
+    expected = []
+    for _ in range(3):
+        pairs = Counter()
+        for syms, f in dic.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, cnt))
+        new = {}
+        for syms, f in dic.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + "~" + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        dic = new
+    got = [
+        (r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in x46_bpe_merges(spark, sf_dir).orderBy("round").collect()
+    ]
+    assert got == expected
