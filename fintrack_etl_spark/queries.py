@@ -4397,3 +4397,94 @@ def ext_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext — CUSUM drift / changepoint statistic (prefix-sum drawup, exact ints)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    with_k AS (
+        SELECT o_orderpriority, day, cents,
+               CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                 // CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                 AS k
+        FROM daily
+    ),
+    prefix AS (
+        SELECT o_orderpriority, k, day,
+               CAST(sum(cents - k) OVER (PARTITION BY o_orderpriority
+                    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        FROM with_k
+    ),
+    drawup AS (
+        SELECT o_orderpriority, k,
+               p - least(CAST(0 AS BIGINT),
+                         CAST(min(p) OVER (PARTITION BY o_orderpriority
+                              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT)) AS s
+        FROM prefix
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_days,
+           k                        AS target_cents,
+           max(s)                   AS max_cusum_cents,
+           max(s) > 20 * k          AS drifted
+    FROM drawup GROUP BY o_orderpriority, k
+    """,
+)
+def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift statistic per segment — the classic sequential
+    changepoint detector (Page 1954): the running max of
+    ``s_i = max(0, s_{i-1} + (x_i − k))`` over the day-ordered daily
+    series. The recurrence LOOKS sequential, but its maximum equals
+    the prefix-sum drawup ``max_i (P_i − min(0, min_{j≤i} P_j))``
+    with ``P_i = Σ(x_t − k)`` — so the whole statistic is two window
+    functions (cumulative sum + running min) and a max: fully
+    parallel within Spark's window machinery, no array fold, no UDF.
+    Integer cents end to end; target k = floor mean daily cents;
+    drift flag at 20× k. (A fold formulation was rejected: DuckDB
+    1.0's ``list_reduce`` evaluates struct fields against the
+    already-updated accumulator, so cross-engine fold determinism
+    does not extend to multi-field states.)
+
+    Scale: one shuffle to daily grains, one window partition per
+    segment over |distinct days| rows (bounded ~10³ for years) —
+    never raw orders. The drawup identity is also the mergeable form:
+    (sum, min-prefix, max-drawup) per chunk combine associatively,
+    which is how the same statistic runs incrementally/streaming."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    g = Window.partitionBy("o_orderpriority")
+    with_k = daily.withColumn(
+        "k", F.expr("sum(cents) OVER (PARTITION BY o_orderpriority) DIV "
+                    "count(*) OVER (PARTITION BY o_orderpriority)")
+    )
+    seq = g.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefix = with_k.withColumn("p", F.sum(F.col("cents") - F.col("k")).over(seq))
+    draw = prefix.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(seq))
+    )
+    return draw.groupBy("o_orderpriority", "k").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("s").alias("max_cusum_cents"),
+        (F.max("s") > 20 * F.col("k")).alias("drifted"),
+    ).select(
+        "o_orderpriority",
+        "n_days",
+        F.col("k").alias("target_cents"),
+        "max_cusum_cents",
+        "drifted",
+    )

@@ -2882,3 +2882,38 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+@register(
+    "x47_leakage_safe_split",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    keyed AS (
+        SELECT doc_id, md5(text) AS cluster_key FROM docs
+    )
+    SELECT doc_id,
+           CASE WHEN substring(md5(cluster_key), 1, 1) < 'c'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM keyed
+    """,
+)
+def x47_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the split key is the DEDUP
+    CLUSTER (content hash here; LSH/CC cluster id in the general
+    pipeline), not the document id — so duplicates and near-duplicates
+    can never straddle the boundary and leak eval content into
+    training (the failure mode of x17's id-keyed split on a
+    deduplicated-later corpus; Lee et al. 2022 §6). Same deterministic
+    md5-threshold assignment as x17 (~75 % train), applied to the
+    cluster key: pure map, no shuffle, engine-portable row for row.
+    At 100 TB the cluster id comes from x16's components table via one
+    broadcast-or-bucketed join; the assignment itself stays a map."""
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.md5("text")), 1, 1) < "c", F.lit("train")
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )

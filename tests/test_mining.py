@@ -193,3 +193,42 @@ def test_bpe_merges_match_reference_trainer(spark, sf_dir):
         for r in x46_bpe_merges(spark, sf_dir).orderBy("round").collect()
     ]
     assert got == expected
+
+
+def test_cusum_equals_sequential_recurrence(spark, sf_dir):
+    """The drawup identity must reproduce Page's recurrence exactly."""
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries import ext_cusum_changepoint
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["o_orderpriority"], []).append((r["day"], r["cents"]))
+    got = {r["o_orderpriority"]: r for r in ext_cusum_changepoint(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for grp, pts in series.items():
+        xs = [c for _, c in sorted(pts)]
+        k = sum(xs) // len(xs)
+        s = m = 0
+        for x in xs:
+            s = max(s + x - k, 0)
+            m = max(m, s)
+        assert got[grp]["max_cusum_cents"] == m
+        assert got[grp]["target_cents"] == k
+        assert got[grp]["n_days"] == len(xs)
+
+
+def test_leakage_safe_split_never_straddles_duplicates(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import x47_leakage_safe_split
+
+    rows = {r["doc_id"]: r["split"] for r in x47_leakage_safe_split(spark, sf_dir).collect()}
+    dupes = [d for d in rows if d >= 100000]
+    assert dupes
+    for d in dupes:  # exact copy must land with its original
+        assert rows[d] == rows[d - 100000]
+    assert {"train", "eval"} == set(rows.values())
