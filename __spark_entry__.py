@@ -98,6 +98,8 @@ _TIER0_LAST = (
     "ext_outlier_zscore",
     "ext_event_funnel",
     "ext_cohort_retention",
+    "ext_fuzzy_join",
+    "ext_skew_profile",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

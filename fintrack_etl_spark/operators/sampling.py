@@ -23,7 +23,7 @@ cannot be reproduced by another engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Hex digits of the md5 prefix compared against the threshold.
@@ -185,3 +185,53 @@ def token_budget_sql_cte(
         WHERE substring(md5(CAST({key_expr} AS VARCHAR)), 1, {_HEX_DIGITS}) < thr.__thr
     )
     """
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    n_picks: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: walk the
+    ``order_col``-ordered corpus, pick every row whose cumulative
+    ``weight_col`` mass crosses a multiple of ``step = total DIV
+    n_picks`` — the classic PPS design (heavy rows are picked with
+    probability ∝ weight, tiny rows proportionally rarely) and fully
+    deterministic integer arithmetic: a row is selected iff
+    ``cum DIV step > (cum - w) DIV step``.
+
+    Scale: the global cumulative sum uses the same two-phase
+    distributed prefix sum as ``packing.pack_documents_by_tokens`` —
+    per-range-partition local cumsum, one O(#partitions) driver
+    collect of partition totals, broadcast offsets back. No global
+    sort, no single-partition window."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_cum_local", F.sum(weight_col).over(w)).localCheckpoint()
+    totals = (
+        local.groupBy("_pid").agg(F.max("_cum_local").alias("_t")).orderBy("_pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"]
+    step = max(acc // max(n_picks, 1), 1)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("_cum", (F.col("_offset") + F.col("_cum_local")).cast("long"))
+        .filter(F.expr(f"_cum DIV {step} > (_cum - {weight_col}) DIV {step}"))
+        .drop("_pid", "_cum_local", "_offset")
+    )

@@ -2917,3 +2917,136 @@ def x47_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("eval"))
         .alias("split"),
     )
+
+
+@register(
+    "ext_pps_token_sample",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM toks
+    ),
+    stepped AS (
+        SELECT *, greatest((SELECT sum(n_tokens) FROM toks) // 20, 1) AS step
+        FROM cum
+    )
+    SELECT doc_id, n_tokens, c AS cum_tokens
+    FROM stepped
+    WHERE c // step > (c - n_tokens) // step
+    """,
+)
+def ext_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling by token mass — the deterministic
+    "pick ~N docs, long docs proportionally more often" selection used
+    for corpus inspection/eval carving (every doc's inclusion
+    probability ∝ its token count, zero randomness, replayable).
+    ``operators/sampling.pps_systematic_sample``: the global running
+    token total comes from the distributed two-phase prefix sum (the
+    packing machinery) — per-partition cumsum, O(#partitions) offsets
+    collect, broadcast back; the oracle recomputes it with a plain
+    window. Selection is pure integer division both sides."""
+    from .operators.sampling import pps_systematic_sample
+
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = pps_systematic_sample(toks, "doc_id", "n_tokens", n_picks=20)
+    return out.select(
+        "doc_id", "n_tokens", F.col("_cum").alias("cum_tokens")
+    )
+
+
+@register(
+    "x48_corpus_datasheet",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS h
+        FROM documents
+    ),
+    lang_counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ),
+    top_lang AS (
+        SELECT lang FROM lang_counts ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT)                   AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT)     AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT)       AS n_langs,
+           (SELECT lang FROM top_lang)                AS top_lang,
+           CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT)               AS total_chars,
+           CAST(min(n_tokens) AS BIGINT)              AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT)              AS max_tokens,
+           round(quantile_cont(n_tokens, 0.5), 2)     AS p50_tokens,
+           (1000000000 * (count(*) - count(DISTINCT h))) // count(*)
+                                                      AS dup_rate_nano,
+           (1000000000 * count(*) FILTER (WHERE n_tokens < 10)) // count(*)
+                                                      AS short_rate_nano
+    FROM base
+    """,
+)
+def x48_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet — the one-row "datasheet for a dataset"
+    summary (Gebru et al.) every corpus release ships with: volume
+    (docs/tokens/chars), language mix (count + deterministic top
+    language), source spread, length distribution (min/p50/max), exact
+    duplicate rate and short-doc rate as integer nano-fractions. One
+    scan computes every per-doc stat; the only extra exchanges are the
+    tiny lang-count aggregate and the global distinct-count partials —
+    at 100 TB the same query swaps exact count-distinct for the HLL
+    sketches (ext_incremental_distinct) and exact p50 for the
+    mergeable histogram state (ext_incremental_quantiles), both
+    already in the engine, without changing the datasheet schema."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("h"),
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    summary = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5D)"), 2).alias("p50_tokens"),
+        F.count_distinct("h").alias("_dh"),
+        F.sum((F.col("n_tokens") < 10).cast("long")).alias("_short"),
+    )
+    return summary.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "top_lang",
+        "total_tokens",
+        "total_chars",
+        "min_tokens",
+        "max_tokens",
+        "p50_tokens",
+        F.expr("(1000000000 * (n_docs - _dh)) DIV n_docs").alias("dup_rate_nano"),
+        F.expr("(1000000000 * _short) DIV n_docs").alias("short_rate_nano"),
+    )

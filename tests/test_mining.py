@@ -232,3 +232,49 @@ def test_leakage_safe_split_never_straddles_duplicates(spark, sf_dir):
     for d in dupes:  # exact copy must land with its original
         assert rows[d] == rows[d - 100000]
     assert {"train", "eval"} == set(rows.values())
+
+
+def test_pps_sample_matches_sequential_walk(spark, sf_dir):
+    """The distributed two-phase prefix sum must pick exactly the docs
+    a sequential PPS walk picks."""
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import ext_pps_token_sample
+
+    toks = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    total = sum(t for _, t in toks)
+    step = max(total // 20, 1)
+    cum, expect = 0, []
+    for d, t in toks:
+        cum += t
+        if cum // step > (cum - t) // step:
+            expect.append((d, t, cum))
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in ext_pps_token_sample(spark, sf_dir).collect()
+    )
+    assert got == expect
+    # heavy docs are always picked when weight >= step
+    for d, t in toks:
+        if t >= step:
+            assert d in {g[0] for g in got}
+
+
+def test_corpus_datasheet_consistency(spark, sf_dir):
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import x48_corpus_datasheet
+
+    row = x48_corpus_datasheet(spark, sf_dir).collect()[0]
+    n = table(spark, sf_dir, "documents").count()
+    assert row["n_docs"] == n
+    assert row["min_tokens"] <= row["p50_tokens"] <= row["max_tokens"]
+    assert 0 <= row["dup_rate_nano"] <= 10**9
+    assert 0 <= row["short_rate_nano"] <= 10**9
+    assert row["total_chars"] >= row["total_tokens"]  # tokens are space-separated
