@@ -90,6 +90,12 @@ SUPPLEMENT = [
     "x44_span_coverage",
     "ext_regression_slope",
     "ext_decile_stats",
+    "x45_image_phash_dedup",
+    "x46_bpe_merges",
+    "x47_leakage_safe_split",
+    "x48_corpus_datasheet",
+    "ext_pps_token_sample",
+    "ext_cusum_changepoint",
 ]
 
 
