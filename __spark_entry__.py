@@ -100,6 +100,7 @@ _TIER0_LAST = (
     "ext_cohort_retention",
     "ext_fuzzy_join",
     "ext_skew_profile",
+    "ext_referential_integrity",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

@@ -270,3 +270,69 @@ def estimate_quantile(
         *keys
     ).agg(F.min("bin").alias("qbin"))
     return hit.select(*keys, (F.lit(lo) + F.col("qbin") * width).alias("q_est"))
+
+
+#: Drawup (max-CUSUM) state columns — the Kadane-style associative
+#: summary of a deviation series: chunk total, min/max prefix (vs a 0
+#: baseline), and best drawup so far.
+DRAWUP_STATE_COLS = ("du_s", "du_m", "du_mx", "du_d")
+
+
+def partial_drawup_state(
+    df: DataFrame, keys: list[str], order_col: str, value_col: str
+) -> DataFrame:
+    """Per-key mergeable state for the CUSUM maximum (prefix-sum
+    drawup): over the ``order_col``-ordered deviations ``value_col``,
+    compute (S = chunk total, m = min(0, min prefix), M = max prefix,
+    d = max drawup within the chunk). Two consecutive chunks merge
+    with :func:`merge_drawup_state` — ORDER MATTERS (history chunk
+    first, then delta): drawup is associative but not commutative.
+
+    One window pass per chunk (|chunk| rows, partitioned by key), one
+    partial-agg shuffle to state rows."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("long")
+    p = df.withColumn("_p", F.sum(value_col).over(w)).withColumn(
+        "_rm", F.least(zero, F.min("_p").over(w))
+    )
+    return p.groupBy(*keys).agg(
+        F.sum(value_col).cast("long").alias("du_s"),
+        F.least(zero, F.min("_p")).cast("long").alias("du_m"),
+        F.max("_p").cast("long").alias("du_mx"),
+        F.max(F.col("_p") - F.col("_rm")).cast("long").alias("du_d"),
+    )
+
+
+def merge_drawup_state(history: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge time-ordered drawup states (history BEFORE delta):
+    S = S_a + S_b; m = min(m_a, S_a + m_b); M = max(M_a, S_a + M_b);
+    d = max(d_a, d_b, (S_a + M_b) − m_a). Missing-side states merge as
+    the empty chunk (S=0, m=0, M=0 treated as absent, d=0). The join
+    shuffles |keys| state rows only."""
+    d = delta.select(*keys, *[F.col(c).alias(f"__d_{c}") for c in DRAWUP_STATE_COLS])
+    j = history.join(d, keys, "full_outer")
+    za = F.coalesce(F.col("du_s"), F.lit(0))
+    ma = F.coalesce(F.col("du_m"), F.lit(0))
+    da = F.coalesce(F.col("du_d"), F.lit(0))
+    sb = F.coalesce(F.col("__d_du_s"), F.lit(0))
+    mb = F.coalesce(F.col("__d_du_m"), F.lit(0))
+    db = F.coalesce(F.col("__d_du_d"), F.lit(0))
+    # max prefix of an absent chunk must not fabricate a 0 candidate:
+    # coalesce M to the other side's reach instead of 0 when missing.
+    mxa = F.coalesce(F.col("du_mx"), F.lit(None))
+    mxb = F.coalesce(F.col("__d_du_mx"), F.lit(None))
+    new_mx = F.when(
+        mxa.isNull(), za + mxb
+    ).when(mxb.isNull(), mxa).otherwise(F.greatest(mxa, za + mxb))
+    cross = F.when(mxb.isNull(), F.lit(0)).otherwise((za + mxb) - ma)
+    return j.select(
+        *keys,
+        (za + sb).cast("long").alias("du_s"),
+        F.least(ma, za + mb).cast("long").alias("du_m"),
+        new_mx.cast("long").alias("du_mx"),
+        F.greatest(da, db, cross).cast("long").alias("du_d"),
+    )

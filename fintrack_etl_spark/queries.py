@@ -4488,3 +4488,70 @@ def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cusum_cents",
         "drifted",
     )
+
+
+@register(
+    "ext_incremental_cusum",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 - 43000000 AS dev
+        FROM orders GROUP BY 1, 2
+    ),
+    prefix AS (
+        SELECT o_orderpriority, day,
+               CAST(sum(dev) OVER (PARTITION BY o_orderpriority ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        FROM daily
+    ),
+    drawup AS (
+        SELECT o_orderpriority,
+               p - least(CAST(0 AS BIGINT),
+                         CAST(min(p) OVER (PARTITION BY o_orderpriority
+                              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT)) AS s
+        FROM prefix
+    )
+    SELECT o_orderpriority, max(s) AS max_cusum_cents
+    FROM drawup GROUP BY 1
+    """,
+)
+def ext_incremental_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained CUSUM maximum — the drift statistic as
+    MERGEABLE STATE: the drawup summary (chunk total, min/max prefix,
+    best drawup) is a Kadane-style associative monoid-with-order, so
+    history keeps a 4-number state per key and each day's delta folds
+    in WITHOUT rescanning history (``operators/incremental.
+    partial_drawup_state`` / ``merge_drawup_state``). Here history =
+    days before 1999, delta = the rest; the oracle recomputes the
+    statistic from scratch over the full series — merged state must
+    equal from-scratch exactly (integer cents, fixed target k so the
+    split point cannot leak into the statistic).
+
+    Scale: state is 4 BIGINTs per key; the daily delta pass windows
+    over |delta| rows only. This is the streaming form of
+    ext_cusum_changepoint — same replay-safe mergeable-state family
+    as ext_incremental_agg_merge / _distinct / _quantiles."""
+    from .operators.incremental import merge_drawup_state, partial_drawup_state
+
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            - F.lit(43000000)
+        ).alias("dev")
+    )
+    hist = daily.filter(F.col("day") < F.lit("1999-01-01").cast("date"))
+    delta = daily.filter(F.col("day") >= F.lit("1999-01-01").cast("date"))
+    merged = merge_drawup_state(
+        partial_drawup_state(hist, ["o_orderpriority"], "day", "dev"),
+        partial_drawup_state(delta, ["o_orderpriority"], "day", "dev"),
+        ["o_orderpriority"],
+    )
+    return merged.select(
+        "o_orderpriority", F.col("du_d").alias("max_cusum_cents")
+    )

@@ -311,3 +311,64 @@ def test_sql_predicate_escapes_quoted_strata(spark):
         ).fetchall()
     }
     assert kept == oracle and len(kept) > 0
+
+
+def test_drawup_state_merge_associative_and_exact(spark):
+    """Random integer series, arbitrary 3-way chunking: chained merges
+    must equal the from-scratch sequential drawup, for every split."""
+    import random
+
+    from fintrack_etl_spark.operators.incremental import (
+        merge_drawup_state,
+        partial_drawup_state,
+    )
+
+    rng = random.Random(13)
+    xs = [rng.randint(-50, 60) for _ in range(40)]
+
+    def seq_drawup(series):
+        p = m = best = 0
+        for x in series:
+            p += x
+            best = max(best, p - m)
+            m = min(m, p)
+        return best
+
+    expect = seq_drawup(xs)
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    for a, b in ((7, 19), (1, 39), (20, 21), (13, 30)):
+        chunks = [rows[:a], rows[a:b], rows[b:]]
+        states = [
+            partial_drawup_state(
+                spark.createDataFrame(c, ["k", "i", "x"]), ["k"], "i", "x"
+            )
+            for c in chunks
+            if c
+        ]
+        st = states[0]
+        for s in states[1:]:
+            st = merge_drawup_state(st, s, ["k"])
+        got = st.collect()[0]
+        assert got["du_d"] == expect, (a, b, got["du_d"], expect)
+        assert got["du_s"] == sum(xs)
+
+
+def test_drawup_state_empty_side_merge(spark):
+    from fintrack_etl_spark.operators.incremental import (
+        merge_drawup_state,
+        partial_drawup_state,
+    )
+
+    full = partial_drawup_state(
+        spark.createDataFrame([("k", 0, 5), ("k", 1, -9), ("k", 2, 7)], ["k", "i", "x"]),
+        ["k"], "i", "x",
+    )
+    empty = partial_drawup_state(
+        spark.createDataFrame([], "k string, i int, x long"), ["k"], "i", "x"
+    )
+    for merged in (
+        merge_drawup_state(full, empty, ["k"]),
+        merge_drawup_state(empty, full, ["k"]),
+    ):
+        r = merged.collect()[0]
+        assert (r["du_s"], r["du_d"]) == (3, 7)
