@@ -96,6 +96,7 @@ SUPPLEMENT = [
     "x48_corpus_datasheet",
     "ext_pps_token_sample",
     "ext_cusum_changepoint",
+    "ext_incremental_cusum",
 ]
 
 
