@@ -92,3 +92,19 @@ def test_orc_roundtrip_with_partitioning(spark, tmp_path):
     import os
 
     assert sorted(d for d in os.listdir(out) if d.startswith("g=")) == ["g=g0", "g=g1", "g=g2"]
+
+
+def test_read_csv_quarantined_splits_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as TT
+
+    from fintrack_etl_spark.io import read_csv_quarantined
+
+    p = tmp_path / "in.csv"
+    p.write_text('a,b\n1,"x"\nnot_an_int,"y"\n3,"z"\n')
+    schema = TT.StructType().add("a", TT.IntegerType()).add("b", TT.StringType())
+    good, bad = read_csv_quarantined(spark, str(p), schema, multiline=False)
+    assert sorted((r["a"], r["b"]) for r in good.collect()) == [(1, "x"), (3, "z")]
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "not_an_int" in quarantined[0]["raw_line"]
+    assert quarantined[0]["quarantine_reason"] == "csv parse failure"
