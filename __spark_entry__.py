@@ -101,6 +101,12 @@ _TIER0_LAST = (
     "ext_fuzzy_join",
     "ext_skew_profile",
     "ext_referential_integrity",
+    # superseded in-window: ext_regression_slope/ext_decile_stats have
+    # pytest numpy/totality contracts + driver-green relational siblings;
+    # x22's WAV container parse is exercised harder by x49's chunk walk
+    "ext_regression_slope",
+    "ext_decile_stats",
+    "x22_media_metadata",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

@@ -3050,3 +3050,246 @@ def x48_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000000 * (n_docs - _dh)) DIV n_docs").alias("dup_rate_nano"),
         F.expr("(1000000000 * _short) DIV n_docs").alias("short_rate_nano"),
     )
+
+
+def _x49_oracle() -> str:
+    # Samples are the raw utf-8/ASCII byte codes of text (8-bit PCM);
+    # voiced iff |b − 128| ≥ 16. Segment starts = voiced with silent
+    # (or no) predecessor. Pure list arithmetic, no explode.
+    bs = "list_transform(range(1, length(text) + 1), i -> ascii(substring(text, i, 1)) % 256)"
+    voiced = "list_transform(b, x -> CASE WHEN x <= 112 OR x >= 144 THEN 1 ELSE 0 END)"
+    return f"""
+    WITH pcm AS (SELECT doc_id, {bs} AS b FROM documents),
+    v AS (SELECT doc_id, len(b) AS n, {voiced} AS vs FROM pcm)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(vs) AS BIGINT) AS n_voiced,
+           CAST(list_sum(list_transform(range(1, len(vs) + 1),
+                i -> CASE WHEN vs[i] = 1 AND (i = 1 OR vs[i - 1] = 0)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_segments,
+           (CAST(n AS BIGINT) * 1000) // 8000 AS duration_ms
+    FROM v
+    """
+
+
+@register("x49_audio_segments", _x49_oracle())
+def x49_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL audio container plumbing:
+    each document's bytes become 8-bit mono 8 kHz PCM inside a genuine
+    RIFF/WAVE file (fmt + data chunks per spec) in an Arrow encode
+    pass; the decode pass re-parses the container — chunk walk, fmt
+    validation, sample extraction — then runs the standard
+    energy-threshold VAD (voiced iff |s−128| ≥ 16) and counts
+    silence→speech transitions (segments), voiced samples, and
+    duration. The oracle recomputes everything arithmetically from the
+    text bytes, so a header, chunk-offset, or threshold bug is a value
+    mismatch. Swap the byte stub for a real audio decode and the
+    segmentation pass is unchanged — this is the frame-level pipeline
+    shape (VAD → segment → per-segment features) of speech-corpus
+    curation, Arrow-batched, with the only shuffle being whatever
+    aggregation consumes the per-doc rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def wav(data: bytes) -> bytes:
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"],
+                    "content": [
+                        wav(bytes(ord(c) % 256 for c in t)) for t in b["text"]
+                    ],
+                }
+            )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def vad(blob: bytes):
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+            pos, samples = 12, None
+            while pos + 8 <= len(blob):
+                cid, sz = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+                body = blob[pos + 8 : pos + 8 + sz]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", body[:16])
+                    assert fmt == (1, 1, 8000, 8000, 1, 8), fmt
+                elif cid == b"data":
+                    samples = body
+                pos += 8 + sz + (sz & 1)
+            n = len(samples)
+            voiced = [1 if (s <= 112 or s >= 144) else 0 for s in samples]
+            segs = sum(
+                1 for i, v in enumerate(voiced) if v and (i == 0 or not voiced[i - 1])
+            )
+            return n, sum(voiced), segs, n * 1000 // 8000
+
+        for b in batches:
+            rows = [vad(x) for x in b["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["media_id"],
+                    "n_samples": [r[0] for r in rows],
+                    "n_voiced": [r[1] for r in rows],
+                    "n_segments": [r[2] for r in rows],
+                    "duration_ms": [r[3] for r in rows],
+                }
+            )
+
+    media = docs.mapInPandas(
+        _encode, TT.StructType().add("media_id", "long").add("content", "binary")
+    )
+    out_schema = (
+        TT.StructType()
+        .add("doc_id", "long")
+        .add("n_samples", "long")
+        .add("n_voiced", "long")
+        .add("n_segments", "long")
+        .add("duration_ms", "long")
+    )
+    return media.mapInPandas(_decode, out_schema)
+
+
+@register(
+    "x50_feature_hash",
+    """
+    WITH feats AS (
+        SELECT o_orderkey,
+               'priority=' || o_orderpriority AS f1,
+               'status=' || o_orderstatus     AS f2
+        FROM orders
+    ),
+    hashed AS (
+        SELECT o_orderkey,
+               CAST(('0x' || substring(md5(f1), 1, 8)) AS BIGINT) % 64 AS b1,
+               CAST(('0x' || substring(md5(f2), 1, 8)) AS BIGINT) % 64 AS b2
+        FROM feats
+    ),
+    buckets AS (
+        SELECT b1 AS bucket FROM hashed UNION ALL SELECT b2 FROM hashed
+    ),
+    stats AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+        FROM buckets GROUP BY 1
+    ),
+    collisions AS (
+        SELECT bucket, CAST(count(DISTINCT feat) AS BIGINT) AS n_distinct_feats
+        FROM (
+            SELECT b1 AS bucket, f1 AS feat FROM hashed JOIN feats USING (o_orderkey)
+            UNION ALL
+            SELECT b2, f2 FROM hashed JOIN feats USING (o_orderkey)
+        ) GROUP BY 1
+    )
+    SELECT s.bucket, s.n_rows, c.n_distinct_feats,
+           c.n_distinct_feats > 1 AS has_collision
+    FROM stats s JOIN collisions c USING (bucket)
+    """,
+)
+def x50_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing ("hashing trick", Weinberger et al. 2009) — the
+    ML feature-prep step that maps unbounded categorical vocabularies
+    into a fixed bucket space with no dictionary to build, ship, or
+    look up: bucket = md5(feature-string) mod 64 (md5-derived so the
+    bucketing is engine-portable and replayable, unlike engine-native
+    hash()). Reports per-bucket load and collision audit (distinct
+    features sharing a bucket) — the two numbers that size the bucket
+    space. Scale: bucketing is a pure map over the fact table; the
+    audit aggregates are |buckets|-bounded. The same md5-bucket
+    expression is the partitioner for one-pass distributed one-hot /
+    cross-feature accumulation at 100 TB."""
+    o = T(spark, sf_dir, "orders")
+    feats = o.select(
+        "o_orderkey",
+        F.concat(F.lit("priority="), F.col("o_orderpriority")).alias("f1"),
+        F.concat(F.lit("status="), F.col("o_orderstatus")).alias("f2"),
+    )
+    def bucket(c):
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % 64
+
+    long_form = feats.select(
+        bucket(F.col("f1")).alias("bucket"), F.col("f1").alias("feat")
+    ).unionByName(
+        feats.select(bucket(F.col("f2")).alias("bucket"), F.col("f2").alias("feat"))
+    )
+    return long_form.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("feat").alias("n_distinct_feats"),
+        (F.count_distinct("feat") > 1).alias("has_collision"),
+    )
+
+
+@register(
+    "ext_corpus_diff",
+    f"""
+    WITH snap_a AS (SELECT doc_id, md5(text) AS h FROM documents
+                    WHERE doc_id % 7 <> 0),
+    snap_b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 5 <> 1
+    )
+    SELECT CASE
+             WHEN a.doc_id IS NULL THEN 'added'
+             WHEN b.doc_id IS NULL THEN 'removed'
+             WHEN a.h <> b.h       THEN 'changed'
+             ELSE 'unchanged'
+           END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(COALESCE(a.doc_id, b.doc_id)) AS sample_doc_id
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    GROUP BY 1
+    """,
+)
+def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the release-to-release audit every
+    dataset version bump needs (what was added / removed / edited
+    between crawl N and crawl N+1): full-outer join on doc_id with
+    content-hash comparison, rolled up to status counts with a sample
+    id per class. Both snapshots are deterministic slices/edits of the
+    fixture so the oracle value-checks all four classes. Scale: the
+    join keys on doc_id — with both snapshots bucketed by doc_id (the
+    lake_tx layout) it is exchange-free; comparing md5 hashes instead
+    of text keeps the shuffle rows narrow. The per-class sample ids
+    make the diff actionable without a second scan."""
+    docs = T(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    snap_b = docs.filter(F.col("doc_id") % 5 != 1).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        status.alias("status"),
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("did"),
+    ).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("did").alias("sample_doc_id"),
+    )

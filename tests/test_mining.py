@@ -278,3 +278,46 @@ def test_corpus_datasheet_consistency(spark, sf_dir):
     assert 0 <= row["dup_rate_nano"] <= 10**9
     assert 0 <= row["short_rate_nano"] <= 10**9
     assert row["total_chars"] >= row["total_tokens"]  # tokens are space-separated
+
+
+def test_audio_segments_consistency(spark, sf_dir):
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import x49_audio_segments
+
+    rows = x49_audio_segments(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    for r in rows:
+        assert 0 <= r["n_voiced"] <= r["n_samples"]
+        # every segment needs at least one voiced sample; segments can't
+        # outnumber voiced samples, and zero voiced means zero segments
+        assert r["n_segments"] <= r["n_voiced"]
+        assert (r["n_segments"] == 0) == (r["n_voiced"] == 0)
+        assert r["duration_ms"] == r["n_samples"] * 1000 // 8000
+
+
+def test_feature_hash_buckets_cover_all_features(spark, sf_dir):
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import x50_feature_hash
+
+    rows = x50_feature_hash(spark, sf_dir).collect()
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == 2 * n_orders  # two features/row
+    n_feats = sum(r["n_distinct_feats"] for r in rows)
+    # 5 priorities + 3 statuses land in <= 8 buckets, no feature lost
+    assert n_feats == 8
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+
+
+def test_corpus_diff_partitions_docs(spark, sf_dir):
+    from fintrack_etl_spark.queries import T as table
+    from fintrack_etl_spark.queries_ext import ext_corpus_diff
+
+    rows = {r["status"]: r["n_docs"] for r in ext_corpus_diff(spark, sf_dir).collect()}
+    docs = [r["doc_id"] for r in table(spark, sf_dir, "documents").select("doc_id").collect()]
+    in_a = {d for d in docs if d % 7 != 0}
+    in_b = {d for d in docs if d % 5 != 1}
+    assert rows.get("added", 0) == len(in_b - in_a)
+    assert rows.get("removed", 0) == len(in_a - in_b)
+    assert rows.get("changed", 0) == len({d for d in in_a & in_b if d % 11 == 0})
+    assert rows.get("unchanged", 0) == len({d for d in in_a & in_b if d % 11 != 0})
