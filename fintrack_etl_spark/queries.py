@@ -4555,3 +4555,67 @@ def ext_incremental_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderpriority", F.col("du_d").alias("max_cusum_cents")
     )
+
+
+@register(
+    "ext_time_travel_read",
+    """
+    WITH t AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-10'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    s AS (
+        SELECT * FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id ASC) = 1
+    ),
+    u AS (
+        SELECT *, 0 AS sr FROM t
+        UNION ALL
+        SELECT *, 1 AS sr FROM s
+    )
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, sr ASC, event_id ASC) = 1
+    """,
+)
+def ext_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the value gate: commit three versions of the
+    keyed-latest table (pre-01-10 seed, then two MERGE commits for the
+    01-10→01-15 and post-01-15 slices) and read back **version 2** —
+    NOT the head — via ``lake_tx.read_table(version=2)``. The oracle
+    reconstructs what the table looked like after the second commit
+    only; any manifest/versioning bug that leaks v3 rows (or loses v2
+    ones) is a value mismatch. Delta ``versionAsOf`` / Iceberg
+    snapshot-read semantics (reference merge lineage:
+    ``datatrack_spark_utils.py:306-362``) over plain parquet +
+    manifest swap. Scale: a version read is one manifest resolve then
+    a normal pruned parquet scan of that version's immutable dir —
+    time travel costs nothing at read time; retention is the
+    ``expire_versions`` knob (D5)."""
+    from . import lake_tx
+
+    root = f"/tmp/fintrack_lake_tt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = T(spark, sf_dir, "events")
+    c1 = F.lit("2024-01-10").cast("timestamp")
+    c2 = F.lit("2024-01-15").cast("timestamp")
+    seed = win_ops.dedup_latest(
+        ev.filter(F.col("ts") < c1), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    lake_tx.commit_table(seed, root)
+    for lo, hi in ((c1, c2), (c2, None)):
+        delta = ev.filter(F.col("ts") >= lo)
+        if hi is not None:
+            delta = delta.filter(F.col("ts") < hi)
+        lake_tx.merge_latest_wins_versioned(
+            spark, root, delta, ["user_id", "event_type"], "ts", ["event_id"]
+        )
+    assert lake_tx.current_version(root) == 3
+    return lake_tx.read_table(spark, root, version=2).select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
