@@ -323,8 +323,8 @@ def merge_drawup_state(history: DataFrame, delta: DataFrame, keys: list[str]) ->
     db = F.coalesce(F.col("__d_du_d"), F.lit(0))
     # max prefix of an absent chunk must not fabricate a 0 candidate:
     # coalesce M to the other side's reach instead of 0 when missing.
-    mxa = F.coalesce(F.col("du_mx"), F.lit(None))
-    mxb = F.coalesce(F.col("__d_du_mx"), F.lit(None))
+    mxa = F.col("du_mx")
+    mxb = F.col("__d_du_mx")
     new_mx = F.when(
         mxa.isNull(), za + mxb
     ).when(mxb.isNull(), mxa).otherwise(F.greatest(mxa, za + mxb))

@@ -2288,9 +2288,11 @@ def x40_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     above a frequency floor — bounded by 1/floor distinct values), so
     it broadcasts and the corpus rewrite is a map-only array filter on
     the un-exploded rows: the full text is never shuffled, never
-    re-joined. 100 TB cost = one scan + one line-count exchange."""
+    re-joined. 100 TB cost = one scan + one line-count exchange. The
+    10% threshold joins in as a lazy 1-row aggregate (the oracle's
+    scalar-subquery shape) — no eager count() action at plan time."""
     docs = T(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("_n"))
     footer = (
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -2309,7 +2311,8 @@ def x40_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs2.select("doc_id", F.explode("lines").alias("line"))
         .groupBy("line")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 0.1 * n_docs)
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("df") >= 0.1 * F.col("_n"))
         .agg(F.sort_array(F.collect_list("line")).alias("hotset"))
     )
     kept = F.filter("lines", lambda x: ~F.array_contains(F.col("hotset"), x))
@@ -2327,10 +2330,16 @@ def x40_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
+    ok AS (  -- same pathological-basket quarantine as the engine
+        SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= 1000
+    ),
+    kept AS (
+        SELECT i.* FROM items i JOIN ok USING (l_orderkey)
+    ),
     pairs AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                CAST(count(*) AS BIGINT) AS n_orders_together
-        FROM items a JOIN items b
+        FROM kept a JOIN kept b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
     )
@@ -2591,11 +2600,16 @@ def x44_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("toks").alias("n_toks"),
+            # when() guard keeps the sequence total even if Catalyst
+            # re-evaluates the generator outside the size filter
+            # (InferFiltersFromGenerate — see textops.shingles)
             F.explode(
                 F.expr(
+                    "CASE WHEN size(toks) >= 8 THEN "
                     "transform(sequence(1, size(toks) - 7), "
                     "i -> struct(i AS pos, "
-                    "md5(array_join(slice(toks, i, 8), ' ')) AS g))"
+                    "md5(array_join(slice(toks, i, 8), ' ')) AS g)) "
+                    "ELSE array() END"
                 )
             ).alias("x"),
         )
@@ -2850,10 +2864,16 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("sym", "  ").alias("s"), "freq"
             )
             .select(
+                # guard: a word fully collapsed to ONE symbol by an
+                # earlier merge has no pairs — without the CASE the
+                # descending sequence(1, 0) would index out of bounds
+                # (ANSI crash) or fabricate null pairs
                 F.explode(
                     F.expr(
+                        "CASE WHEN size(s) >= 2 THEN "
                         "transform(sequence(1, size(s) - 1), "
-                        "i -> struct(s[i - 1] AS a, s[i] AS b))"
+                        "i -> struct(s[i - 1] AS a, s[i] AS b)) "
+                        "ELSE array() END"
                     )
                 ).alias("p"),
                 "freq",
@@ -3063,10 +3083,10 @@ def _x49_oracle() -> str:
     v AS (SELECT doc_id, len(b) AS n, {voiced} AS vs FROM pcm)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_samples,
-           CAST(list_sum(vs) AS BIGINT) AS n_voiced,
-           CAST(list_sum(list_transform(range(1, len(vs) + 1),
+           CAST(COALESCE(list_sum(vs), 0) AS BIGINT) AS n_voiced,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(vs) + 1),
                 i -> CASE WHEN vs[i] = 1 AND (i = 1 OR vs[i - 1] = 0)
-                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_segments,
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_segments,
            (CAST(n AS BIGINT) * 1000) // 8000 AS duration_ms
     FROM v
     """
