@@ -97,6 +97,9 @@ SUPPLEMENT = [
     "ext_pps_token_sample",
     "ext_cusum_changepoint",
     "ext_incremental_cusum",
+    "x49_audio_segments",
+    "x50_feature_hash",
+    "ext_corpus_diff",
 ]
 
 
