@@ -108,6 +108,7 @@ _TIER0_LAST = (
     "ext_decile_stats",
     "x22_media_metadata",
     "ext_incremental_join_view",
+    "ext_incremental_quantiles",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

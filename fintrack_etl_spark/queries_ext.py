@@ -3313,3 +3313,111 @@ def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("did").alias("sample_doc_id"),
     )
+
+
+@register(
+    "ext_mixture_waterfill",
+    """
+    WITH avail AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS avail_tokens,
+               CAST(CASE source
+                    WHEN 'web'    THEN 500000000
+                    WHEN 'books'  THEN 300000000
+                    WHEN 'code'   THEN 150000000
+                    ELSE 50000000 END AS BIGINT) AS share_nano
+        FROM documents GROUP BY source
+    ),
+    r1 AS (
+        SELECT *,
+               least(avail_tokens, (share_nano * 30000) // 1000000000)
+                 AS got1
+        FROM avail
+    ),
+    l1 AS (
+        SELECT CAST(30000 - sum(got1) AS BIGINT) AS leftover,
+               CAST(sum(CASE WHEN got1 < avail_tokens THEN share_nano
+                        ELSE 0 END) AS BIGINT) AS unsat_share
+        FROM r1
+    ),
+    r2 AS (
+        SELECT r1.source, r1.avail_tokens, r1.share_nano, r1.got1,
+               CASE WHEN r1.got1 < r1.avail_tokens AND l1.unsat_share > 0
+                    THEN least(r1.avail_tokens,
+                               r1.got1 + (r1.share_nano * l1.leftover)
+                                         // l1.unsat_share)
+                    ELSE r1.got1 END AS allocated
+        FROM r1, l1
+    )
+    SELECT source, avail_tokens, share_nano,
+           (share_nano * 30000) // 1000000000 AS want_tokens,
+           CAST(allocated AS BIGINT) AS allocated_tokens,
+           allocated >= got1 AS monotone
+    FROM r2
+    """,
+)
+def ext_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture budget allocation with water-filling — the planning
+    step between a target data mixture ("web 50%, books 30%, code
+    15%, rest 5%" in nano-shares) and the per-source token budgets
+    that ``sample_to_token_budget`` executes: round 1 allocates
+    ``share × B`` capped by availability; the undershoot (sources
+    thinner than their share) is redistributed in round 2 to the
+    unsaturated sources proportional to share, capped again. Two
+    fixed rounds, all integer nano-share arithmetic — deterministic
+    and value-gated (DoReMi-style mixture tuning reduces to feeding
+    re-weighted shares into this same allocator).
+
+    Scale: runs entirely on the |sources|-row availability table (the
+    ONE corpus scan is the per-source token sum); the allocation math
+    is a driver-free chain of two aggregates and a broadcast-sized
+    cross join."""
+    docs = T(spark, sf_dir, "documents")
+    B = 30000
+    share = (
+        F.when(F.col("source") == "web", 500000000)
+        .when(F.col("source") == "books", 300000000)
+        .when(F.col("source") == "code", 150000000)
+        .otherwise(50000000)
+        .cast("long")
+    )
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long")).alias(
+            "avail_tokens"
+        )
+    ).withColumn("share_nano", share)
+    r1 = avail.withColumn(
+        "got1",
+        F.least(
+            F.col("avail_tokens"),
+            F.expr(f"(share_nano * {B}) DIV 1000000000"),
+        ),
+    )
+    l1 = r1.agg(
+        (F.lit(B) - F.sum("got1")).cast("long").alias("leftover"),
+        F.sum(
+            F.when(F.col("got1") < F.col("avail_tokens"), F.col("share_nano")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("unsat_share"),
+    )
+    r2 = r1.crossJoin(F.broadcast(l1)).withColumn(
+        "allocated",
+        F.when(
+            (F.col("got1") < F.col("avail_tokens")) & (F.col("unsat_share") > 0),
+            F.least(
+                F.col("avail_tokens"),
+                F.col("got1")
+                + F.expr("(share_nano * leftover) DIV unsat_share"),
+            ),
+        ).otherwise(F.col("got1")),
+    )
+    return r2.select(
+        "source",
+        "avail_tokens",
+        "share_nano",
+        F.expr(f"(share_nano * {B}) DIV 1000000000").alias("want_tokens"),
+        F.col("allocated").cast("long").alias("allocated_tokens"),
+        (F.col("allocated") >= F.col("got1")).alias("monotone"),
+    )

@@ -321,3 +321,26 @@ def test_corpus_diff_partitions_docs(spark, sf_dir):
     assert rows.get("removed", 0) == len(in_a - in_b)
     assert rows.get("changed", 0) == len({d for d in in_a & in_b if d % 11 == 0})
     assert rows.get("unchanged", 0) == len({d for d in in_a & in_b if d % 11 != 0})
+
+
+def test_mixture_waterfill_invariants(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import ext_mixture_waterfill
+
+    rows = ext_mixture_waterfill(spark, sf_dir).collect()
+    assert rows
+    B = 30000
+    total_avail = sum(r["avail_tokens"] for r in rows)
+    got = sum(r["allocated_tokens"] for r in rows)
+    assert got <= min(B, total_avail)
+    for r in rows:
+        assert 0 <= r["allocated_tokens"] <= r["avail_tokens"]
+        assert r["monotone"]
+        # a source thinner than its round-1 ask is fully consumed
+        if r["want_tokens"] >= r["avail_tokens"]:
+            assert r["allocated_tokens"] == r["avail_tokens"]
+    # redistribution must move SOME of the leftover when both a
+    # saturated and an unsaturated source exist
+    saturated = [r for r in rows if r["want_tokens"] > r["avail_tokens"]]
+    grew = [r for r in rows if r["allocated_tokens"] > min(r["want_tokens"], r["avail_tokens"])]
+    if saturated and len(saturated) < len(rows):
+        assert grew
