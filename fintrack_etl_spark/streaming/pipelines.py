@@ -555,3 +555,65 @@ def cdc_vacuum_tombstones(spark: SparkSession, table: str, below_seq: int) -> in
         kept = cur.filter(~(F.col("__deleted") & (F.col("__seq") < below_seq)))
         kept.localCheckpoint().write.mode("overwrite").saveAsTable(table)
     return n
+
+
+def cusum_drift_stream(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    table: str,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+):
+    """Streaming CUSUM drift monitor: fold each micro-batch's drawup
+    summary (``operators/incremental.partial_drawup_state``) into the
+    persisted per-key state — the streaming face of
+    ``ext_incremental_cusum``. The drawup monoid is associative but
+    ORDER-SENSITIVE, so this sink requires the source to deliver each
+    key's rows in non-decreasing ``order_col`` across batches (true
+    for append-only event logs / file drops named in time order; an
+    out-of-order source needs the watermark+sort front end of
+    ``windowed_agg_stream`` first). Same transactional-foreachBatch
+    replay guard as ``continuous_aggregate_stream``: drawup merges are
+    not idempotent, so a replayed batch id is skipped and a batch id
+    below the recorded watermark fails fast.
+
+    Each batch costs one |batch| window pass + one |keys|-row state
+    merge; history is never rescanned. Returns the started query."""
+    from ..operators.incremental import merge_drawup_state, partial_drawup_state
+
+    meta_table = f"{table}__meta"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(meta_table):
+            row = spark.table(meta_table).first()
+            if row is not None:
+                last = row["last_batch_id"]
+                if batch_id == last:
+                    return
+                if batch_id < last:
+                    raise RuntimeError(
+                        f"cusum_drift_stream({table}): batch_id {batch_id} "
+                        f"< recorded last_batch_id {last} — checkpoint reset "
+                        "while state survived. Drop the state tables or "
+                        "restore the checkpoint dir."
+                    )
+        delta = partial_drawup_state(batch_df, keys, order_col, value_col)
+        if spark.catalog.tableExists(table):
+            merged = merge_drawup_state(
+                spark.table(table), delta, keys
+            ).localCheckpoint()
+            merged.write.mode("overwrite").saveAsTable(table)
+        else:
+            delta.write.saveAsTable(table)
+        spark.createDataFrame([(batch_id,)], "last_batch_id long").write.mode(
+            "overwrite"
+        ).saveAsTable(meta_table)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -8,6 +8,7 @@ the identical batch DataFrame computation on the same files.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 import pytest
@@ -663,3 +664,49 @@ def test_watermark_drops_late_rows_and_bounds_state(spark, tmp_path):
         if str(r["window_start"]).startswith("2024-01-01")
     ]
     assert b_day_d == [2]
+
+
+def test_cusum_drift_stream_matches_batch(spark, tmp_path):
+    """Drain time-ordered file drops through the drawup sink; the
+    converged state must equal the from-scratch batch statistic, and a
+    checkpoint-replayed drain must not re-fold (order-sensitive merge,
+    batch-id guard)."""
+    import random
+
+    from fintrack_etl_spark.operators.incremental import partial_drawup_state
+    from fintrack_etl_spark.streaming.pipelines import cusum_drift_stream
+
+    rng = random.Random(99)
+    rows = [
+        (k, i, rng.randint(-40, 55)) for k in ("a", "b") for i in range(60)
+    ]
+    land = os.path.join(str(tmp_path), "land")
+    # three time-ordered slices, landed sequentially (file source
+    # drains oldest first — the ordering contract the sink documents)
+    for n, (lo, hi) in enumerate(((0, 20), (20, 40), (40, 60))):
+        chunk = [r for r in rows if lo <= r[1] < hi]
+        spark.createDataFrame(chunk, "k string, i int, x long").coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        time.sleep(1.1)  # distinct mtimes keep drain order deterministic
+
+    schema = spark.read.parquet(land).schema
+    tbl = f"cusum_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(str(tmp_path), "ck")
+    stream = file_source_stream(spark, land, schema, max_files_per_trigger=1)
+    q = cusum_drift_stream(stream, ck, tbl, ["k"], "i", "x")
+    q.awaitTermination()
+
+    batch = partial_drawup_state(
+        spark.createDataFrame(rows, "k string, i int, x long"), ["k"], "i", "x"
+    )
+    got = {r["k"]: (r["du_s"], r["du_d"]) for r in spark.table(tbl).collect()}
+    want = {r["k"]: (r["du_s"], r["du_d"]) for r in batch.collect()}
+    assert got == want
+
+    # replay drain: unchanged state
+    stream2 = file_source_stream(spark, land, schema, max_files_per_trigger=1)
+    q2 = cusum_drift_stream(stream2, ck, tbl, ["k"], "i", "x")
+    q2.awaitTermination()
+    got2 = {r["k"]: (r["du_s"], r["du_d"]) for r in spark.table(tbl).collect()}
+    assert got2 == want
