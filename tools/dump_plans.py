@@ -100,6 +100,7 @@ SUPPLEMENT = [
     "x49_audio_segments",
     "x50_feature_hash",
     "ext_corpus_diff",
+    "ext_mixture_waterfill",
 ]
 
 
