@@ -3320,8 +3320,8 @@ def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH avail AS (
         SELECT source,
-               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
-                    AS BIGINT) AS avail_tokens,
+               CAST(COALESCE(sum(len(regexp_split_to_array(trim(text), '\\s+'))),
+                             0) AS BIGINT) AS avail_tokens,
                CAST(CASE source
                     WHEN 'web'    THEN 500000000
                     WHEN 'books'  THEN 300000000
@@ -3336,7 +3336,11 @@ def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM avail
     ),
     l1 AS (
-        SELECT CAST(30000 - sum(got1) AS BIGINT) AS leftover,
+        -- clamp: hardcoded shares may sum above 1.0 on an unexpected
+        -- source mix; a negative leftover must not SHRINK round-1
+        -- grants (and Spark DIV vs DuckDB // disagree on negatives)
+        SELECT greatest(CAST(30000 - sum(got1) AS BIGINT),
+                        CAST(0 AS BIGINT)) AS leftover,
                CAST(sum(CASE WHEN got1 < avail_tokens THEN share_nano
                         ELSE 0 END) AS BIGINT) AS unsat_share
         FROM r1
@@ -3382,10 +3386,13 @@ def ext_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(50000000)
         .cast("long")
     )
+    # NULL text contributes nothing (size(split(NULL)) is -1, which
+    # would silently SUBTRACT — mirror the oracle's NULL-skipping sum)
+    tok = F.when(
+        F.col("text").isNull(), F.lit(None)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
     avail = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long")).alias(
-            "avail_tokens"
-        )
+        F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("avail_tokens")
     ).withColumn("share_nano", share)
     r1 = avail.withColumn(
         "got1",
@@ -3395,7 +3402,7 @@ def ext_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     l1 = r1.agg(
-        (F.lit(B) - F.sum("got1")).cast("long").alias("leftover"),
+        F.greatest(F.lit(B) - F.sum("got1"), F.lit(0)).cast("long").alias("leftover"),
         F.sum(
             F.when(F.col("got1") < F.col("avail_tokens"), F.col("share_nano")).otherwise(
                 F.lit(0)

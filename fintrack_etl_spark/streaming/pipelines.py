@@ -247,6 +247,31 @@ def continuous_aggregate_stream(
     """
     from ..operators.incremental import merge_aggregate_state, partial_aggregate
 
+    fold = transactional_fold(
+        table,
+        "continuous_aggregate_stream",
+        lambda batch_df: partial_aggregate(batch_df, keys, value_col),
+        lambda state, delta: merge_aggregate_state(state, delta, keys),
+    )
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def transactional_fold(table: str, name: str, make_delta, merge_state):
+    """The ONE copy of the transactional-foreachBatch scaffolding every
+    mergeable-state sink shares: the ``<table>__meta`` batch-id replay
+    guard (non-idempotent merges must skip a replayed id and fail fast
+    on an id BELOW the watermark — only possible when the checkpoint
+    dir was deleted/relocated while the state tables survived), the
+    merge-or-create state write, and the batch-id record. The
+    state/meta writes are two statements (the commit-point gap is
+    documented; ``lake_tx``'s versioned sinks close it with an atomic
+    manifest swap). Returns the fold callable — directly invokable in
+    tests to exercise the guard paths without a stream."""
     meta_table = f"{table}__meta"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -260,20 +285,15 @@ def continuous_aggregate_stream(
                 if batch_id == last:
                     return  # legitimate checkpoint replay of the last batch
                 if batch_id < last:
-                    # Batch ids only restart below the recorded watermark
-                    # when the checkpoint dir was deleted/relocated while
-                    # the state tables survived. Skipping would silently
-                    # freeze the aggregate; re-folding would double-count.
                     raise RuntimeError(
-                        f"continuous_aggregate_stream({table}): batch_id "
-                        f"{batch_id} < recorded last_batch_id {last} — the "
-                        "checkpoint was reset while state survived. Drop "
-                        f"{table}/{meta_table} or restore the original "
-                        "checkpoint dir."
+                        f"{name}({table}): batch_id {batch_id} < recorded "
+                        f"last_batch_id {last} — the checkpoint was reset "
+                        f"while state survived. Drop {table}/{meta_table} "
+                        "or restore the original checkpoint dir."
                     )
-        delta = partial_aggregate(batch_df, keys, value_col)
+        delta = make_delta(batch_df)
         if spark.catalog.tableExists(table):
-            merged = merge_aggregate_state(spark.table(table), delta, keys).localCheckpoint()
+            merged = merge_state(spark.table(table), delta).localCheckpoint()
             merged.write.mode("overwrite").saveAsTable(table)
         else:
             delta.write.saveAsTable(table)
@@ -281,12 +301,7 @@ def continuous_aggregate_stream(
             "overwrite"
         ).saveAsTable(meta_table)
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return fold
 
 
 def stream_interval_join(
@@ -582,35 +597,12 @@ def cusum_drift_stream(
     merge; history is never rescanned. Returns the started query."""
     from ..operators.incremental import merge_drawup_state, partial_drawup_state
 
-    meta_table = f"{table}__meta"
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if spark.catalog.tableExists(meta_table):
-            row = spark.table(meta_table).first()
-            if row is not None:
-                last = row["last_batch_id"]
-                if batch_id == last:
-                    return
-                if batch_id < last:
-                    raise RuntimeError(
-                        f"cusum_drift_stream({table}): batch_id {batch_id} "
-                        f"< recorded last_batch_id {last} — checkpoint reset "
-                        "while state survived. Drop the state tables or "
-                        "restore the checkpoint dir."
-                    )
-        delta = partial_drawup_state(batch_df, keys, order_col, value_col)
-        if spark.catalog.tableExists(table):
-            merged = merge_drawup_state(
-                spark.table(table), delta, keys
-            ).localCheckpoint()
-            merged.write.mode("overwrite").saveAsTable(table)
-        else:
-            delta.write.saveAsTable(table)
-        spark.createDataFrame([(batch_id,)], "last_batch_id long").write.mode(
-            "overwrite"
-        ).saveAsTable(meta_table)
-
+    fold = transactional_fold(
+        table,
+        "cusum_drift_stream",
+        lambda batch_df: partial_drawup_state(batch_df, keys, order_col, value_col),
+        lambda state, delta: merge_drawup_state(state, delta, keys),
+    )
     return (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)

@@ -338,9 +338,22 @@ def test_mixture_waterfill_invariants(spark, sf_dir):
         # a source thinner than its round-1 ask is fully consumed
         if r["want_tokens"] >= r["avail_tokens"]:
             assert r["allocated_tokens"] == r["avail_tokens"]
-    # redistribution must move SOME of the leftover when both a
-    # saturated and an unsaturated source exist
-    saturated = [r for r in rows if r["want_tokens"] > r["avail_tokens"]]
-    grew = [r for r in rows if r["allocated_tokens"] > min(r["want_tokens"], r["avail_tokens"])]
-    if saturated and len(saturated) < len(rows):
-        assert grew
+    # redistribution must move the leftover exactly per the two-round
+    # spec: recompute round 2 sequentially and demand equality (no
+    # "some growth" heuristic — integer flooring can legitimately
+    # zero every extra when the leftover is tiny)
+    leftover = max(
+        B - sum(min(r["want_tokens"], r["avail_tokens"]) for r in rows), 0
+    )
+    unsat = sum(
+        r["share_nano"] for r in rows if r["want_tokens"] < r["avail_tokens"]
+    )
+    for r in rows:
+        got1 = min(r["want_tokens"], r["avail_tokens"])
+        if got1 < r["avail_tokens"] and unsat > 0:
+            expect = min(
+                r["avail_tokens"], got1 + (r["share_nano"] * leftover) // unsat
+            )
+        else:
+            expect = got1
+        assert r["allocated_tokens"] == expect, (r["source"], r["allocated_tokens"], expect)

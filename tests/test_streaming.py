@@ -710,3 +710,26 @@ def test_cusum_drift_stream_matches_batch(spark, tmp_path):
     q2.awaitTermination()
     got2 = {r["k"]: (r["du_s"], r["du_d"]) for r in spark.table(tbl).collect()}
     assert got2 == want
+
+    # exercise the batch-id guard DIRECTLY (the drained checkpoint
+    # delivers no batches, so the paths above never run it): a
+    # replayed last id must skip, an id below the watermark must raise
+    from fintrack_etl_spark.operators.incremental import (
+        merge_drawup_state,
+        partial_drawup_state,
+    )
+    from fintrack_etl_spark.streaming.pipelines import transactional_fold
+
+    fold = transactional_fold(
+        tbl,
+        "cusum_drift_stream",
+        lambda b: partial_drawup_state(b, ["k"], "i", "x"),
+        lambda s, d: merge_drawup_state(s, d, ["k"]),
+    )
+    last = spark.table(f"{tbl}__meta").first()["last_batch_id"]
+    poison = spark.createDataFrame([("a", 999, 10**6)], "k string, i int, x long")
+    fold(poison, last)  # replay of the recorded id: skipped, state intact
+    got3 = {r["k"]: (r["du_s"], r["du_d"]) for r in spark.table(tbl).collect()}
+    assert got3 == want
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        fold(poison, last - 1)
