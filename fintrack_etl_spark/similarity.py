@@ -576,3 +576,76 @@ def ivf_topk_from_layout(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
     )
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick the candidate maximizing
+    ``λ·sim(query) − (1−λ)·max sim(already picked)`` — the diversity
+    step after ANY retrieval stage here (brute/LSH/IVF/IVF-PQ), so a
+    near-dup-heavy shortlist doesn't return k copies of one document.
+
+    ``shortlist`` is (query_id, neighbor_id, cosine) — the OUTPUT of a
+    top-k' retrieval (k' ~ tens). The candidate vectors are fetched
+    with ONE semi-join scan of the corpus; the greedy loop then runs
+    driver-side over k'·k pairs of small lists — this is by design,
+    not a scale compromise: MMR is inherently sequential in k and its
+    working set is the shortlist, never the corpus. Ties break on
+    neighbor_id (deterministic). Returns picked rows as dicts in pick
+    order: (query_id, neighbor_id, rank, relevance, mmr_score)."""
+    import math
+
+    cand = (
+        shortlist.select("query_id", "neighbor_id", "cosine")
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("v"),
+            ),
+            "neighbor_id",
+        )
+        .collect()
+    )
+    by_q: dict = {}
+    for r in cand:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], float(r["cosine"]), [float(x) for x in r["v"]])
+        )
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else 0.0
+
+    out = []
+    for qid, items in sorted(by_q.items(), key=lambda kv: str(kv[0])):
+        items = sorted(items, key=lambda t: (-t[1], t[0]))
+        picked: list = []
+        while items and len(picked) < k:
+            best = None
+            for nid, rel, v in items:
+                div = max((cos(v, pv) for _, _, pv in picked), default=0.0)
+                score = lam * rel - (1.0 - lam) * div
+                if best is None or score > best[0] + 1e-12 or (
+                    abs(score - best[0]) <= 1e-12 and str(nid) < str(best[1])
+                ):
+                    best = (score, nid, rel, v)
+            picked.append((best[1], best[2], best[3]))
+            out.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": best[1],
+                    "rank": len(picked),
+                    "relevance": round(best[2], 6),
+                    "mmr_score": round(best[0], 6),
+                }
+            )
+            items = [t for t in items if t[0] != best[1]]
+    return out

@@ -717,3 +717,54 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         # mae_nano / scale_nano = mae/scale; round-to-nearest keeps
         # per-element error <= scale/2, so the mean must too
         assert r["mae_nano"] <= r["scale_nano"] / 2 + 1, r
+
+
+def test_mmr_rerank_diversifies_near_dup_shortlist(spark):
+    """Plant two tight clusters of candidates; plain top-k would return
+    one cluster's copies back-to-back, MMR at λ=0.5 must interleave the
+    clusters while rank 1 stays the most relevant item."""
+    from fintrack_etl_spark.similarity import cosine_topk_bruteforce, mmr_rerank
+
+    def vec(base, eps, dims=8):
+        return [b + e for b, e in zip(base, eps)]
+
+    a = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    q = [0.8, 0.6, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(0, q)]
+    # cluster A (ids 1-3) slightly closer to q than cluster B (ids 4-6)
+    for i, e in enumerate((0.00, 0.01, 0.02)):
+        rows.append((1 + i, vec(a, [e] * 8)))
+    for i, e in enumerate((0.00, 0.01, 0.02)):
+        rows.append((4 + i, vec(b, [e] * 8)))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id = 0")
+    corpus = emb.filter("vec_id > 0")
+
+    shortlist = cosine_topk_bruteforce(queries, corpus, k=6)
+    plain = [r["neighbor_id"] for r in shortlist.orderBy("rnk").collect()]
+    # relevance-only ordering clumps cluster A first
+    assert set(plain[:3]) == {1, 2, 3}
+
+    picked = mmr_rerank(shortlist, corpus, k=4, lam=0.5)
+    ids = [p["neighbor_id"] for p in picked]
+    assert len(ids) == 4 and len(set(ids)) == 4
+    assert ids[0] == plain[0]  # rank 1 = pure relevance
+    # diversity: the second pick must jump to the OTHER cluster
+    assert ids[1] in {4, 5, 6}
+    assert [p["rank"] for p in picked] == [1, 2, 3, 4]
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
+    from fintrack_etl_spark.similarity import cosine_topk_bruteforce, mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(6)]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter("vec_id = 0")
+    c = emb.filter("vec_id > 0")
+    shortlist = cosine_topk_bruteforce(q, c, k=5)
+    plain = [r["neighbor_id"] for r in shortlist.orderBy("rnk").collect()]
+    picked = mmr_rerank(shortlist, c, k=5, lam=1.0)
+    assert [p["neighbor_id"] for p in picked] == plain
