@@ -265,14 +265,21 @@ def merge_latest_wins_versioned(
     order_col: str,
     tie_breakers: list[str] | None = None,
     batch_id: int | None = None,
+    evolve: bool = False,
 ) -> int:
     """J3 MERGE with a real commit point: read vN, merge, publish vN+1.
-    First commit seeds the table with the deduped source."""
-    from .operators.upsert import merge_latest_wins
+    First commit seeds the table with the deduped source. With
+    ``evolve=True`` a source carrying new columns widens the committed
+    schema (NULL backfill on historical rows — the reference's
+    ``evoluir_schema`` + merge flow, ``datatrack_spark_utils.py:
+    221-302,306-362``); without it, schema drift raises at the union
+    rather than silently dropping columns."""
+    from .operators.upsert import merge_latest_wins, merge_latest_wins_evolving
     from .operators.windows import dedup_latest
 
     if table_exists(root):
-        merged = merge_latest_wins(read_table(spark, root), source, keys, order_col, tie_breakers)
+        op = merge_latest_wins_evolving if evolve else merge_latest_wins
+        merged = op(read_table(spark, root), source, keys, order_col, tie_breakers)
     else:
         merged = dedup_latest(source, keys, order_col, tie_breakers)
     return commit_table(merged, root, batch_id)

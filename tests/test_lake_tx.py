@@ -501,3 +501,35 @@ def test_cdc_sink_versioned_matches_batch_and_replays_cleanly(spark, tmp_path):
 
     drain()  # same checkpoint: no new commits
     assert current_version(root) == v_after
+
+
+def test_versioned_merge_schema_evolution(spark, tmp_path):
+    """evolve=True widens the committed schema with NULL backfill;
+    evolve=False surfaces drift as an error instead of dropping data."""
+    import pytest as _pytest
+
+    from fintrack_etl_spark import lake_tx
+
+    root = str(tmp_path / "evo")
+    seed = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k int, v int, payload string"
+    )
+    lake_tx.commit_table(seed, root)
+
+    delta = spark.createDataFrame(
+        [(2, 20, "b2", "BR"), (3, 20, "c", "US")],
+        "k int, v int, payload string, region string",
+    )
+    with _pytest.raises(Exception):
+        lake_tx.merge_latest_wins_versioned(spark, root, delta, ["k"], "v")
+
+    lake_tx.merge_latest_wins_versioned(spark, root, delta, ["k"], "v", evolve=True)
+    got = {
+        r["k"]: (r["v"], r["payload"], r["region"])
+        for r in lake_tx.read_table(spark, root).collect()
+    }
+    assert got == {
+        1: (10, "a", None),      # historical row NULL-backfilled
+        2: (20, "b2", "BR"),     # source wins on higher v
+        3: (20, "c", "US"),      # new key lands with the new column
+    }
