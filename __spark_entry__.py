@@ -109,6 +109,7 @@ _TIER0_LAST = (
     "x22_media_metadata",
     "ext_incremental_join_view",
     "ext_incremental_quantiles",
+    "ext_scd2_build",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

@@ -336,3 +336,88 @@ def merge_drawup_state(history: DataFrame, delta: DataFrame, keys: list[str]) ->
         new_mx.cast("long").alias("du_mx"),
         F.greatest(da, db, cross).cast("long").alias("du_d"),
     )
+
+
+def count_min_state(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch as mergeable state (Cormode & Muthukrishnan
+    2005): ``depth`` independent hash rows of ``width`` counters; the
+    frequency estimate for a key is the MIN over its ``depth`` cells —
+    never an undercount, overcount bounded by collisions. Buckets are
+    md5-derived (``md5(row || key)``), so the sketch is deterministic
+    and engine-portable: two engines (or two partitions' partial
+    sketches) build byte-identical cell grids. State size is
+    depth×width BIGINTs regardless of input cardinality; sketches
+    merge by cell-wise addition (:func:`merge_count_min_state`) —
+    per-day sketches union across any date range without rescans.
+
+    Returns (sketch_row, bucket, cnt)."""
+    rows = [
+        df.select(
+            F.lit(d).alias("sketch_row"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(str(d)), F.lit("|"), F.col(key_col).cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("sketch_row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def merge_count_min_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise addition of two Count-Min grids (same depth/width/
+    hash family — enforced by construction in count_min_state)."""
+    return (
+        a.unionByName(b)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    probes: DataFrame, state: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-frequency estimates: min over the key's depth cells.
+    The sketch grid (depth×width rows) broadcasts; probes never
+    shuffle. Missing cells read as 0."""
+    cells = F.broadcast(state)
+    est = None
+    for d in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(str(d)), F.lit("|"), F.col(key_col).cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        joined = (
+            probes.withColumn("bucket", bucket)
+            .join(
+                cells.filter(F.col("sketch_row") == d).select("bucket", "cnt"),
+                "bucket",
+                "left",
+            )
+            .select(
+                *[F.col(c) for c in probes.columns],
+                F.coalesce(F.col("cnt"), F.lit(0)).alias(f"_c{d}"),
+            )
+        )
+        est = joined if est is None else est.join(
+            joined.select(key_col, f"_c{d}"), key_col
+        )
+    return est.select(
+        *[F.col(c) for c in probes.columns],
+        F.least(*[F.col(f"_c{d}") for d in range(depth)]).alias("cm_estimate"),
+    )

@@ -4619,3 +4619,81 @@ def ext_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake_tx.read_table(spark, root, version=2).select(
         "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+def _cm_oracle(depth: int = 4, width: int = 64) -> str:
+    def bucket(d: int, key: str) -> str:
+        return (
+            f"CAST(('0x' || substring(md5('{d}|' || CAST({key} AS VARCHAR)), "
+            f"1, 8)) AS BIGINT) % {width}"
+        )
+
+    cells = "\n    UNION ALL\n    ".join(
+        f"SELECT {d} AS sketch_row, {bucket(d, 'o_custkey')} AS bucket,\n"
+        f"           CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 2"
+        for d in range(depth)
+    )
+    joins = "\n".join(
+        f"    LEFT JOIN cells c{d} ON c{d}.sketch_row = {d}\n"
+        f"      AND c{d}.bucket = {bucket(d, 'e.o_custkey')}"
+        for d in range(depth)
+    )
+    least = ", ".join(f"COALESCE(c{d}.cnt, 0)" for d in range(depth))
+    return f"""
+    WITH cells AS (
+    {cells}
+    ),
+    exact AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_n
+        FROM orders GROUP BY 1
+        ORDER BY exact_n DESC, o_custkey LIMIT 20
+    )
+    SELECT e.o_custkey, e.exact_n,
+           least({least}) AS cm_estimate,
+           least({least}) >= e.exact_n AS never_undercounts
+    FROM exact e
+{joins}
+    """
+
+
+@register("x51_countmin_sketch", _cm_oracle())
+def x51_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) as MERGEABLE STATE: history and delta order slices each build
+    a depth×width integer grid (md5-derived buckets — deterministic
+    and engine-portable), the grids merge by cell-wise addition, and
+    the top-20 customers' frequencies are estimated as the min over
+    their cells. Because the hash family is deterministic, the oracle
+    value-checks the ESTIMATES THEMSELVES, not just a bound; the
+    one-sided guarantee (never an undercount) rides as the in-query
+    boolean. State is 4×64 BIGINTs regardless of cardinality — the
+    100 TB shape is per-partition/per-day sketches unioned across any
+    range with no rescan (``operators/incremental.count_min_state`` /
+    ``merge_count_min_state`` / ``count_min_estimate``; associativity
+    pinned in pytest). Probes broadcast-join the tiny grid — no
+    corpus shuffle."""
+    from .operators.incremental import (
+        count_min_estimate,
+        count_min_state,
+        merge_count_min_state,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderkey") % 4 != 0)
+    delta = o.filter(F.col("o_orderkey") % 4 == 0)
+    state = merge_count_min_state(
+        count_min_state(hist, "o_custkey"), count_min_state(delta, "o_custkey")
+    )
+    probes = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "o_custkey")
+        .limit(20)
+    )
+    est = count_min_estimate(probes, state, "o_custkey")
+    return est.select(
+        "o_custkey",
+        "exact_n",
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_n")).alias("never_undercounts"),
+    )

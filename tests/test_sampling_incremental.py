@@ -372,3 +372,36 @@ def test_drawup_state_empty_side_merge(spark):
     ):
         r = merged.collect()[0]
         assert (r["du_s"], r["du_d"]) == (3, 7)
+
+
+def test_count_min_merge_equals_single_pass_and_never_undercounts(spark):
+    import random
+
+    from fintrack_etl_spark.operators.incremental import (
+        count_min_estimate,
+        count_min_state,
+        merge_count_min_state,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 30) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    whole = count_min_state(df, "k")
+    # arbitrary 3-way chunking merges to the SAME grid (commutative)
+    a = spark.createDataFrame([(v,) for v in vals[:100]], ["k"])
+    b = spark.createDataFrame([(v,) for v in vals[100:350]], ["k"])
+    c = spark.createDataFrame([(v,) for v in vals[350:]], ["k"])
+    merged = merge_count_min_state(
+        merge_count_min_state(count_min_state(c, "k"), count_min_state(a, "k")),
+        count_min_state(b, "k"),
+    )
+    key = lambda df_: sorted(tuple(r) for r in df_.collect())
+    assert key(merged) == key(whole)
+
+    from collections import Counter
+
+    exact = Counter(vals)
+    probes = spark.createDataFrame([(k,) for k in exact], ["k"])
+    est = {r["k"]: r["cm_estimate"] for r in count_min_estimate(probes, merged, "k").collect()}
+    for k, n in exact.items():
+        assert est[k] >= n  # one-sided guarantee, always
