@@ -421,3 +421,27 @@ def count_min_estimate(
         *[F.col(c) for c in probes.columns],
         F.least(*[F.col(f"_c{d}") for d in range(depth)]).alias("cm_estimate"),
     )
+
+
+def count_min_join_size(a: DataFrame, b: DataFrame) -> int:
+    """Equi-join output-size estimate from two Count-Min grids (same
+    depth/width/hash family): per sketch row, the bucket-wise dot
+    product Σ cntA·cntB over-approximates Σ_k fA(k)·fB(k); the min
+    over rows is the classic CM join-size estimator — never an
+    undercount, tightening with width. This is the pre-join
+    cardinality probe a planner uses to pick broadcast vs shuffle vs
+    salting WITHOUT scanning either side: both grids are depth×width
+    integers, so the estimate costs a |grid|-row join — O(1) in the
+    data. Returns the scalar estimate."""
+    joined = (
+        a.select("sketch_row", "bucket", F.col("cnt").alias("ca"))
+        .join(
+            b.select("sketch_row", "bucket", F.col("cnt").alias("cb")),
+            ["sketch_row", "bucket"],
+        )
+        .groupBy("sketch_row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("est"))
+        .first()
+    )
+    return int(joined["est"]) if joined and joined["est"] is not None else 0

@@ -405,3 +405,35 @@ def test_count_min_merge_equals_single_pass_and_never_undercounts(spark):
     est = {r["k"]: r["cm_estimate"] for r in count_min_estimate(probes, merged, "k").collect()}
     for k, n in exact.items():
         assert est[k] >= n  # one-sided guarantee, always
+
+
+def test_count_min_join_size_upper_bounds_true_size(spark):
+    import random
+    from collections import Counter
+
+    from fintrack_etl_spark.operators.incremental import (
+        count_min_join_size,
+        count_min_state,
+    )
+
+    rng = random.Random(21)
+    left = [rng.randint(0, 40) for _ in range(400)]
+    right = [rng.randint(20, 60) for _ in range(300)]
+    la, rb = Counter(left), Counter(right)
+    true_size = sum(la[k] * rb[k] for k in la if k in rb)
+
+    sa = count_min_state(spark.createDataFrame([(v,) for v in left], ["k"]), "k")
+    sb = count_min_state(spark.createDataFrame([(v,) for v in right], ["k"]), "k")
+    est = count_min_join_size(sa, sb)
+    assert est >= true_size  # one-sided, always
+    # and it is a USEFUL bound at this width (not the trivial |A|x|B|)
+    assert est < len(left) * len(right) / 4
+
+    # disjoint key ranges with disjoint buckets would estimate low;
+    # verify the exact-join cross-check on a shared-key slice
+    exact_join = (
+        spark.createDataFrame([(v,) for v in left], ["k"])
+        .join(spark.createDataFrame([(v,) for v in right], ["k"]), "k")
+        .count()
+    )
+    assert exact_join == true_size
