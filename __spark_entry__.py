@@ -109,7 +109,11 @@ _TIER0_LAST = (
     "x22_media_metadata",
     "ext_incremental_join_view",
     "ext_incremental_quantiles",
-    "ext_scd2_build",
+    # bloom-prune's ORACLE is the plain join (pruning is value-invisible,
+    # same relational shape as driver-green j-family); the Bloom contract
+    # itself is pinned in test_plans/test_operators — SCD2/CDC machinery
+    # stays inside the window per the rule above
+    "ext_bloom_prune_join",
     "ext_min_cost_supplier_q2",
     "ext_volume_shipping_q7",
     "ext_market_share_q8",

@@ -338,6 +338,15 @@ def merge_drawup_state(history: DataFrame, delta: DataFrame, keys: list[str]) ->
     )
 
 
+def _cm_bucket(key: F.Column, d: int, width: int) -> F.Column:
+    """The ONE copy of the CM hash: md5-derived bucket for sketch row
+    ``d``. State builder and estimator must agree bit-for-bit — any
+    drift silently destroys the never-undercount guarantee, so both
+    call this helper."""
+    h = F.md5(F.concat(F.lit(str(d)), F.lit("|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
 def count_min_state(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:
@@ -345,95 +354,112 @@ def count_min_state(
     2005): ``depth`` independent hash rows of ``width`` counters; the
     frequency estimate for a key is the MIN over its ``depth`` cells —
     never an undercount, overcount bounded by collisions. Buckets are
-    md5-derived (``md5(row || key)``), so the sketch is deterministic
-    and engine-portable: two engines (or two partitions' partial
-    sketches) build byte-identical cell grids. State size is
-    depth×width BIGINTs regardless of input cardinality; sketches
-    merge by cell-wise addition (:func:`merge_count_min_state`) —
-    per-day sketches union across any date range without rescans.
+    md5-derived (:func:`_cm_bucket`), so the sketch is deterministic
+    and engine-portable. State size is depth×width BIGINTs regardless
+    of input cardinality; sketches merge by cell-wise addition
+    (:func:`merge_count_min_state`) — per-day sketches union across
+    any date range without rescans.
 
-    Returns (sketch_row, bucket, cnt)."""
-    rows = [
-        df.select(
-            F.lit(d).alias("sketch_row"),
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(str(d)), F.lit("|"), F.col(key_col).cast("string"))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-            ).alias("bucket"),
-        )
-        for d in range(depth)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionByName(r)
-    return u.groupBy("sketch_row", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    ONE scan: each row explodes to its depth (row, bucket) cells
+    in-plan (array of structs), then one partial-agg shuffle. The grid
+    carries its (depth, width) so downstream ops can verify hash-family
+    compatibility instead of silently mixing grids.
+
+    Returns (sketch_row, bucket, cnt, _depth, _width)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("sketch_row"),
+                _cm_bucket(F.col(key_col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
     )
+    return (
+        df.select(F.explode(cells).alias("e"))
+        .groupBy("e.sketch_row", "e.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "sketch_row",
+            "bucket",
+            "cnt",
+            F.lit(depth).alias("_depth"),
+            F.lit(width).alias("_width"),
+        )
+    )
+
+
+def _cm_dims(state: DataFrame, what: str) -> tuple[int, int]:
+    dims = state.select("_depth", "_width").distinct().collect()
+    if len(dims) != 1:
+        raise ValueError(
+            f"{what}: mixed Count-Min dimensions {sorted(map(tuple, dims))} — "
+            "grids from different (depth, width) hash families cannot combine"
+        )
+    return dims[0]["_depth"], dims[0]["_width"]
 
 
 def merge_count_min_state(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Cell-wise addition of two Count-Min grids (same depth/width/
-    hash family — enforced by construction in count_min_state)."""
+    """Cell-wise addition of two Count-Min grids. Refuses mismatched
+    (depth, width) — summing cells of different hash families would
+    silently break the never-undercount guarantee."""
+    _cm_dims(a.unionByName(b), "merge_count_min_state")
     return (
         a.unionByName(b)
-        .groupBy("sketch_row", "bucket")
+        .groupBy("sketch_row", "bucket", "_depth", "_width")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select("sketch_row", "bucket", "cnt", "_depth", "_width")
     )
 
 
-def count_min_estimate(
-    probes: DataFrame, state: DataFrame, key_col: str, depth: int = 4, width: int = 64
-) -> DataFrame:
-    """Point-frequency estimates: min over the key's depth cells.
-    The sketch grid (depth×width rows) broadcasts; probes never
-    shuffle. Missing cells read as 0."""
-    cells = F.broadcast(state)
-    est = None
+def count_min_estimate(probes: DataFrame, state: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates: min over the key's depth cells,
+    using the (depth, width) RECORDED IN the grid — a probe can never
+    silently hash with the wrong family. The tiny grid broadcasts and
+    the depth lookups chain as left joins on the accumulating frame:
+    probes never shuffle, duplicate probe keys pass through row for
+    row (no self-join on the key), missing cells read as 0."""
+    depth, width = _cm_dims(state, "count_min_estimate")
+    est = probes
     for d in range(depth):
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(str(d)), F.lit("|"), F.col(key_col).cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % width
+        cells_d = (
+            state.filter(F.col("sketch_row") == d)
+            .select(F.col("bucket").alias(f"_b{d}"), F.col("cnt").alias(f"_cnt{d}"))
         )
-        joined = (
-            probes.withColumn("bucket", bucket)
-            .join(
-                cells.filter(F.col("sketch_row") == d).select("bucket", "cnt"),
-                "bucket",
-                "left",
-            )
-            .select(
-                *[F.col(c) for c in probes.columns],
-                F.coalesce(F.col("cnt"), F.lit(0)).alias(f"_c{d}"),
-            )
-        )
-        est = joined if est is None else est.join(
-            joined.select(key_col, f"_c{d}"), key_col
+        est = (
+            est.withColumn(f"_b{d}", _cm_bucket(F.col(key_col), d, width))
+            .join(F.broadcast(cells_d), f"_b{d}", "left")
         )
     return est.select(
         *[F.col(c) for c in probes.columns],
-        F.least(*[F.col(f"_c{d}") for d in range(depth)]).alias("cm_estimate"),
+        F.least(
+            *[F.coalesce(F.col(f"_cnt{d}"), F.lit(0)) for d in range(depth)]
+        ).alias("cm_estimate"),
     )
 
 
 def count_min_join_size(a: DataFrame, b: DataFrame) -> int:
     """Equi-join output-size estimate from two Count-Min grids (same
-    depth/width/hash family): per sketch row, the bucket-wise dot
+    hash family — validated): per sketch row, the bucket-wise dot
     product Σ cntA·cntB over-approximates Σ_k fA(k)·fB(k); the min
-    over rows is the classic CM join-size estimator — never an
-    undercount, tightening with width. This is the pre-join
-    cardinality probe a planner uses to pick broadcast vs shuffle vs
-    salting WITHOUT scanning either side: both grids are depth×width
-    integers, so the estimate costs a |grid|-row join — O(1) in the
-    data. Returns the scalar estimate."""
-    joined = (
+    over ALL depth rows — including rows whose bucket sets do not
+    intersect, which contribute a dot of 0 and correctly drive the
+    estimate to 0 for disjoint inputs — is the classic CM join-size
+    estimator: never an undercount, tightening with width. This is
+    the pre-join cardinality probe a planner uses to pick broadcast
+    vs shuffle vs salting WITHOUT scanning either side; both grids
+    are depth×width integers, so the estimate costs a |grid|-row
+    join — O(1) in the data. Returns the scalar estimate."""
+    depth_a, width_a = _cm_dims(a, "count_min_join_size(left)")
+    depth_b, width_b = _cm_dims(b, "count_min_join_size(right)")
+    if (depth_a, width_a) != (depth_b, width_b):
+        raise ValueError(
+            f"count_min_join_size: grids disagree — left (depth={depth_a}, "
+            f"width={width_a}) vs right (depth={depth_b}, width={width_b})"
+        )
+    spark = a.sparkSession
+    rows = spark.createDataFrame([(d,) for d in range(depth_a)], ["sketch_row"])
+    dots = (
         a.select("sketch_row", "bucket", F.col("cnt").alias("ca"))
         .join(
             b.select("sketch_row", "bucket", F.col("cnt").alias("cb")),
@@ -441,7 +467,10 @@ def count_min_join_size(a: DataFrame, b: DataFrame) -> int:
         )
         .groupBy("sketch_row")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
-        .agg(F.min("dot").alias("est"))
+    )
+    out = (
+        rows.join(dots, "sketch_row", "left")
+        .agg(F.min(F.coalesce(F.col("dot"), F.lit(0))).alias("est"))
         .first()
     )
-    return int(joined["est"]) if joined and joined["est"] is not None else 0
+    return int(out["est"]) if out and out["est"] is not None else 0

@@ -437,3 +437,48 @@ def test_count_min_join_size_upper_bounds_true_size(spark):
         .count()
     )
     assert exact_join == true_size
+
+
+def test_count_min_guards_and_duplicates(spark):
+    """Review regressions: mismatched grids must REFUSE (not silently
+    undercount), duplicate probe keys pass through row for row, and
+    disjoint inputs estimate a zero join size."""
+    import pytest as _pytest
+
+    from fintrack_etl_spark.operators.incremental import (
+        count_min_estimate,
+        count_min_join_size,
+        count_min_state,
+        merge_count_min_state,
+    )
+
+    df = spark.createDataFrame([(v,) for v in (1, 1, 2)], ["k"])
+    s64 = count_min_state(df, "k", width=64)
+    s128 = count_min_state(df, "k", width=128)
+    with _pytest.raises(ValueError, match="mixed Count-Min dimensions"):
+        merge_count_min_state(s64, s128)
+    with _pytest.raises(ValueError, match="grids disagree|mixed"):
+        count_min_join_size(s64, s128)
+
+    # duplicate probes: one output row per input row, correct estimates
+    probes = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    out = count_min_estimate(probes, s64, "k").collect()
+    assert len(out) == 3
+    assert sorted((r["k"], r["cm_estimate"] >= {1: 2, 2: 1}[r["k"]]) for r in out) == [
+        (1, True), (1, True), (2, True)
+    ]
+
+    # disjoint keys whose buckets never collide: estimate must be 0
+    # (zero-dot sketch rows participate in the min)
+    a = count_min_state(spark.createDataFrame([(1,)], ["k"]), "k")
+    b = count_min_state(spark.createDataFrame([(2,)], ["k"]), "k")
+    est = count_min_join_size(a, b)
+    exact = 0
+    assert est >= exact
+    # with one key per side and 4 rows of width 64, at least one row
+    # separates them overwhelmingly often; accept either but demand
+    # the zero-dot path works when buckets differ in ANY row
+    rows_a = {(r["sketch_row"], r["bucket"]) for r in a.collect()}
+    rows_b = {(r["sketch_row"], r["bucket"]) for r in b.collect()}
+    if not (rows_a & rows_b):
+        assert est == 0
