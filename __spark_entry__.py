@@ -29,12 +29,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return a1_group_sum_flagship(spark, "/root/testdata/sf0.001")
 
 
-# Names with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.
+# Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03.
 # The driver's correctness gate caps at 50 entries sampled from the head of
 # this registry, so entries it has already verified sort LAST and everything
 # still lacking a driver-green row (including queries added this round, which
 # are never in this frozen set) sorts FIRST, in registry order.
 _DRIVER_CHECKED = frozenset({
+    # round 3 greens (CORRECTNESS_r03.json)
+    "ext_interval_join", "ext_running_totals_state", "ext_versioned_merge",
+    "ext_table_changes", "ext_ewma", "ext_scd2_build", "ext_cdc_apply",
+    "ext_pit_join", "ext_entity_resolution", "ext_cusum_changepoint",
+    "ext_incremental_cusum", "ext_time_travel_read", "x51_countmin_sketch",
+    "x21_knn_ivfpq", "x5b_simhash_planted_dups", "x23_decontaminate",
+    "ext_token_budget_sample", "ext_pack_documents", "x24_tfidf_topk",
+    "x25_pii_redaction", "x26_unigram_lm_score", "x27_chunk_documents",
+    "x28_vocab_oov", "x30_quality_gate", "x31_semdedup", "ext_source_overlap",
+    "x32_feature_stats", "x33_incremental_corpus_dedup", "x34_bigram_pmi",
+    "x35_curation_pipeline", "x36_file_stats", "x37_contrastive_pairs",
+    "ext_audience_overlap", "x39_dup_rate_estimate", "x40_line_dedup",
+    "x41_copurchase_pairs", "x42_pagerank", "x43_canonical_pick",
+    "x44_span_coverage", "x45_image_phash_dedup", "x46_bpe_merges",
+    "x47_leakage_safe_split", "ext_pps_token_sample", "x48_corpus_datasheet",
+    "x49_audio_segments", "x50_feature_hash", "ext_corpus_diff",
+    "ext_mixture_waterfill", "p8_real_pdf_roundtrip",
+    # rounds 1-2
     "a1_group_sum_flagship", "a2_group_sum_composite", "a3_filtered_agg",
     "a4_watermark_max", "a6_global_sums", "a7_value_counts",
     "a8_mode_per_group", "a9_describe_stats", "d2_replace_by_key",
@@ -77,21 +95,40 @@ _JUDGE_VERIFIED = frozenset({
 })
 
 
-# Tier 0 exceeds the driver's 50-entry gate cap; these sort LAST within
-# tier 0 so the overflow falls on them: pure-relational TPC-H shapes
-# whose operators (joins, windows, aggregates, semi/anti joins) the
-# gate already exercises through many driver-green siblings. The novel
-# machinery (PDF codec, curation pipeline, semantic/signature dedup,
-# quantization, CDC) stays inside the window.
-_TIER0_LAST = (
+# Round-4 rotation (VERDICT r3 "Next round" #2): the 44 entries that
+# have never earned a driver-green row now fill the 50-slot window, in
+# the judge's priority order — x29 (the one red row, now emitting a
+# gate-hashable q8_csv) first, then all 20 remaining TPC-H shapes,
+# bloom-prune, incremental join-view/quantiles, triangle count,
+# profile table, then the rest. Brand-new round-4 entries (absent from
+# every frozen set) sort immediately after this list and take the
+# remaining slots; judge-verified-only names spill in after that.
+_WINDOW_FIRST = (
+    "x29_quantize_embeddings",
     "ext_sql_entry_q3",
+    "ext_order_priority_q4",
+    "ext_revenue_q6",
+    "ext_volume_shipping_q7",
+    "ext_market_share_q8",
+    "ext_profit_by_nation_q9",
     "ext_sql_entry_q10",
+    "ext_important_stock_q11",
+    "ext_late_shipment_q12",
     "ext_left_join_count_q13",
     "ext_promo_share_q14",
     "ext_top_supplier_q15",
+    "ext_supplier_count_q16",
     "ext_avg_subquery_q17",
     "ext_or_predicate_q19",
+    "ext_excess_inventory_q20",
+    "ext_waiting_supplier_q21",
     "ext_not_exists_q22",
+    "ext_min_cost_supplier_q2",
+    "ext_bloom_prune_join",
+    "ext_incremental_join_view",
+    "ext_incremental_quantiles",
+    "x38_triangle_count",
+    "ext_profile_table",
     "ext_histogram",
     "ext_string_agg",
     "ext_correlation",
@@ -101,32 +138,9 @@ _TIER0_LAST = (
     "ext_fuzzy_join",
     "ext_skew_profile",
     "ext_referential_integrity",
-    # superseded in-window: ext_regression_slope/ext_decile_stats have
-    # pytest numpy/totality contracts + driver-green relational siblings;
-    # x22's WAV container parse is exercised harder by x49's chunk walk
     "ext_regression_slope",
     "ext_decile_stats",
     "x22_media_metadata",
-    "ext_incremental_join_view",
-    "ext_incremental_quantiles",
-    # bloom-prune's ORACLE is the plain join (pruning is value-invisible,
-    # same relational shape as driver-green j-family); the Bloom contract
-    # itself is pinned in test_plans/test_operators — SCD2/CDC machinery
-    # stays inside the window per the rule above
-    "ext_bloom_prune_join",
-    "ext_min_cost_supplier_q2",
-    "ext_volume_shipping_q7",
-    "ext_market_share_q8",
-    "ext_profit_by_nation_q9",
-    "ext_important_stock_q11",
-    "ext_late_shipment_q12",
-    "ext_supplier_count_q16",
-    "ext_excess_inventory_q20",
-    "ext_waiting_supplier_q21",
-    "ext_order_priority_q4",
-    "ext_revenue_q6",
-    # window/percentile/lead-lag shapes equally covered by driver-green
-    # siblings (w-family, ext_percentiles, ext_outlier_zscore, ext_lag_lead)
     "ext_rolling_wau",
     "ext_anomaly_mad",
     "ext_event_transitions",
@@ -134,8 +148,6 @@ _TIER0_LAST = (
     "ext_attribution",
     "ext_time_to_convert",
     "ext_session_paths",
-    "x38_triangle_count",
-    "ext_profile_table",
 )
 
 
@@ -152,14 +164,14 @@ def _merge_registry(attr: str) -> dict:
             return 2
         if name in _JUDGE_VERIFIED:
             return 1
-        return 0  # brand-new: no correctness signal from anyone yet
+        return 0  # never driver-green: no slot to waste
 
     ordered: dict = {}
     ordered.update(
-        {k: v for k, v in merged.items() if tier(k) == 0 and k not in _TIER0_LAST}
+        {k: merged[k] for k in _WINDOW_FIRST if k in merged and tier(k) == 0}
     )
     ordered.update(
-        {k: merged[k] for k in _TIER0_LAST if k in merged and tier(k) == 0}
+        {k: v for k, v in merged.items() if tier(k) == 0 and k not in ordered}
     )
     for t in (1, 2):
         ordered.update({k: v for k, v in merged.items() if tier(k) == t})

@@ -1604,7 +1604,9 @@ def x31_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano,
-           list_transform(v, x -> CAST(round(x / scale, 0) AS TINYINT)) AS q8,
+           array_to_string(list_transform(v,
+                 x -> CAST(CAST(round(x / scale, 0) AS TINYINT) AS VARCHAR)), ',')
+             AS q8_csv,
            CAST(floor(list_sum(list_transform(v,
                  x -> abs(x - round(x / scale, 0) * scale))) / len(v) * 1e9) AS BIGINT)
              AS mae_nano
@@ -1624,8 +1626,27 @@ def x29_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR(x * 1e9) integer nano-units: the doubles are bit-identical
     across engines, but decimal round() half-way behavior is not
     (Spark HALF_UP vs DuckDB away-from-zero met a .5 on this fixture);
-    floor over identical doubles cannot disagree."""
-    emb = T(spark, sf_dir, "embeddings")
+    floor over identical doubles cannot disagree. The int8 code
+    vector is emitted as a comma-joined string (``q8_csv``) so the
+    driver's pandas canonicalizer can sort/hash the column (python
+    lists are unhashable there); the raw ``array<tinyint>`` form
+    stays available via ``quantize_embeddings_array`` for downstream
+    ADC scoring."""
+    q = quantize_embeddings_array(T(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "label",
+        "scale_nano",
+        F.concat_ws(",", F.col("q8").cast("array<string>")).alias("q8_csv"),
+        "mae_nano",
+    )
+
+
+def quantize_embeddings_array(emb: DataFrame) -> DataFrame:
+    """Internal operator form of x29: per-vector int8 symmetric
+    quantization returning the raw ``array<tinyint>`` code column
+    (``q8``) plus ``scale_nano``/``mae_nano`` audit columns. One
+    narrow map pass, zero shuffles."""
     v0 = F.col("embedding").cast("array<double>")
     scale0 = F.array_max(F.transform(v0, lambda x: F.abs(x))) / 127.0
     v = F.col("v")

@@ -713,7 +713,8 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
     out = x29_quantize_embeddings(spark, "/root/testdata/sf0.001").collect()
     assert out
     for r in out:
-        assert all(-127 <= c <= 127 for c in r["q8"]), r["vec_id"]
+        codes = [int(c) for c in r["q8_csv"].split(",")]
+        assert all(-127 <= c <= 127 for c in codes), r["vec_id"]
         # mae_nano / scale_nano = mae/scale; round-to-nearest keeps
         # per-element error <= scale/2, so the mean must too
         assert r["mae_nano"] <= r["scale_nano"] / 2 + 1, r
