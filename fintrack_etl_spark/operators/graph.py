@@ -106,26 +106,32 @@ def integer_pagerank(
     ``scale`` units, contributions via integer division
     ``(rank * damping_pct) div (100 * outdeg)`` — no float summation
     order anywhere, so any engine (or a sequential fold) reproduces
-    the exact ranks. ``edges`` is (src, dst) directed; nodes are the
-    distinct srcs (make the graph undirected by unioning the reverse
-    direction first if every node must have outdegree ≥ 1 — dangling
-    dsts receive rank but contribute nothing).
+    the exact ranks. ``edges`` is (src, dst) directed; the node set is
+    the distinct union of srcs and dsts, and every node keeps (at
+    least) its teleport rank each round — zero-indegree nodes are NOT
+    dropped (ADVICE r3), and dangling nodes (no outedges) receive rank
+    but contribute nothing.
 
     Scale: edges are repartitioned by src ONCE and localCheckpointed
     (the state reused every round); each iteration is one join shuffle
-    of the |nodes|-row rank state + one partial-agg shuffle on dst.
-    Fixed iteration count — web-scale PR runs bounded power iteration,
-    not convergence polling. Returns (node, rank) for nodes with
-    inbound edges plus teleport-only srcs."""
+    of the |nodes|-row rank state + one partial-agg shuffle on dst +
+    one |nodes|-row left join restoring teleport-only nodes. Fixed
+    iteration count — web-scale PR runs bounded power iteration, not
+    convergence polling. Returns (node, rank) for every node."""
     edges = edges.select("src", "dst").repartition("src").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = edges.join(deg, "src")
-    teleport = (scale * (100 - damping_pct)) // 100
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(scale).cast("long").alias("rank")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .localCheckpoint()
     )
+    teleport = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iterations):
-        ranks = (
+        contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
@@ -134,6 +140,10 @@ def integer_pagerank(
                 ).alias("contrib"),
             )
             .groupBy("node")
-            .agg((F.lit(teleport) + F.sum("contrib")).alias("rank"))
+            .agg(F.sum("contrib").alias("in_contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce("in_contrib", F.lit(0))).alias("rank"),
         )
     return ranks

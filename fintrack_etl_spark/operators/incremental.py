@@ -402,13 +402,44 @@ def _cm_dims(state: DataFrame, what: str) -> tuple[int, int]:
 def merge_count_min_state(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cell-wise addition of two Count-Min grids. Refuses mismatched
     (depth, width) — summing cells of different hash families would
-    silently break the never-undercount guarantee."""
-    _cm_dims(a.unionByName(b), "merge_count_min_state")
+    silently break the never-undercount guarantee.
+
+    The check is LAZY (ADVICE r3): instead of an eager distinct+collect
+    job per merge call (which made a chained per-day merge pay one
+    Spark job per link just for validation), the merged plan carries a
+    broadcast 1-row count of distinct (depth, width) pairs and the
+    ``cnt`` expression raises at action time if the inputs mixed hash
+    families. Chained merges therefore build pure lazy plans — zero
+    jobs until the caller acts on the result."""
+    u = a.unionByName(b)
+    guard = (
+        u.select("_depth", "_width")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_n_dims"))
+    )
     return (
-        a.unionByName(b)
-        .groupBy("sketch_row", "bucket", "_depth", "_width")
+        u.groupBy("sketch_row", "bucket", "_depth", "_width")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .select("sketch_row", "bucket", "cnt", "_depth", "_width")
+        .crossJoin(F.broadcast(guard))
+        .select(
+            "sketch_row",
+            "bucket",
+            # the guard lives inside the kept cnt column so column
+            # pruning cannot optimize the check away
+            F.when(
+                F.col("_n_dims") == 1, F.col("cnt")
+            )
+            .otherwise(
+                F.expr(
+                    "raise_error('merge_count_min_state: mixed Count-Min "
+                    "dimensions — grids from different (depth, width) hash "
+                    "families cannot combine')"
+                ).cast("long")
+            )
+            .alias("cnt"),
+            "_depth",
+            "_width",
+        )
     )
 
 

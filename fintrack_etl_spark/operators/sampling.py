@@ -202,6 +202,18 @@ def pps_systematic_sample(
     deterministic integer arithmetic: a row is selected iff
     ``cum DIV step > (cum - w) DIV step``.
 
+    Output = the selected rows plus two documented extra columns:
+    ``cum_weight`` (the row's global end-of-row cumulative mass — the
+    audit trail for WHY it was picked) and ``is_certainty`` (true when
+    ``weight >= step``, i.e. the row spans at least one full stride).
+    Certainty rows are emitted ONCE even when their weight spans
+    several step boundaries, so heavily skewed weights can yield fewer
+    than ``n_picks`` selections — the classic "certainty unit"
+    under-selection of systematic PPS. Callers needing exactly
+    ``n_picks`` should pre-split certainty rows (or re-run on the
+    remainder with the certainty mass removed); this operator keeps
+    the one-pass deterministic design and FLAGS the units instead.
+
     Scale: the global cumulative sum uses the same two-phase
     distributed prefix sum as ``packing.pack_documents_by_tokens`` —
     per-range-partition local cumsum, one O(#partitions) driver
@@ -231,7 +243,14 @@ def pps_systematic_sample(
     )
     return (
         local.join(F.broadcast(off_df), "_pid")
-        .withColumn("_cum", (F.col("_offset") + F.col("_cum_local")).cast("long"))
-        .filter(F.expr(f"_cum DIV {step} > (_cum - {weight_col}) DIV {step}"))
+        .withColumn(
+            "cum_weight", (F.col("_offset") + F.col("_cum_local")).cast("long")
+        )
+        .filter(
+            F.expr(
+                f"cum_weight DIV {step} > (cum_weight - {weight_col}) DIV {step}"
+            )
+        )
+        .withColumn("is_certainty", F.col(weight_col) >= F.lit(step))
         .drop("_pid", "_cum_local", "_offset")
     )

@@ -2802,11 +2802,15 @@ def _x46_oracle(rounds: int = 3) -> str:
     # Each round: weighted adjacent-pair counts over the word dictionary
     # -> deterministic top pair (count desc, pair asc) -> left-to-right
     # non-overlapping merge via replace() (identical semantics in both
-    # engines). Symbols separated by two spaces; merges joined by '~'.
+    # engines). Every symbol is wrapped in \x02...\x03 sentinels, so the
+    # replace pattern '\x02a\x03\x02b\x03' is anchored to full-symbol
+    # boundaries — it can never match a suffix/prefix INSIDE a
+    # '~'-merged neighbor symbol (e.g. 'x~a' followed by 'b').
     sql = """
     WITH dict0 AS (
         SELECT array_to_string(
-                   list_transform(range(1, len(w) + 1), i -> w[i]), '  ') AS sym,
+                   list_transform(range(1, len(w) + 1),
+                                  i -> chr(2) || w[i] || chr(3)), '') AS sym,
                CAST(count(*) AS BIGINT) AS freq
         FROM (
             SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
@@ -2815,14 +2819,17 @@ def _x46_oracle(rounds: int = 3) -> str:
         WHERE len(w) >= 2
         GROUP BY 1
     )"""
+    split = (
+        "string_split(substring(d.sym, 2, length(d.sym) - 2), chr(3) || chr(2))"
+    )
     for r in range(rounds):
         sql += f""",
     pairs{r} AS (
         SELECT p.a, p.b, sum(d.freq) AS cnt
         FROM dict{r} d, LATERAL (
             SELECT s[i] AS a, s[i + 1] AS b
-            FROM (SELECT string_split(d.sym, '  ') AS s),
-                 (SELECT unnest(range(1, len(string_split(d.sym, '  ')))) AS i)
+            FROM (SELECT {split} AS s),
+                 (SELECT unnest(range(1, len({split}))) AS i)
         ) p
         GROUP BY 1, 2
     ),
@@ -2831,7 +2838,9 @@ def _x46_oracle(rounds: int = 3) -> str:
         ORDER BY cnt DESC, a, b LIMIT 1
     ),
     dict{r + 1} AS (
-        SELECT replace(d.sym, t.a || '  ' || t.b, t.a || '~' || t.b) AS sym,
+        SELECT replace(d.sym,
+                       chr(2) || t.a || chr(3) || chr(2) || t.b || chr(3),
+                       chr(2) || t.a || '~' || t.b || chr(3)) AS sym,
                d.freq
         FROM dict{r} d, top{r} t
     )"""
@@ -2853,8 +2862,11 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     by word frequency, picks the deterministic argmax (count desc,
     pair asc), and applies the merge left-to-right non-overlapping via
     ``replace`` — the same greedy semantics as reference BPE trainers.
-    Everything is integer counts + string ops, so the oracle
-    value-checks all three chosen merges and their counts.
+    Every symbol is wrapped in ``\\x02…\\x03`` sentinels so the replace
+    pattern is anchored to full-symbol boundaries and can never match
+    inside a '~'-merged neighbor symbol (ADVICE r3). Everything is
+    integer counts + string ops, so the oracle value-checks all three
+    chosen merges and their counts.
 
     Scale: the dictionary is |distinct words| rows (~5 orders smaller
     than the corpus); each round is one partial-agg shuffle of pair
@@ -2872,8 +2884,11 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
             F.array_join(
-                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-                "  ",
+                F.expr(
+                    "transform(sequence(1, length(w)), "
+                    "i -> concat(chr(2), substring(w, i, 1), chr(3)))"
+                ),
+                "",
             ).alias("sym"),
             "freq",
         )
@@ -2882,7 +2897,10 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(3):
         pairs = (
             dic.select(
-                F.split("sym", "  ").alias("s"), "freq"
+                F.split(
+                    F.expr("substring(sym, 2, length(sym) - 2)"), "\x03\x02"
+                ).alias("s"),
+                "freq",
             )
             .select(
                 # guard: a word fully collapsed to ONE symbol by an
@@ -2914,8 +2932,14 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         dic = dic.crossJoin(F.broadcast(top)).select(
             F.replace(
                 F.col("sym"),
-                F.concat(F.col("a"), F.lit("  "), F.col("b")),
-                F.concat(F.col("a"), F.lit("~"), F.col("b")),
+                F.concat(
+                    F.lit("\x02"), F.col("a"), F.lit("\x03"),
+                    F.lit("\x02"), F.col("b"), F.lit("\x03"),
+                ),
+                F.concat(
+                    F.lit("\x02"), F.col("a"), F.lit("~"), F.col("b"),
+                    F.lit("\x03"),
+                ),
             ).alias("sym"),
             "freq",
         )
@@ -3002,7 +3026,7 @@ def ext_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pps_systematic_sample(toks, "doc_id", "n_tokens", n_picks=20)
     return out.select(
-        "doc_id", "n_tokens", F.col("_cum").alias("cum_tokens")
+        "doc_id", "n_tokens", F.col("cum_weight").alias("cum_tokens")
     )
 
 

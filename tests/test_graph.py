@@ -94,6 +94,30 @@ def test_integer_pagerank_matches_sequential_fold(spark):
         assert got == want  # bit-identical trajectory, not approximately
 
 
+def test_integer_pagerank_keeps_zero_indegree_nodes(spark):
+    """Directed chain a->b: 'a' has zero inbound edges yet must stay in
+    the output at its teleport rank every round and keep contributing
+    that teleport mass to 'b' (ADVICE r3 — the old dst-keyed groupBy
+    silently dropped such nodes after the first iteration)."""
+    from fintrack_etl_spark.operators.graph import integer_pagerank
+
+    scale, teleport = 10**9, (10**9 * 15) // 100
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    ranks = {
+        r["node"]: r["rank"] for r in integer_pagerank(df, iterations=3).collect()
+    }
+    assert set(ranks) == {"a", "b"}
+    assert ranks["a"] == teleport
+    # b's inbound settles at a's steady teleport rank damped once
+    assert ranks["b"] == teleport + (teleport * 85) // 100
+    # and a dangling node (no outedges) also keeps its rank row
+    df2 = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    ranks2 = {
+        r["node"]: r["rank"] for r in integer_pagerank(df2, iterations=2).collect()
+    }
+    assert set(ranks2) == {"a", "b", "c"}
+
+
 def test_integer_pagerank_total_mass_bounded(spark):
     from fintrack_etl_spark.operators.graph import integer_pagerank
 

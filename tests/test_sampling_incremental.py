@@ -374,6 +374,26 @@ def test_drawup_state_empty_side_merge(spark):
         assert (r["du_s"], r["du_d"]) == (3, 7)
 
 
+def test_pps_flags_certainty_units_and_documents_underselection(spark):
+    """ADVICE r3: a row whose weight spans multiple step boundaries is
+    emitted once (so skew can under-select vs n_picks) but must carry
+    is_certainty=true; light rows carry false; cum_weight is public."""
+    from fintrack_etl_spark.operators.sampling import pps_systematic_sample
+
+    # total = 1000, n_picks = 10 -> step = 100; the 550-weight whale
+    # spans 5 boundaries but is one row
+    rows = [("whale", 550)] + [(f"d{i}", 45) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = pps_systematic_sample(df, "doc_id", "w", n_picks=10).collect()
+    assert 0 < len(out) < 10  # under-selection, documented behavior
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["whale"]["is_certainty"] is True
+    assert all(
+        r["is_certainty"] is False for r in out if r["doc_id"] != "whale"
+    )
+    assert all(r["cum_weight"] >= r["w"] for r in out)
+
+
 def test_count_min_merge_equals_single_pass_and_never_undercounts(spark):
     import random
 
@@ -455,8 +475,10 @@ def test_count_min_guards_and_duplicates(spark):
     df = spark.createDataFrame([(v,) for v in (1, 1, 2)], ["k"])
     s64 = count_min_state(df, "k", width=64)
     s128 = count_min_state(df, "k", width=128)
-    with _pytest.raises(ValueError, match="mixed Count-Min dimensions"):
-        merge_count_min_state(s64, s128)
+    # lazily validated (no job per merge): the refusal surfaces at
+    # action time, raised from inside the merged plan
+    with _pytest.raises(Exception, match="mixed Count-Min dimensions"):
+        merge_count_min_state(s64, s128).collect()
     with _pytest.raises(ValueError, match="grids disagree|mixed"):
         count_min_join_size(s64, s128)
 
