@@ -2,12 +2,20 @@
 
 Image/audio/video travel as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas UDFs over ``mapInPandas``. The image/audio codecs
-are NOT in this container, so the decode step is STUBBED: a
-deterministic fake extractor (byte stats) ships by default and the
-real-codec slots raise ``NotImplementedError`` with the intended
-library call documented. The Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
+Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+Codec status (honest inventory):
+
+- **image decode/resize: REAL** — ``parse/minipng.py`` (pure-Python
+  PNG per the public spec, CRC-checked, all five filter types) plus a
+  24-bit BMP path; ``decode_image`` and ``resize_image`` run them
+  end-to-end, quarantining undecodable rows as ``decode_error``.
+- **audio: REAL container parse** — RIFF/WAVE chunk walk in
+  ``sniff_media_metadata`` (and x49's segmenter); compressed codecs
+  (mp3 etc.) are out of scope.
+- **video: FAKED** — ``sample_video_frames`` keeps a deterministic
+  byte-splitter; a real decoder needs pyav/ffmpeg, absent here. The
+  flatMap fan-out shape, schema, and batching are the real contract.
 """
 
 from __future__ import annotations
@@ -77,11 +85,68 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),  # gray|rgb|gray+a|rgba
+        T.StructField("pixels", T.BinaryType(), True),  # raw row-major raster
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+_MODE = {0: "gray", 2: "rgb", 4: "gray+a", 6: "rgba"}
+_MODE_CH = {"gray": 1, "rgb": 3, "gray+a": 2, "rgba": 4}
+
+
+def _decode_raster(b: bytes | None) -> tuple:
+    """(width, height, mode, pixels, error) via the REAL pure-Python
+    codecs: PNG (parse/minipng, spec-complete for 8-bit non-interlaced)
+    or 24-bit BMP. Anything else quarantines with an error string."""
+    from .parse.minipng import PngError, decode_bmp, decode_png
+
+    if not b:
+        return None, None, None, None, "empty payload"
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, ct, px = decode_png(bytes(b))
+        elif b[:2] == b"BM":
+            w, h, ct, px = decode_bmp(bytes(b))
+        else:
+            return None, None, None, None, f"unknown container: {bytes(b[:4]).hex()}"
+        return w, h, _MODE[ct], px, None
+    except (PngError, IndexError) as exc:
+        return None, None, None, None, f"decode_error: {exc}"
+
+
 def decode_image(media: DataFrame) -> DataFrame:
-    """STUB — real implementation: ``PIL.Image.open(io.BytesIO(b))``
-    per batch inside mapInPandas, emitting (media_id, width, height,
-    mode, pixels binary). Pillow is not in this container."""
-    raise NotImplementedError("image decode requires Pillow; plumbing in extract_features")
+    """REAL image decode over Arrow batches: each ``content`` payload
+    is parsed by the pure-Python PNG codec (CRC-verified chunks, zlib
+    IDAT, all five scanline filters — ``parse/minipng.py``) or the
+    24-bit BMP path, emitting the raw row-major raster plus
+    (width, height, mode). Undecodable rows quarantine as
+    ``decode_error`` rows instead of failing the job — the same
+    discipline as the PDF scan. One narrow mapInPandas pass; the
+    decoded raster never shuffles unless the caller asks it to."""
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [_decode_raster(x) for x in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "mode": [r[2] for r in rows],
+                    "pixels": [r[3] for r in rows],
+                    "decode_error": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_decode, DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -95,20 +160,32 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing with the DECODE STEP FAKED (Pillow absent): the
-    mapInPandas pass, output schema, and per-batch loop are the real
-    thing — swap ``_fake_resize`` for ``PIL.Image.open(...).resize(...)``
-    and nothing else changes. The fake is deterministic: it tiles the
-    source bytes into exactly ``width × height`` output bytes, so tests
-    can assert payload sizes and idempotence without a codec. Decode +
-    resize stay in ONE pass — never a second shuffle for the transform.
-    """
+    """Image resize with a REAL decode: PNG/BMP payloads are decoded
+    (pure-Python codecs) and resampled nearest-neighbor — channel-
+    aware, deterministic integer index mapping ``src = (dst * n_src)
+    DIV n_dst`` — so the output raster is ``width × height × channels``
+    actual pixels. Payloads that are not decodable images fall back to
+    the deterministic byte-tiling shim (documented: tiles the source
+    bytes to exactly ``width × height`` bytes) so non-image smoke
+    content still exercises the plumbing. Decode + resize stay in ONE
+    Arrow pass — never a second shuffle for the transform."""
 
-    def _fake_resize(b: bytes | None) -> bytes | None:
+    def _resize_one(b: bytes | None) -> bytes | None:
         if b is None or len(b) == 0:
             return None
-        need = width * height
-        return (b * (need // len(b) + 1))[:need]
+        w0, h0, mode, px, err = _decode_raster(b)
+        if err is not None:
+            need = width * height  # tiling fallback for non-image bytes
+            return (bytes(b) * (need // len(b) + 1))[:need]
+        ch = _MODE_CH[mode]
+        out = bytearray()
+        for r in range(height):
+            sr = (r * h0) // height
+            base = sr * w0 * ch
+            for c in range(width):
+                sc = (c * w0) // width
+                out += px[base + sc * ch : base + (sc + 1) * ch]
+        return bytes(out)
 
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -119,7 +196,7 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "pixels": pdf["content"].map(_fake_resize),
+                    "pixels": pdf["content"].map(_resize_one),
                 }
             )
 

@@ -3473,3 +3473,111 @@ def ext_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("allocated").cast("long").alias("allocated_tokens"),
         (F.col("allocated") >= F.col("got1")).alias("monotone"),
     )
+
+
+_X52_IDX = [
+    r2 * 2 * 9 + (c2 * 9) // 4 + 1 for r2 in range(4) for c2 in range(4)
+]  # nearest-neighbor source index, 1-based into the 72-char raster
+
+
+@register(
+    "x52_png_roundtrip",
+    f"""
+    WITH pix AS (
+        SELECT doc_id,
+               list_transform(range(1, 73),
+                   i -> ascii(substring(rpad(text, 72, 'x'), i, 1)) % 256) AS p
+        FROM documents
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_transform({_X52_IDX}, i -> p[i]) AS q
+        FROM pix
+    )
+    SELECT doc_id,
+           CAST(9 AS INTEGER) AS src_w,
+           CAST(8 AS INTEGER) AS src_h,
+           'gray' AS mode,
+           CAST(4 AS INTEGER) AS out_w,
+           CAST(4 AS INTEGER) AS out_h,
+           array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')
+             AS px_csv,
+           CAST(list_sum(q) AS BIGINT) AS px_sum
+    FROM sel
+    """,
+)
+def x52_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end under the value gate (VERDICT r3
+    next-round #4): each document's first 72 chars become the 9×8
+    grayscale raster of a genuine PNG — encoded with the per-row
+    filter type CYCLING through all five spec filters
+    (None/Sub/Up/Average/Paeth), zlib IDAT, CRC-checked chunks
+    (``parse/minipng.py``) — then ``multimodal.decode_image`` parses
+    the container back (de-filtering every path) and
+    ``multimodal.resize_image`` nearest-neighbor-resamples the decoded
+    raster to 4×4. The oracle recomputes the resampled pixels
+    arithmetically from the text, so any filter, CRC, inflate, stride,
+    or index-mapping bug in the codec surfaces as a value mismatch —
+    the same discipline as x45's BMP path, but exercising the full
+    PNG filter suite.
+
+    Scale: two narrow Arrow-batched mapInPandas passes + one id join;
+    the only shuffle is that join, and the image bytes cross the wire
+    once. Python is unavoidable here by design (it IS the codec), and
+    batches are Arrow-sized."""
+    from pyspark.sql import types as TT
+
+    from .multimodal import decode_image, resize_image
+    from .parse.minipng import encode_png
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    W, H = 9, 8
+
+    def _encode(batches):
+        import pandas as pd
+
+        for b in batches:
+            content = []
+            for t in b["text"]:
+                s = ((t or "") + "x" * (W * H))[: W * H]
+                px = bytes(ord(c) % 256 for c in s)
+                content.append(
+                    encode_png(px, W, H, color_type=0, filters=[0, 1, 2, 3, 4])
+                )
+            yield pd.DataFrame({"media_id": b["doc_id"], "content": content})
+
+    media = docs.mapInPandas(
+        _encode,
+        TT.StructType()
+        .add("media_id", "long", False)
+        .add("content", "binary"),
+    )
+    decoded = decode_image(media).select(
+        "media_id",
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+        "mode",
+    )
+    arr = F.expr(
+        "transform(sequence(0, 15), "
+        "i -> CAST(conv(substring(hex(pixels), 2 * i + 1, 2), 16, 10) AS INT))"
+    )
+    resized = resize_image(media, 4, 4).select(
+        "media_id",
+        F.col("width").alias("out_w"),
+        F.col("height").alias("out_h"),
+        F.concat_ws(",", arr.cast("array<string>")).alias("px_csv"),
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("px_sum"),
+    )
+    return decoded.join(resized, "media_id").select(
+        F.col("media_id").alias("doc_id"),
+        "src_w",
+        "src_h",
+        "mode",
+        "out_w",
+        "out_h",
+        "px_csv",
+        "px_sum",
+    )
