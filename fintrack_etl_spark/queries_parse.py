@@ -598,3 +598,67 @@ def p8_real_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode("text", "utf-8")).alias("fp"),
         F.length("text").alias("n_chars"),
     )
+
+
+@register(
+    "p9_cid_pdf_roundtrip",
+    """
+    SELECT doc_id,
+           md5(rtrim(text, chr(10)))                 AS fp,
+           CAST(length(rtrim(text, chr(10))) AS INT) AS n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND rtrim(text, chr(10)) <> ''
+    """,
+)
+def p9_cid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p8's round-trip discipline over MODERN PDF structures (VERDICT
+    r3 next-round #3): every document is written by
+    ``minipdf.build_pdf_cid`` — a Type0/Identity-H composite font whose
+    content stream shows 2-byte CIDs assigned by order of first
+    appearance (unreadable without the font's ToUnicode CMap), the
+    page tree compressed into an /ObjStm, and an xref STREAM
+    (FlateDecode + PNG Up predictor) as the only cross-reference — and
+    decoded back through the same distributed ``binary_docs_to_text``
+    pipeline. A byte-exact md5 match therefore proves the xref-stream
+    parser, ObjStm expansion, font-table resolution, and CMap decode
+    end to end (ref first-touch: ``extractors/bb_statement.py:28-31``;
+    real bank PDFs ship exactly these structures).
+
+    Scale: identical to p8 — two Arrow-batched mapInPandas passes, no
+    shuffle, payload dropped at decode."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from .parse.minipdf import build_pdf_cid
+    from .parse.pdf_source import binary_docs_to_text
+
+    docs = T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.rtrim(F.col("text"), F.lit("\n")) != "")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": "/docs/" + b["doc_id"].astype(str) + ".pdf",
+                    "content": [build_pdf_cid(t) for t in b["text"]],
+                }
+            )
+
+    binary = docs.select("doc_id", "text").mapInPandas(
+        _encode,
+        TT.StructType(
+            [
+                TT.StructField("path", TT.StringType(), False),
+                TT.StructField("content", TT.BinaryType(), False),
+            ]
+        ),
+    )
+    decoded = binary_docs_to_text(binary)
+    return decoded.filter(F.col("decode_error").isNull()).select(
+        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )

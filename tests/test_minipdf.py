@@ -95,3 +95,84 @@ def test_real_pdf_through_distributed_scan_to_parser(spark, tmp_path):
     assert rows[4]["historico"] == "Transferência enviada"
     assert rows[4]["valor"] == pytest.approx(-1234.56)
     assert rows[8]["grupo"] == "Saldo do dia"
+
+
+def test_cid_pdf_roundtrip_all_modern_structures():
+    """build_pdf_cid writes Type0/Identity-H text as order-of-first-
+    appearance CIDs (meaningless without the CMap), with the page tree
+    in an ObjStm and only an xref STREAM for cross-reference — so a
+    correct round-trip proves the xref-stream parser, the ObjStm
+    expansion, the font-table resolution, and the ToUnicode decode all
+    work together."""
+    from fintrack_etl_spark.parse.minipdf import build_pdf_cid
+
+    texts = [
+        "EXTRATO\nData  Histórico  Valor\n01/02/2024 PIX 1.234,56",
+        "línea açaí — ñ ü 😀 中文",  # bfchar incl. surrogate-pair dst
+        "abcdefg\nABCDEFG\n0123456789",  # bfrange runs
+        "a\n\nb",  # interior blank line preserved
+    ]
+    for t in texts:
+        assert extract_pdf_text(build_pdf_cid(t)) == t
+
+
+def test_cid_text_is_unreadable_without_cmap():
+    """The content stream's CID codes must NOT be recoverable by the
+    dumb stream scan (codes are indexes, not codepoints) — guarding
+    that the round-trip above actually proves font resolution."""
+    from fintrack_etl_spark.parse.minipdf import (
+        _iter_streams,
+        _stream_to_text,
+        build_pdf_cid,
+    )
+
+    blob = build_pdf_cid("hello world")
+    raw = [
+        _stream_to_text(s)
+        for s in _iter_streams(blob)
+        if b"BT" in s and b"Tj" in s
+    ]
+    assert raw and all("hello" not in x for x in raw)
+
+
+def test_xref_stream_parser_locates_objects():
+    """_xref_objects resolves the startxref chain through the xref
+    STREAM (PNG Up predictor) to every top-level object."""
+    from fintrack_etl_spark.parse.minipdf import _xref_objects, build_pdf_cid
+
+    blob = build_pdf_cid("abc")
+    objs = _xref_objects(blob)
+    # top-level objects: 4 content, 7 CMap, 8 ObjStm, 9 XRef
+    assert set(objs) == {4, 7, 8, 9}
+    assert b"/ObjStm" in objs[8] and b"/XRef" in objs[9]
+
+
+def test_objstm_expansion_exposes_members():
+    from fintrack_etl_spark.parse.minipdf import _object_map, build_pdf_cid
+
+    objs = _object_map(build_pdf_cid("abc"))
+    assert b"/Catalog" in objs[1]
+    assert b"/Type0" in objs[5]
+    assert b"/CIDFontType2" in objs[6]
+
+
+def test_tounicode_cmap_array_form_and_width():
+    """bfrange explicit-array destinations and 1-byte codespace."""
+    from fintrack_etl_spark.parse.minipdf import _parse_tounicode
+
+    cmap, width = _parse_tounicode(
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<01> <03> [<0041> <0058> <005A>]\nendbfrange\n"
+        b"1 beginbfchar\n<05> <00470048>\nendbfchar\n"
+    )
+    assert width == 1
+    assert cmap == {1: "A", 2: "X", 3: "Z", 5: "GH"}
+
+
+def test_mixed_simple_and_cid_fonts_in_one_page():
+    """Tf switches decoders mid-stream: /F1 simple latin-1, /F2 CID."""
+    from fintrack_etl_spark.parse.minipdf import _stream_to_text
+
+    fonts = {b"/F1": None, b"/F2": ({1: "O", 2: "K"}, 2)}
+    s = b"BT /F1 10 Tf (plain) Tj T* /F2 10 Tf <00010002> Tj ET"
+    assert _stream_to_text(s, fonts).rstrip("\n") == "plain\nOK"
