@@ -79,9 +79,11 @@ _DRIVER_CHECKED = frozenset({
 _JUDGE_VERIFIED = frozenset({
     "ext_gap_fill", "ext_min_max_by", "ext_array_agg", "ext_session_window",
     "x1_dedup_exact", "x2_fingerprint", "x3_ngram_jaccard", "x4_minhash_lsh",
-    "x5_simhash", "x6_embedding_near_dup", "x7_token_stats",
+    "x6_embedding_near_dup", "x7_token_stats",
     "x8_quality_scores", "x9_lang_id", "x10_bpe_estimate",
-    "x11_knn_bruteforce", "x12_knn_lsh", "x13_knn_ivf", "x14_label_centroids",
+    # x13_knn_ivf left this set in round 4: its query gained a planted-
+    # dup value contract (was rows-only), so it needs a fresh gate slot
+    "x11_knn_bruteforce", "x12_knn_lsh", "x14_label_centroids",
     "x15_multimodal_features", "x16_dedup_clusters", "x17_train_eval_split",
     "x18_knn_ivf_kmeans", "ext_stratified_sample", "ext_incremental_agg_merge",
     "ext_zorder_skipping", "ext_data_quality", "ext_heavy_hitters",

@@ -154,12 +154,12 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_minhash_lsh"] = ORACLES["x3_ngram_jaccard"]
 
 
-@register("x5_simhash", None)  # hash-dependent → rows-only
-def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (prefix-block + hamming verify)."""
-    return DD.simhash_near_pairs(
-        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", max_hamming=8
-    ).orderBy("doc_a", "doc_b")
+# x5_simhash (rows-only) was FOLDED INTO x5b_simhash_planted_dups in
+# round 4 (VERDICT r3 next-round #5): the operator is the same
+# ``DD.simhash_near_pairs`` machinery, but the registry entry with a
+# value contract (planted exact dups must all pair up) is the one the
+# gate runs. Statistical near-dup behavior stays pinned in pytest
+# (tests/test_text_similarity.py — hash-dependent, not oracle-able).
 
 
 @register(
@@ -384,12 +384,20 @@ def x12_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(dup, corpus, k=10, bits=8).filter(F.col("rnk") == 1)
 
 
-@register("x13_knn_ivf", None)  # approximate — rows-only
+@register("x13_knn_ivf", _PLANTED_DUP_RANK1_SQL)
 def x13_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: route to nprobe nearest label-centroids, search
-    only those partitions."""
+    """IVF-style ANN (route to nprobe nearest label-centroids, search
+    only those partitions), value-gated by the same planted-duplicate
+    self-recall contract as x12/x18/x20/x21 (VERDICT r3 next-round #5
+    — previously the last fixture-label rows-only entry): every
+    re-ingested exact duplicate must retrieve its original at rank 1
+    with cosine 1.0. The dup's vector is identical to the original's,
+    so its home partition is probed and nothing can outrank cosine
+    1.0 — a routing or partition-scan bug breaks the contract.
+    Statistical recall-vs-brute-force stays pinned in pytest."""
     emb = T(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, nprobe=3)
+    dup, corpus = _planted_dup_queries(emb)
+    return ivf_topk(dup, corpus, k=10, nprobe=3).filter(F.col("rnk") == 1)
 
 
 @register(
