@@ -416,8 +416,6 @@ def commit_table_cas(
     stale lock, which collapses back to the plain last-replace-wins
     window the timeout makes arbitrarily unlikely.
     """
-    import time
-
     os.makedirs(root, exist_ok=True)
     cur = current_version(root)
     if cur != expected_version:
@@ -426,6 +424,23 @@ def commit_table_cas(
         )
     staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
+    return _publish_staged(root, staging, expected_version, batch_id, lock_timeout_s)
+
+
+def _publish_staged(
+    root: str,
+    staging: str,
+    expected_version: int,
+    batch_id: int | None = None,
+    lock_timeout_s: float = 30.0,
+) -> int:
+    """The pure-filesystem critical section of :func:`commit_table_cas`
+    — lock acquisition with stale-lock break, version re-check, atomic
+    staging→version rename, and the manifest swap commit point. Split
+    out so multi-process contention tests can hammer the REAL
+    machinery (tests/test_lake_tx.py) without one Spark session per
+    writer; the staged directory's contents are opaque here."""
+    import time
 
     lock = os.path.join(root, "_commit.lock")
     deadline = time.time() + lock_timeout_s
