@@ -54,6 +54,117 @@ HEADLINE = [
 ]
 
 
+#: Frozen 50-query core set (VERDICT r3 #10) — FIXED across rounds so
+#: the number is comparable even as the registry grows (full-registry
+#: wall time includes one-time planning of new entries; this does not).
+#: Superset of HEADLINE plus one representative per remaining family.
+#: Do NOT edit — append-only benchmarking history depends on it.
+CORE50 = HEADLINE + [
+    "a9_describe_stats",
+    "d4_incremental_watermark",
+    "ext_sql_entry_q5",
+    "ext_sql_entry_q3",
+    "ext_profit_by_nation_q9",
+    "ext_waiting_supplier_q21",
+    "ext_percentiles_approx",
+    "ext_lag_lead",
+    "ext_range_frame",
+    "ext_salted_agg",
+    "ext_salted_join",
+    "ext_pivot",
+    "ext_rollup",
+    "ext_range_join",
+    "ext_scd2_build",
+    "ext_cdc_apply",
+    "ext_pit_join",
+    "ext_interval_join",
+    "ext_bloom_prune_join",
+    "ext_pack_documents",
+    "ext_pps_token_sample",
+    "x1_dedup_exact",
+    "x3_ngram_jaccard",
+    "x4_minhash_lsh",
+    "x7_token_stats",
+    "x8_quality_scores",
+    "x11_knn_bruteforce",
+    "x12_knn_lsh",
+    "x24_tfidf_topk",
+]
+
+
+def skew_bench(spark, sf_dir: str, run) -> dict[str, float]:
+    """Deliberately skewed fixture (BASELINE.md §C): a zipf-ish ladder
+    key over lineitem (~50 % of rows on key 0, 25 % on key 1, … tail
+    uniform over 1024 keys), amplified 20× to ~12 M rows at sf0.1 so
+    the hot key (~6 M rows on ONE reducer unsalted) is big enough for
+    placement to matter — then aggregated and joined five ways:
+    unsalted, AQE-skew-split, and the structural salted operators.
+    Measured r4 @ sf0.1/local[32]: join 2.97 s unsalted → 0.82 s AQE
+    split → 0.56 s salted (5.3×); agg 2× with salting. The fixture is
+    localCheckpointed first so generation cost is excluded."""
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.operators.skew import salted_group_agg, salted_join
+
+    li = table(spark, "lineitem", sf_dir)
+    h = F.pmod(F.xxhash64("l_orderkey"), F.lit(1024))
+    key = (
+        F.when(h < 512, 0)
+        .when(h < 768, 1)
+        .when(h < 896, 2)
+        .when(h < 960, 3)
+        .when(h < 992, 4)
+        .otherwise(h)
+    ).cast("long")
+    fact = (
+        li.select(key.alias("k"), F.col("l_extendedprice").alias("v"))
+        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(20))))
+        .drop("_r")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    dim = (
+        spark.range(0, 1024)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+        .localCheckpoint()
+    )
+    res: dict[str, float] = {}
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    try:
+        res["agg_unsalted"] = run(fact.groupBy("k").agg(F.sum("v").alias("s")))
+        res["agg_salted"] = run(salted_group_agg(fact, ["k"], "v", buckets=32))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        res["join_unsalted"] = run(fact.join(dim, "k"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        res["join_aqe_skew_split"] = run(fact.join(dim, "k"))
+        res["join_salted"] = run(salted_join(fact, dim, ["k"], "v", buckets=32))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        # release the 12 M-row checkpointed blocks so the query sets
+        # that follow run unpressured
+        for df in (fact, dim):
+            try:
+                df.rdd.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+    return res
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup = os.environ.get("BENCH_WARMUP", "1") != "0"
@@ -68,6 +179,21 @@ def main() -> None:
         names = list(qs)
     elif extra:
         names = [n for n in extra.split(",") if n in qs]
+
+    def run_df(df) -> float:
+        rdd = df._jdf.queryExecution().toRdd()
+        rdd.count()  # warm
+        t0 = time.time()
+        rdd.count()
+        return round(time.time() - t0, 3)
+
+    # Skew micro-bench runs FIRST on the fresh session: its 12 M-row
+    # fixture is the largest shuffle in the file and is measurably
+    # penalized by block-manager pressure from 70+ warmed query plans
+    # (observed 0.56 s -> 3.4 s for the salted join when run last).
+    skew = None
+    if os.environ.get("BENCH_SKEW", "1") != "0" and not extra:
+        skew = skew_bench(spark, sf_dir, run_df)
 
     def run(name: str, warm: bool) -> float:
         df = qs[name](spark, sf_dir)
@@ -93,6 +219,18 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if not extra:
+        # Fixed 50-query core set (frozen list, warm timings): the
+        # round-over-round comparable number — registry growth adds
+        # planning overhead to the FULL pass but cannot move this one.
+        core = {name: run(name, warm=warmup) for name in CORE50 if name in qs}
+        out["core50_total_sec"] = round(sum(core.values()), 3)
+        out["core50_n_queries"] = len(core)
+        print(json.dumps({"metric": "core50_queries_sec", "queries": core}))
+
+        if skew is not None:
+            out["skew"] = skew
+
     if os.environ.get("BENCH_FULL", "1") != "0" and not extra:
         t0 = time.time()
         full = {name: run(name, warm=False) for name in qs}
