@@ -235,11 +235,89 @@ _PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
 _COLS_RE = re.compile(rb"/Columns\s+(\d+)")
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF/TIFF LZW (spec §7.4.4.2): variable-width codes starting at
+    9 bits, clear code 256, EOD 257, EarlyChange=1 (width bumps one
+    code before the table fills — the PDF default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, buf, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:  # EarlyChange
+                width += 1
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (spec §7.4.5): length byte n<128 → copy n+1
+    literal bytes; n>128 → repeat next byte 257−n times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i + 1 : i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data[: end if end >= 0 else len(data)])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[((?:\s*/\w+)*)\s*\]|/(\w+))")
+
+
+def _filter_chain(head: bytes) -> list[bytes]:
+    m = _FILTER_RE.search(head)
+    if not m:
+        return []
+    if m.group(2) is not None:
+        return [m.group(2)]
+    return re.findall(rb"/(\w+)", m.group(1))
+
+
 def _stream_payload(body: bytes) -> tuple[bytes, bytes | None]:
     """(head-dict bytes, decoded payload | None) for one object body.
 
-    Handles /Length exact slicing with an endstream-scan fallback,
-    FlateDecode, and PNG predictors declared in /DecodeParms."""
+    Handles /Length exact slicing with an endstream-scan fallback, the
+    full decode-filter CHAIN in declared order — FlateDecode,
+    LZWDecode, ASCIIHexDecode, ASCII85Decode, RunLengthDecode (spec
+    §7.4; real writers chain e.g. [/ASCII85Decode /FlateDecode]) —
+    and PNG predictors declared in /DecodeParms. Unknown filters
+    (DCT/JBIG2/CCITT image codecs, Crypt) yield None → the stream is
+    skipped, quarantine-style, never misread."""
     sm = _STREAM_START_RE.search(body)
     if not sm:
         return body, None
@@ -256,14 +334,33 @@ def _stream_payload(body: bytes) -> tuple[bytes, bytes | None]:
             raw = raw[:-2]
         elif raw.endswith((b"\n", b"\r")):
             raw = raw[:-1]
-    if b"/FlateDecode" in head:
+    for filt in _filter_chain(head):
         try:
-            raw = zlib.decompress(raw)
-        except zlib.error:
-            try:  # writer counted the trailing EOL inside Length
-                raw = zlib.decompress(raw.rstrip(b"\r\n"))
-            except zlib.error:
-                return head, None  # undecodable filter payload
+            if filt == b"FlateDecode" or filt == b"Fl":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    # writer counted the trailing EOL inside Length
+                    raw = zlib.decompress(raw.rstrip(b"\r\n"))
+            elif filt == b"LZWDecode" or filt == b"LZW":
+                raw = _lzw_decode(raw)
+            elif filt == b"ASCIIHexDecode" or filt == b"AHx":
+                raw = _ascii_hex_decode(raw)
+            elif filt == b"ASCII85Decode" or filt == b"A85":
+                import base64
+
+                txt = raw.strip()
+                if txt.startswith(b"<~"):
+                    txt = txt[2:]
+                if not txt.endswith(b"~>"):
+                    txt += b"~>"
+                raw = base64.a85decode(txt, adobe=True, ignorechars=b" \t\r\n")
+            elif filt == b"RunLengthDecode" or filt == b"RL":
+                raw = _runlength_decode(raw)
+            else:  # image/crypt filters — not text-bearing, skip stream
+                return head, None
+        except (zlib.error, ValueError, IndexError):
+            return head, None  # undecodable filter payload
     pm = _PRED_RE.search(head)
     if pm and int(pm.group(1)) >= 10:
         cm = _COLS_RE.search(head)

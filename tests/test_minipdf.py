@@ -176,3 +176,129 @@ def test_mixed_simple_and_cid_fonts_in_one_page():
     fonts = {b"/F1": None, b"/F2": ({1: "O", 2: "K"}, 2)}
     s = b"BT /F1 10 Tf (plain) Tj T* /F2 10 Tf <00010002> Tj ET"
     assert _stream_to_text(s, fonts).rstrip("\n") == "plain\nOK"
+
+
+def _pack_codes(codes, width_start=9):
+    """Bit-pack LZW codes with PDF's width schedule (EarlyChange=1)."""
+    out, buf, nbits = bytearray(), 0, 0
+    width, table_len = width_start, 258
+    for c in codes:
+        buf = (buf << width) | c
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+        if c == 256:
+            table_len, width = 258, 9
+        elif c != 257:
+            table_len += 1
+            if table_len + 1 >= (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_spec_vector():
+    """PDF spec §7.4.4.2 worked example: codes for '-----A---B'."""
+    from fintrack_etl_spark.parse.minipdf import _lzw_decode
+
+    data = _pack_codes([256, 45, 258, 258, 65, 259, 66, 257])
+    assert _lzw_decode(data) == b"-----A---B"
+
+
+def test_runlength_and_asciihex_decode():
+    from fintrack_etl_spark.parse.minipdf import (
+        _ascii_hex_decode,
+        _runlength_decode,
+    )
+
+    assert _runlength_decode(b"\x02abc\xfeZ\x80") == b"abcZZZ"
+    assert _ascii_hex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"466") == b"F`"  # odd count pads a 0
+
+
+def _one_page_pdf(content_obj: bytes) -> bytes:
+    """Minimal valid PDF with a caller-supplied content object body."""
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        content_obj,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objects) + 1,
+        xref_at,
+    )
+    return bytes(out)
+
+
+def test_filter_chain_ascii85_flate_roundtrip():
+    """Real-writer shape: /Filter [/ASCII85Decode /FlateDecode] —
+    payload was deflated then a85-armored; extraction must unwind the
+    chain in declared order."""
+    import base64
+    import zlib
+
+    content = b"BT /F1 10 Tf 12 TL 72 720 Td (chained filters) Tj T* (line two) Tj ET"
+    enc = base64.a85encode(zlib.compress(content), adobe=True)
+    obj = (
+        b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n%s\nendstream"
+        % (len(enc), enc)
+    )
+    assert extract_pdf_text(_one_page_pdf(obj)) == "chained filters\nline two"
+
+
+def test_filter_lzw_content_stream():
+    """LZW-compressed content stream (the pre-Flate standard, still in
+    the wild) decodes through the chain."""
+    from fintrack_etl_spark.parse.minipdf import _lzw_decode
+
+    content = b"BT /F1 10 Tf (lzw text) Tj ET"
+
+    # encode with a reference LZW encoder (mirrors the spec algorithm)
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        codes = [256]
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                codes.append(table[w])
+                table[wc] = next_code
+                next_code += 1
+                w = bytes([ch])
+        if w:
+            codes.append(table[w])
+        codes.append(257)
+        return _pack_codes(codes)
+
+    enc = lzw_encode(content)
+    assert _lzw_decode(enc) == content  # codec sanity
+    obj = (
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+        % (len(enc), enc)
+    )
+    assert extract_pdf_text(_one_page_pdf(obj)) == "lzw text"
+
+
+def test_unknown_image_filter_quarantines_stream():
+    """A DCTDecode (JPEG) stream must be skipped, not misread."""
+    obj = (
+        b"<< /Length 9 /Filter /DCTDecode >>\nstream\n\xff\xd8BT Tj\xff\nendstream"
+    )
+    assert extract_pdf_text(_one_page_pdf(obj)) is None
