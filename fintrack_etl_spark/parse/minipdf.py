@@ -26,12 +26,21 @@ need, from the published PDF spec only:
   ``codespacerange`` width) — the PDF-1.7 §9.10.3 path real bank PDFs
   use (ref first-touch: ``extractors/bb_statement.py:28-31``).
 
+Also handled (public spec §7.6): the **standard security handler**
+with RC4 (V≤2, R 2/3) and an EMPTY user password — the way banks
+"protect" statements while keeping them readable: the file key is
+derived per Algorithm 2, the /U entry verified (Algorithm 4/5), and
+stream payloads decrypted per-object (Algorithm 1) before filters.
+Files demanding a real user password, or AES (V≥4), quarantine as
+undecodable rather than misread.
+
 Out of scope, by design (documents using them surface a decode_error
-upstream rather than silently wrong text): encryption, LZW/ASCII85
-filters, predefined (non-embedded) CMaps by name, Type3 glyph
-procedures. Single-byte text is decoded as latin-1, a superset-
-compatible reading of PDFDocEncoding/WinAnsi for the characters these
-statements use; UTF-16BE strings (BOM ``FE FF``) are decoded as such.
+upstream rather than silently wrong text): AES encryption,
+DCT/JBIG2/CCITT image filters, predefined (non-embedded) CMaps by
+name, Type3 glyph procedures. Single-byte text is decoded as latin-1,
+a superset-compatible reading of PDFDocEncoding/WinAnsi for the
+characters these statements use; UTF-16BE strings (BOM ``FE FF``) are
+decoded as such.
 """
 
 from __future__ import annotations
@@ -296,6 +305,126 @@ def _ascii_hex_decode(data: bytes) -> bytes:
     return bytes.fromhex(hexs.decode("ascii"))
 
 
+# --- standard security handler (spec §7.6.3, RC4 / R2-R3) ------------
+
+_PW_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+class PdfPasswordError(ValueError):
+    """The file demands a non-empty user password (or unsupported AES)."""
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(b ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, O: bytes, P: int, id0: bytes, R: int, length_bits: int
+) -> bytes:
+    """Algorithm 2: the file encryption key from a (user) password."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5()
+    h.update((password + _PW_PAD)[:32])
+    h.update(O[:32])
+    h.update(struct.pack("<i", P))
+    h.update(id0)
+    key = h.digest()
+    n = length_bits // 8 if R >= 3 else 5
+    if R >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_user_check(key: bytes, id0: bytes, R: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the expected /U value for ``key``."""
+    import hashlib
+
+    if R == 2:
+        return _rc4(key, _PW_PAD)
+    x = hashlib.md5(_PW_PAD + id0).digest()
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x  # compare first 16 bytes of /U
+
+
+def _obj_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    ext = key + bytes(
+        [num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF, gen & 0xFF, (gen >> 8) & 0xFF]
+    )
+    return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """The string value of ``/Key`` in a dict body (literal or hex)."""
+    m = re.search(rb"/" + key + rb"\s*[(<]", body)
+    if m is None:
+        return None
+    for kind, tok in _tokens(body[m.end() - 1 :]):
+        if kind == "str":
+            return tok
+    return None
+
+
+def _decryption_key(data: bytes) -> bytes | None:
+    """None when the file is unencrypted; the RC4 file key when it uses
+    the standard handler with an EMPTY user password; raises
+    :class:`PdfPasswordError` for real passwords or AES."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
+    if em is None:
+        return None
+    om = re.search(
+        rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)\bendobj" % int(em.group(1)), data, re.S
+    )
+    if om is None:
+        raise PdfPasswordError("encrypt dict unresolvable")
+    enc = om.group(1)
+    if b"/Standard" not in enc:
+        raise PdfPasswordError("non-standard security handler")
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    V = int(vm.group(1)) if vm else 0
+    R = int(rm.group(1)) if rm else 2
+    if V > 2 or R > 3:
+        raise PdfPasswordError(f"unsupported encryption V={V} R={R} (AES?)")
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    length_bits = int(lm.group(1)) if lm else 40
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    P = int(pm.group(1)) if pm else -1
+    O = _dict_string(enc, b"O")
+    U = _dict_string(enc, b"U")
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data)
+    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    if O is None or U is None:
+        raise PdfPasswordError("encrypt dict missing /O or /U")
+    key = _std_file_key(b"", O, P, id0, R, length_bits)
+    expect = _std_user_check(key, id0, R)
+    ncmp = 16 if R >= 3 else 32
+    if expect[:ncmp] != U[:ncmp]:
+        raise PdfPasswordError("user password required")
+    return key
+
+
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[((?:\s*/\w+)*)\s*\]|/(\w+))")
 
 
@@ -308,7 +437,9 @@ def _filter_chain(head: bytes) -> list[bytes]:
     return re.findall(rb"/(\w+)", m.group(1))
 
 
-def _stream_payload(body: bytes) -> tuple[bytes, bytes | None]:
+def _stream_payload(
+    body: bytes, key: bytes | None = None, num: int = 0
+) -> tuple[bytes, bytes | None]:
     """(head-dict bytes, decoded payload | None) for one object body.
 
     Handles /Length exact slicing with an endstream-scan fallback, the
@@ -334,6 +465,10 @@ def _stream_payload(body: bytes) -> tuple[bytes, bytes | None]:
             raw = raw[:-2]
         elif raw.endswith((b"\n", b"\r")):
             raw = raw[:-1]
+    if key is not None:
+        # standard security handler: streams decrypt per-object BEFORE
+        # any decode filter runs (spec: encryption is the outermost layer)
+        raw = _rc4(_obj_key(key, num), raw)
     for filt in _filter_chain(head):
         try:
             if filt == b"FlateDecode" or filt == b"Fl":
@@ -382,16 +517,17 @@ _INT_KEY = {
 }
 
 
-def _object_map(data: bytes) -> dict[int, bytes]:
+def _object_map(data: bytes, key: bytes | None = None) -> dict[int, bytes]:
     """Object number → body bytes, from a direct full-file scan plus
     expansion of every compressed object stream (``/Type /ObjStm``,
     PDF §7.5.7: header of N (num, offset) pairs, then the member
-    object bodies — members carry no obj/endobj wrappers)."""
+    object bodies — members carry no obj/endobj wrappers). ``key``
+    decrypts ObjStm payloads; members are not re-encrypted (spec)."""
     objs: dict[int, bytes] = {}
     for m in _OBJ_FULL_RE.finditer(data):
         objs.setdefault(int(m.group(1)), m.group(3))
-    for body in list(objs.values()):
-        head, raw = _stream_payload(body)
+    for onum0, body in list(objs.items()):
+        head, raw = _stream_payload(body, key, onum0)
         if raw is None or b"/ObjStm" not in head:
             continue
         nm, fm = _INT_KEY[b"N"].search(head), _INT_KEY[b"First"].search(head)
@@ -545,7 +681,9 @@ def _parse_tounicode(raw: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
-def _page_fonts(objs: dict[int, bytes], page: bytes) -> dict[bytes, tuple | None]:
+def _page_fonts(
+    objs: dict[int, bytes], page: bytes, key: bytes | None = None
+) -> dict[bytes, tuple | None]:
     """The page's ``/Resources /Font`` table as a name → decoder map:
     ``None`` for simple fonts, ``(cmap, width)`` for Type0/CID fonts
     (decoder from the font's ``/ToUnicode`` stream)."""
@@ -566,7 +704,7 @@ def _page_fonts(objs: dict[int, bytes], page: bytes) -> dict[bytes, tuple | None
             tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
             tou = objs.get(int(tm.group(1))) if tm else None
             if tou is not None:
-                _, raw = _stream_payload(tou)
+                _, raw = _stream_payload(tou, key, int(tm.group(1)))
                 if raw is not None:
                     decoder = _parse_tounicode(raw)
             if decoder is None:
@@ -575,7 +713,9 @@ def _page_fonts(objs: dict[int, bytes], page: bytes) -> dict[bytes, tuple | None
     return fonts
 
 
-def _page_content(objs: dict[int, bytes], page: bytes) -> bytes:
+def _page_content(
+    objs: dict[int, bytes], page: bytes, key: bytes | None = None
+) -> bytes:
     """The page's decoded content bytes (/Contents ref or ref array)."""
     refs: list[int] = []
     m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", page)
@@ -590,7 +730,7 @@ def _page_content(objs: dict[int, bytes], page: bytes) -> bytes:
         body = objs.get(num)
         if body is None:
             continue
-        _, raw = _stream_payload(body)
+        _, raw = _stream_payload(body, key, num)
         if raw is not None:
             parts.append(raw)
     return b"\n".join(parts)
@@ -718,21 +858,29 @@ def extract_pdf_text(data: bytes) -> str | None:
     """
     if not data.startswith(b"%PDF"):
         return None
+    try:
+        key = _decryption_key(data)
+    except PdfPasswordError:
+        return None  # needs a real password / AES — quarantine upstream
     parts: list[str] = []
     try:
-        objs = _object_map(data)
+        objs = _object_map(data, key)
         objs.update(_xref_objects(data))  # newest xref entries win
         for page in _ordered_pages(objs):
-            content = _page_content(objs, page)
+            content = _page_content(objs, page, key)
             if not content:
                 continue
-            text = _stream_to_text(content, _page_fonts(objs, page)).rstrip("\n")
+            text = _stream_to_text(content, _page_fonts(objs, page, key)).rstrip("\n")
             if text:
                 parts.append(text)
     except Exception:  # noqa: BLE001 — malformed structure → fallback
         parts = []
     if parts:
         return "\n".join(parts)
+    if key is not None:
+        # encrypted file, structured walk found nothing: the raw-stream
+        # fallback would read ciphertext — never emit garbage
+        return None
     for stream in _iter_streams(data):
         # Only content streams carry text operators; streams without a
         # text block (fonts, images, metadata) yield nothing.
@@ -898,4 +1046,76 @@ def build_pdf_cid(text: str) -> bytes:
         b">>\nstream\n%s\nendstream" % (xref_num + 1, len(xdata), xdata),
     )
     out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_offset)
+    return bytes(out)
+
+
+def build_pdf_encrypted(
+    text: str,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    R: int = 3,
+    length_bits: int = 128,
+) -> bytes:
+    """Write ``text`` as a VALID RC4-encrypted PDF (standard security
+    handler, spec §7.6.3) — the fixture writer for the encrypted-bank-
+    statement path. ``/O`` comes from Algorithm 3 (owner password),
+    ``/U`` from Algorithm 4/5, the file key from Algorithm 2 over
+    ``user_pw`` (EMPTY by default — the real-world "protected but
+    readable" shape), and the content stream is RC4-encrypted with its
+    per-object key AFTER deflation, exactly as conforming writers do.
+    ``R=2`` gives the 40-bit variant, ``R=3`` 128-bit."""
+    import hashlib
+
+    ops = [b"BT /F1 10 Tf 12 TL 72 720 Td"]
+    for i, line in enumerate(text.split("\n")):
+        if i:
+            ops.append(b"T*")
+        ops.append(_pdf_string(line) + b" Tj")
+    ops.append(b"ET")
+    content = zlib.compress(b"\n".join(ops))
+
+    n = length_bits // 8 if R >= 3 else 5
+    h = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if R >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    O = _rc4(okey, (user_pw + _PW_PAD)[:32])
+    if R >= 3:
+        for i in range(1, 20):
+            O = _rc4(bytes(b ^ i for b in okey), O)
+    P = -4  # all standard permissions granted
+    id0 = hashlib.md5(text.encode("utf-8")).digest()
+    key = _std_file_key(user_pw, O, P, id0, R, length_bits)
+    U = _std_user_check(key, id0, R)
+    if R >= 3:
+        U = U + bytes(16)  # 16 bytes of arbitrary padding per spec
+    enc_content = _rc4(_obj_key(key, 4), content)
+
+    V = 2 if R >= 3 else 1
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(enc_content), enc_content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s> >>"
+        % (V, R, length_bits, P, O.hex().upper().encode(), U.hex().upper().encode()),
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    idhex = id0.hex().upper().encode()
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt 6 0 R /ID [<%s> <%s>] >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (len(objects) + 1, idhex, idhex, xref_at)
+    )
     return bytes(out)

@@ -302,3 +302,39 @@ def test_unknown_image_filter_quarantines_stream():
         b"<< /Length 9 /Filter /DCTDecode >>\nstream\n\xff\xd8BT Tj\xff\nendstream"
     )
     assert extract_pdf_text(_one_page_pdf(obj)) is None
+
+
+def test_encrypted_pdf_empty_user_password_roundtrip():
+    """RC4 standard-security PDFs with an empty user password (the
+    common bank-statement shape) decrypt transparently — both the
+    40-bit R2 and 128-bit R3 variants — and the ciphertext really is
+    ciphertext (plaintext absent from the file bytes)."""
+    from fintrack_etl_spark.parse.minipdf import build_pdf_encrypted
+
+    text = "EXTRATO PROTEGIDO\n01/02/2024 PIX 1.234,56\nsaldo final"
+    for R, bits in ((2, 40), (3, 128)):
+        blob = build_pdf_encrypted(text, R=R, length_bits=bits)
+        import zlib as _z
+
+        assert b"EXTRATO" not in blob
+        # the deflated-but-unencrypted payload must not appear either
+        assert _z.compress(b"EXTRATO") [:8] not in blob
+        assert extract_pdf_text(blob) == text, (R, bits)
+
+
+def test_encrypted_pdf_real_user_password_quarantines():
+    """A non-empty user password cannot be satisfied — extraction must
+    return None (→ decode_error upstream), never garbage."""
+    from fintrack_etl_spark.parse.minipdf import build_pdf_encrypted
+
+    blob = build_pdf_encrypted("segredo bancário", user_pw=b"hunter2")
+    assert extract_pdf_text(blob) is None
+
+
+def test_encrypted_unsupported_aes_quarantines():
+    """V=4 (AES) must quarantine, not misread."""
+    from fintrack_etl_spark.parse.minipdf import build_pdf_encrypted
+
+    blob = build_pdf_encrypted("texto")
+    blob = blob.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    assert extract_pdf_text(blob) is None
