@@ -3589,3 +3589,198 @@ def x52_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_csv",
         "px_sum",
     )
+
+
+def _x53_oracle(rounds: int = 3) -> str:
+    # Same trainer chain as x46 (boundary-anchored wrapped symbols) but
+    # the dictionary carries the word, and after the final round every
+    # DOCUMENT is scored by joining its words to the encoded dictionary.
+    split = (
+        "string_split(substring(d.sym, 2, length(d.sym) - 2), chr(3) || chr(2))"
+    )
+    sql = """
+    WITH words AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2
+    ),
+    dict0 AS (
+        SELECT w,
+               array_to_string(
+                   list_transform(range(1, len(w) + 1),
+                                  i -> chr(2) || w[i] || chr(3)), '') AS sym,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM words GROUP BY 1
+    )"""
+    for r in range(rounds):
+        sql += f""",
+    pairs{r} AS (
+        SELECT p.a, p.b, sum(d.freq) AS cnt
+        FROM dict{r} d, LATERAL (
+            SELECT s[i] AS a, s[i + 1] AS b
+            FROM (SELECT {split} AS s),
+                 (SELECT unnest(range(1, len({split}))) AS i)
+        ) p
+        GROUP BY 1, 2
+    ),
+    top{r} AS (
+        SELECT a, b, cnt FROM pairs{r}
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    dict{r + 1} AS (
+        SELECT d.w,
+               replace(d.sym,
+                       chr(2) || t.a || chr(3) || chr(2) || t.b || chr(3),
+                       chr(2) || t.a || '~' || t.b || chr(3)) AS sym,
+               d.freq
+        FROM dict{r} d, top{r} t
+    )"""
+    return sql + f"""
+    , enc AS (
+        SELECT d.w,
+               len({split}) AS n_tok
+        FROM dict{rounds} d
+    )
+    SELECT words.doc_id,
+           CAST(sum(enc.n_tok) AS BIGINT) AS bpe_tokens,
+           CAST(count(*) AS BIGINT)       AS n_words
+    FROM words JOIN enc ON words.w = enc.w
+    GROUP BY words.doc_id
+    """
+
+
+@register("x53_bpe_encode", _x53_oracle())
+def x53_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of tokenization at corpus scale: train 3 BPE
+    merges on the word-frequency dictionary (x46's trainer, boundary-
+    anchored symbols) and ENCODE every document — per-doc token count
+    after the merges, the number a token-budget pipeline actually
+    consumes. The scalable shape is the point: merges are applied to
+    the |distinct words| dictionary ONCE (not to every occurrence),
+    then documents join their words back to the encoded dictionary —
+    corpus text is tokenized by a dictionary join, never re-scanned
+    per merge. 100 TB: dictionary fits comfortably in a broadcast or
+    one small shuffle; the per-round replace touches only the
+    dictionary; the final join is the only corpus-sized exchange.
+    Value-gated: the oracle replays the identical trainer + join."""
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    dic = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)), "
+                    "i -> concat(chr(2), substring(w, i, 1), chr(3)))"
+                ),
+                "",
+            ).alias("sym"),
+            "freq",
+        )
+    ).localCheckpoint()
+    for _ in range(3):
+        pairs = (
+            dic.select(
+                F.split(
+                    F.expr("substring(sym, 2, length(sym) - 2)"), "\x03\x02"
+                ).alias("s"),
+                "freq",
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(s) >= 2 THEN "
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(s[i - 1] AS a, s[i] AS b)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).localCheckpoint()
+        dic = dic.crossJoin(F.broadcast(top)).select(
+            "w",
+            F.replace(
+                F.col("sym"),
+                F.concat(
+                    F.lit("\x02"), F.col("a"), F.lit("\x03"),
+                    F.lit("\x02"), F.col("b"), F.lit("\x03"),
+                ),
+                F.concat(
+                    F.lit("\x02"), F.col("a"), F.lit("~"), F.col("b"),
+                    F.lit("\x03"),
+                ),
+            ).alias("sym"),
+            "freq",
+        )
+    enc = dic.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "\x03\x02")
+        ).alias("n_tok"),
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").cast("long").alias("bpe_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+
+
+@register(
+    "x54_training_shuffle",
+    """
+    WITH keyed AS (
+        SELECT doc_id, source,
+               md5(CAST(doc_id AS VARCHAR) || ':ep1') AS sk,
+               CAST(strpos('0123456789abcdef',
+                           substring(md5(CAST(doc_id AS VARCHAR) || ':ep1'),
+                                     1, 1)) - 1 AS INT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, source, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def x54_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding — the
+    step between curation and the trainer: every document gets a
+    pseudorandom but REPLAYABLE position (md5 over doc_id + epoch
+    salt; change the salt, get an independent permutation for the next
+    epoch) and a shard via a hash bucket of the same key. Scale shape:
+    shard assignment is a pure map (no global sort — each of the 16
+    shards is a uniform random 1/16 sample by construction), and the
+    within-shard position is a window partitioned BY SHARD, so no
+    single-partition window exists anywhere; writers then emit one
+    file per shard in pos order. md5 is bit-identical across engines,
+    so the oracle value-checks the entire permutation."""
+    docs = T(spark, sf_dir, "documents")
+    sk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ep1")))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        sk.alias("sk"),
+        F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(concat(cast(doc_id as string), ':ep1')), 1, 1)) - 1"
+        ).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("sk", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "source",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

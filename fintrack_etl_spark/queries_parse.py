@@ -662,3 +662,65 @@ def p9_cid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode("text", "utf-8")).alias("fp"),
         F.length("text").alias("n_chars"),
     )
+
+
+@register(
+    "p10_encrypted_pdf_roundtrip",
+    """
+    SELECT doc_id,
+           md5(rtrim(text, chr(10)))                 AS fp,
+           CAST(length(rtrim(text, chr(10))) AS INT) AS n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND rtrim(text, chr(10)) <> ''
+    """,
+)
+def p10_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p8's round-trip over RC4-ENCRYPTED PDFs (standard security
+    handler, empty user password — how banks ship "protected"
+    statements): every document is written by
+    ``minipdf.build_pdf_encrypted`` (R3/128-bit: Algorithm 3 /O,
+    Algorithm 5 /U, per-object Algorithm 1 stream encryption after
+    deflate) and decoded back through the distributed pipeline, which
+    must derive the file key from the EMPTY user password, verify /U,
+    and decrypt before inflating. A byte-exact md5 match proves the
+    whole §7.6.3 path; a key-derivation or RC4 bug yields zlib garbage
+    and a decode_error, failing the row count.
+
+    Scale: identical to p8/p9 — two Arrow-batched mapInPandas passes,
+    no shuffle, payload dropped at decode."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from .parse.minipdf import build_pdf_encrypted
+    from .parse.pdf_source import binary_docs_to_text
+
+    docs = T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.rtrim(F.col("text"), F.lit("\n")) != "")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": "/docs/" + b["doc_id"].astype(str) + ".pdf",
+                    "content": [build_pdf_encrypted(t) for t in b["text"]],
+                }
+            )
+
+    binary = docs.select("doc_id", "text").mapInPandas(
+        _encode,
+        TT.StructType(
+            [
+                TT.StructField("path", TT.StringType(), False),
+                TT.StructField("content", TT.BinaryType(), False),
+            ]
+        ),
+    )
+    decoded = binary_docs_to_text(binary)
+    return decoded.filter(F.col("decode_error").isNull()).select(
+        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )
