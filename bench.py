@@ -130,14 +130,19 @@ def skew_bench(spark, sf_dir: str, run) -> dict[str, float]:
         .localCheckpoint()
     )
     res: dict[str, float] = {}
-    saved = {
-        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold"
-        ),
-        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
-            "spark.sql.adaptive.skewJoin.enabled"
-        ),
-    }
+    mutated = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {}
+    for k in mutated:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf: restore via unset
+            saved[k] = None
     try:
         res["agg_unsalted"] = run(fact.groupBy("k").agg(F.sum("v").alias("s")))
         res["agg_salted"] = run(salted_group_agg(fact, ["k"], "v", buckets=32))
@@ -154,7 +159,10 @@ def skew_bench(spark, sf_dir: str, run) -> dict[str, float]:
         res["join_salted"] = run(salted_join(fact, dim, ["k"], "v", buckets=32))
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
         # release the 12 M-row checkpointed blocks so the query sets
         # that follow run unpressured
         for df in (fact, dim):

@@ -571,3 +571,96 @@ def cdc_sink_stream_versioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level file skipping (Iceberg manifest-pruning emulated)
+# ---------------------------------------------------------------------------
+
+_STATS_FILE = "_file_stats.json"
+
+
+def write_file_stats(
+    spark: SparkSession, root: str, columns: list[str], version: int | None = None
+) -> int:
+    """Record per-data-file min/max for ``columns`` into a
+    ``_file_stats.json`` sidecar inside the version directory — the
+    engine's emulation of Iceberg's per-file column bounds in manifest
+    entries (ref production path writes Iceberg v2 whose readers prune
+    on exactly these). ONE Spark pass over the version's files,
+    grouped by ``input_file_name`` (map-side combined: #files × #cols
+    rows cross the wire). Returns the number of files profiled.
+
+    Works best after ``compact_table(cluster_by=...)`` — range-
+    clustered files have tight disjoint bounds, so pruning is sharp;
+    on unclustered data every file may overlap every predicate and
+    skipping degrades to reading everything (correct, just not
+    faster) — identical to Iceberg's behavior."""
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed version at {root}")
+    v = m["version"] if version is None else version
+    vdir = _version_dir(root, v)
+    df = spark.read.parquet(vdir)
+    aggs = []
+    for c in columns:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        r["file"].replace("file://", ""): {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in columns
+        }
+        for r in rows
+    }
+    tmp = os.path.join(vdir, f".{_STATS_FILE}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"columns": columns, "files": stats}, f, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(vdir, _STATS_FILE))
+    return len(stats)
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a committed version touching ONLY the data files whose
+    recorded [min, max] for ``column`` overlaps [lo, hi] — manifest
+    pruning from the ``write_file_stats`` sidecar, with the residual
+    ``BETWEEN`` filter applied on top (bounds admit false positives,
+    never false negatives; a file with NULL bounds — all-null column —
+    is kept). Falls back to a full scan + filter when no sidecar
+    exists, so the call is always correct. At 100 TB this is the
+    difference between listing 50 files and scanning a partition's
+    thousand."""
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed version at {root}")
+    v = m["version"] if version is None else version
+    vdir = _version_dir(root, v)
+    spath = os.path.join(vdir, _STATS_FILE)
+    pred = F.col(column).between(lo, hi)
+    if not os.path.exists(spath):
+        return spark.read.parquet(vdir).filter(pred)
+    with open(spath, encoding="utf-8") as f:
+        sidecar = json.load(f)
+    if column not in sidecar["columns"]:
+        return spark.read.parquet(vdir).filter(pred)
+    keep = []
+    for path, bounds in sidecar["files"].items():
+        mn, mx = bounds[column]
+        if mn is None or mx is None or not (mx < lo or mn > hi):
+            keep.append(path)
+    if not keep:
+        return spark.read.parquet(vdir).filter(pred).limit(0)
+    return spark.read.parquet(*keep).filter(pred)

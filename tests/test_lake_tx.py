@@ -660,3 +660,39 @@ def test_cas_breaks_stale_lock_of_killed_writer(tmp_path):
         stop.set()
         toucher.join()
         os.unlink(lock)
+
+
+def test_file_stats_pruned_read_skips_files(spark, tmp_path):
+    """Manifest-pruning emulation: after a range-clustered compaction,
+    write_file_stats records per-file bounds and read_table_pruned
+    must (a) return exactly the filtered rows and (b) open strictly
+    fewer files than the full version holds."""
+    import os
+
+    root = str(tmp_path / "skiptbl")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    lake_tx.commit_table(df.repartition(8), root)
+    # cluster on k into ~8 files so bounds are tight and disjoint
+    lake_tx.compact_table(spark, root, target_file_bytes=6_000, cluster_by=["k"])
+    n_files = lake_tx.write_file_stats(spark, root, ["k"])
+    assert n_files >= 4
+
+    pruned = lake_tx.read_table_pruned(spark, root, "k", 100, 300)
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == list(range(100, 301))
+    vdir = os.path.join(root, f"v{lake_tx.current_version(root):08d}")
+    total = sum(1 for f in os.listdir(vdir) if f.endswith(".parquet"))
+    opened = {
+        f for f in pruned.inputFiles()
+    }
+    assert 0 < len(opened) < total, (len(opened), total)
+
+    # disjoint predicate -> zero rows, zero files opened
+    empty = lake_tx.read_table_pruned(spark, root, "k", 50_000, 60_000)
+    assert empty.count() == 0
+
+    # no sidecar column recorded -> correct fallback (full scan + filter)
+    fb = lake_tx.read_table_pruned(spark, root, "v", 0, 3)
+    assert fb.count() == df.filter(F.col("v").between(0, 3)).count()

@@ -472,3 +472,24 @@ def test_choose_join_strategy_picks_each_branch(spark):
     )
     assert strat == "shuffle"
     assert df.count() == big.count()  # every dim key matches 20 rows
+
+
+def test_bpe_encode_dictionary_join_is_broadcast(spark, sf_dir):
+    """x53's scale contract: documents are tokenized by joining the
+    encoded |distinct words| dictionary — which must broadcast, so the
+    corpus-sized side never shuffles for the join."""
+    from fintrack_etl_spark.queries_ext import x53_bpe_encode
+
+    plan = _phys(x53_bpe_encode(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_training_shuffle_has_no_global_window(spark, sf_dir):
+    """x54's scale contract: position is windowed BY SHARD — a
+    SinglePartition window (global sort) must never appear."""
+    from fintrack_etl_spark.queries_ext import x54_training_shuffle
+
+    plan = _phys(x54_training_shuffle(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
