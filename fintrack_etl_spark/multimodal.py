@@ -104,7 +104,7 @@ def _decode_raster(b: bytes | None) -> tuple:
     """(width, height, mode, pixels, error) via the REAL pure-Python
     codecs: PNG (parse/minipng, spec-complete for 8-bit non-interlaced)
     or 24-bit BMP. Anything else quarantines with an error string."""
-    from .parse.minipng import PngError, decode_bmp, decode_png
+    from .parse.minipng import PngError, decode_bmp, decode_gif, decode_png
 
     if not b:
         return None, None, None, None, "empty payload"
@@ -113,6 +113,8 @@ def _decode_raster(b: bytes | None) -> tuple:
             w, h, ct, px = decode_png(bytes(b))
         elif b[:2] == b"BM":
             w, h, ct, px = decode_bmp(bytes(b))
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, ct, px = decode_gif(bytes(b))
         else:
             return None, None, None, None, f"unknown container: {bytes(b[:4]).hex()}"
         return w, h, _MODE[ct], px, None

@@ -212,3 +212,109 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
             row += bytes((r_, g, b_))
         rows.append(bytes(row))
     return w, height, 2, b"".join(rows)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF's LZW variant (GIF89a spec appendix F): codes packed
+    LSB-first, clear = 2^mcs, EOI = clear+1, width grows at table
+    size 2^width (no early change), capped at 12 bits."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    buf = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: clear + 2]
+                width, prev = min_code_size + 1, None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST image frame of a GIF87a/89a →
+    ``(width, height, color_type=2, rgb_pixels)``: logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    LSB-packed LZW, and Adam-less GIF 4-pass interlace."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise PngError("bad GIF signature")
+    sw, sh = struct.unpack_from("<HH", blob, 6)
+    packed = blob[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = blob[pos : pos + n]
+        pos += n
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, w, h = struct.unpack_from("<HHHH", blob, pos + 1)
+            ipacked = blob[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = blob[pos : pos + n]
+                pos += n
+            if not ct:
+                raise PngError("GIF frame has no color table")
+            mcs = blob[pos]
+            pos += 1
+            comp = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                comp += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(comp), mcs)
+            if len(idx) < w * h:
+                raise PngError(
+                    f"GIF pixel data truncated: {len(idx)} of {w * h}"
+                )
+            if ipacked & 0x40:  # deinterlace: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                rows: list[bytes | None] = [None] * h
+                for i, r in enumerate(order):
+                    rows[r] = idx[i * w : (i + 1) * w]
+                idx = b"".join(rows)  # type: ignore[arg-type]
+            out = bytearray()
+            for i in range(w * h):
+                c = idx[i] * 3
+                out += ct[c : c + 3]
+            return w, h, 2, bytes(out)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise PngError(f"unknown GIF block 0x{b0:02x}")
+    raise PngError("GIF contains no image frame")

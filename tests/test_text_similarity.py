@@ -824,3 +824,76 @@ def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
     plain = [r["neighbor_id"] for r in shortlist.orderBy("rnk").collect()]
     picked = mmr_rerank(shortlist, c, k=5, lam=1.0)
     assert [p["neighbor_id"] for p in picked] == plain
+
+
+def _mini_gif(indexes, w, h, palette, interlace=False, mcs=2):
+    """Hand-build a GIF89a: clear-code-before-every-pixel LZW (valid
+    per spec — the table reset keeps every code literal-width)."""
+    import struct
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    codes = []
+    for px in indexes:
+        codes += [clear, px]
+    codes.append(eoi)
+    buf = nbits = 0
+    data = bytearray()
+    for c in codes:  # LSB-first packing
+        buf |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(buf & 0xFF)
+    gct_bits = mcs - 1  # global color table holds 2^(gct_bits+1) entries
+    pal = b"".join(bytes(c) for c in palette)
+    pal += bytes(3 * ((2 << gct_bits) - len(palette)))  # pad to table size
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x80 | gct_bits, 0, 0]) + pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0, mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_palette_and_interlace():
+    """Real GIF decode: LSB-packed LZW, color-table lookup, and the
+    4-pass interlace row order."""
+    from fintrack_etl_spark.parse.minipng import decode_gif
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]  # 2x4 image
+    w, h, ct, px = decode_gif(_mini_gif(idx, 2, 4, palette))
+    assert (w, h, ct) == (2, 4, 2)
+    want = b"".join(bytes(palette[i]) for i in idx)
+    assert px == want
+
+    # interlaced: rows stored in pass order 0,4.. / 2.. / 1,3..;
+    # h=4 -> storage order rows [0, 2, 1, 3]
+    stored = [0, 1, 2, 3, 3, 2, 1, 0]
+    w, h, ct, px2 = decode_gif(_mini_gif(stored, 2, 4, palette, interlace=True))
+    rows = [px2[r * 6 : (r + 1) * 6] for r in range(4)]
+    flat = b"".join(bytes(palette[i]) for i in stored)
+    srows = [flat[r * 6 : (r + 1) * 6] for r in range(4)]
+    assert rows[0] == srows[0] and rows[2] == srows[1]
+    assert rows[1] == srows[2] and rows[3] == srows[3]
+
+
+def test_decode_image_handles_gif(spark):
+    from fintrack_etl_spark.multimodal import decode_image
+
+    palette = [(10, 20, 30), (40, 50, 60), (0, 0, 0), (1, 1, 1)]
+    blob = _mini_gif([0, 1, 1, 0], 2, 2, palette)
+    media = spark.createDataFrame(
+        [(1, "image", blob, None)],
+        "media_id long, media_type string, content binary, meta map<string,string>",
+    )
+    row = decode_image(media).collect()[0]
+    assert (row["width"], row["height"], row["mode"]) == (2, 2, "rgb")
+    assert bytes(row["pixels"])[:3] == bytes((10, 20, 30))
