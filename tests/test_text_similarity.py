@@ -897,3 +897,30 @@ def test_decode_image_handles_gif(spark):
     row = decode_image(media).collect()[0]
     assert (row["width"], row["height"], row["mode"]) == (2, 2, "rgb")
     assert bytes(row["pixels"])[:3] == bytes((10, 20, 30))
+
+
+def test_minipng_roundtrip_property():
+    """Property: ANY raster survives encode→decode for every color
+    type and a pseudorandom per-image filter schedule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fintrack_etl_spark.parse.minipng import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        ct=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, ct, seed):
+        import random
+
+        rng = random.Random(seed)
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        filters = [rng.randrange(5) for _ in range(h)]
+        assert decode_png(encode_png(px, w, h, ct, filters)) == (w, h, ct, px)
+
+    check()
