@@ -1027,7 +1027,9 @@ def x22_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism  # codec CPU >> I/O
+    ).mapInPandas(
         _encode,
         TT.StructType(
             [
@@ -2737,7 +2739,9 @@ def x45_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as TT
 
-    docs = _with_recrawl(T(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = _with_recrawl(T(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)  # codec CPU >> I/O
     W, H = 9, 8
     stride = (W * 3 + 3) & ~3  # BMP rows pad to 4 bytes
 
@@ -3166,7 +3170,9 @@ def x49_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as TT
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism  # codec CPU >> I/O
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -3538,7 +3544,9 @@ def x52_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import decode_image, resize_image
     from .parse.minipng import encode_png
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism  # codec CPU >> I/O
+    )
     W, H = 9, 8
 
     def _encode(batches):

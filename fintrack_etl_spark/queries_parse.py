@@ -583,7 +583,9 @@ def p8_real_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    binary = docs.select("doc_id", "text").mapInPandas(
+    binary = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism  # codec CPU >> I/O: fan the
+    ).mapInPandas(  # single-file scan out over every core
         _encode,
         TT.StructType(
             [
@@ -647,7 +649,9 @@ def p9_cid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    binary = docs.select("doc_id", "text").mapInPandas(
+    binary = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism  # codec CPU >> I/O: fan the
+    ).mapInPandas(  # single-file scan out over every core
         _encode,
         TT.StructType(
             [
@@ -709,7 +713,9 @@ def p10_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    binary = docs.select("doc_id", "text").mapInPandas(
+    binary = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism  # codec CPU >> I/O: fan the
+    ).mapInPandas(  # single-file scan out over every core
         _encode,
         TT.StructType(
             [
