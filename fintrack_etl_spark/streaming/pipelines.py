@@ -609,3 +609,66 @@ def cusum_drift_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def first_seen_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming first-seen dedup on Spark 4's TYPED state API
+    (``transformWithStateInPandas`` — the successor to
+    ``applyInPandasWithState``): one boolean ``ValueState`` per key;
+    the first arrival of a key emits its key row, every repeat is
+    dropped executor-side. With ``ttl_ms`` the state entry expires on
+    its own (RocksDB-native TTL), bounding the store for unbounded key
+    spaces — re-arrivals after expiry re-emit, i.e. at-most-once per
+    TTL window, the standard dedup-horizon contract.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState is
+    RocksDB-only by design; the test sets it, production sessions
+    should too (it is also the right store for 100 TB state:
+    incremental checkpoints, no JVM-heap residency). ALSO requires the
+    ``protobuf`` Python package (the typed-state wire protocol —
+    ``pyspark.sql.streaming.proto``); it is absent from this sandbox,
+    so the test skips with a documented environment note and the
+    operator is exercised there only up to plan construction — the
+    same honest-gap discipline as the Iceberg-only procedures.
+
+    Scale: state is one tombstone bit per distinct key (RocksDB,
+    spilled), the shuffle is the single groupBy(keys) exchange, and
+    the Python hop is Arrow-batched per key group."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_cols = list(keys)
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen boolean", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                return
+            self._seen.update((True,))
+            yield pd.DataFrame({c: [k] for c, k in zip(key_cols, key)})
+
+        def close(self) -> None:
+            pass
+
+    out_ddl = ", ".join(
+        f"{c} {events.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    return events.groupBy(*key_cols).transformWithStateInPandas(
+        _FirstSeen(),
+        outputStructType=out_ddl,
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )

@@ -733,3 +733,47 @@ def test_cusum_drift_stream_matches_batch(spark, tmp_path):
     assert got3 == want
     with pytest.raises(RuntimeError, match="checkpoint was reset"):
         fold(poison, last - 1)
+
+
+def test_first_seen_typed_state_matches_batch_distinct(spark, events_dir, tmp_path):
+    """Spark 4 typed-state path (transformWithStateInPandas +
+    RocksDB): draining the backlog through first_seen_stream must
+    emit each distinct user exactly once — the batch DISTINCT.
+
+    The typed-state wire protocol needs the protobuf package
+    (pyspark.sql.streaming.proto); without it the TWS driver worker
+    cannot start, so this skips in that environment after verifying
+    the operator still PLANS (analysis succeeds)."""
+    from fintrack_etl_spark.streaming.pipelines import first_seen_stream
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        schema = _schema(spark, events_dir)
+        stream = file_source_stream(spark, events_dir, schema)
+        out = first_seen_stream(stream, keys=("user_id",))
+        assert out.isStreaming and out.columns == ["user_id"]
+        pytest.skip("protobuf absent: transformWithState runtime unavailable")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = _schema(spark, events_dir)
+        stream = file_source_stream(spark, events_dir, schema, max_files_per_trigger=1)
+        out = first_seen_stream(stream, keys=("user_id",))
+        run_available_now(out, str(tmp_path / "ck"), "first_seen_tbl")
+        got = [r["user_id"] for r in spark.table("first_seen_tbl").collect()]
+        want = {
+            r["user_id"]
+            for r in spark.read.parquet(events_dir).select("user_id").distinct().collect()
+        }
+        assert sorted(got) == sorted(want)      # every key exactly once
+        assert len(got) == len(set(got))        # no key emitted twice
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
