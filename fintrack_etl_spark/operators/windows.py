@@ -118,20 +118,28 @@ def sessionize(
     gap-breaks (guide 'Common OLAP patterns'). Streaming analog is
     ``session_window`` in streaming/windows.py.
 
-    ``cast("long")`` floors each timestamp to whole seconds — matching
-    DuckDB's ``date_diff('second', ...)`` boundary-count semantics for
-    oracle parity. The intermediate ``timestamp_ltz`` cast makes the
-    epoch conversion total over BOTH timestamp kinds: parquet written
-    with ``isAdjustedToUTC=false`` reads as ``TIMESTAMP_NTZ`` (Spark 4
-    infers NTZ by default), and a direct NTZ→BIGINT cast is an
-    AnalysisException; NTZ→LTZ interprets the wall-clock in the session
-    timezone (pinned UTC in session.py) and is an identity for LTZ.
+    Boundary semantics match Spark's native ``session_window``: a gap
+    of EXACTLY ``gap_minutes`` starts a new session (the window is
+    ``[start, start + gap)``, exclusive) — pinned by the hypothesis
+    property test against a sequential reference fold, which caught
+    the earlier strictly-greater variant on a gap == threshold
+    example. The comparison is an exact microsecond difference, never
+    floored seconds (a floor disagrees with the native operator for
+    gaps in ``[1800s, 1801s)``). The intermediate ``timestamp_ltz``
+    cast makes the epoch conversion total over BOTH timestamp kinds:
+    parquet written with ``isAdjustedToUTC=false`` reads as
+    ``TIMESTAMP_NTZ`` (Spark 4 infers NTZ by default), and a direct
+    NTZ epoch extraction is an AnalysisException; NTZ→LTZ interprets
+    the wall-clock in the session timezone (pinned UTC in session.py)
+    and is an identity for LTZ.
     """
     order = [ts_col] + list(tie_breakers or [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     gap = epoch - F.lag(epoch).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    is_new = F.when(
+        gap.isNull() | (gap >= gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
     run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(alias, F.sum(is_new).over(run))
 
