@@ -150,6 +150,14 @@ _WINDOW_FIRST = (
     "ext_attribution",
     "ext_time_to_convert",
     "ext_session_paths",
+    # round-4 new entries completing the 50 slots (pinned so later
+    # additions — next round's rotation fodder — can't displace them)
+    "x13_knn_ivf",
+    "x52_png_roundtrip",
+    "x53_bpe_encode",
+    "x54_training_shuffle",
+    "p9_cid_pdf_roundtrip",
+    "p10_encrypted_pdf_roundtrip",
 )
 
 

@@ -3792,3 +3792,107 @@ def x54_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "x55_video_frame_sample",
+    """
+    WITH pcm AS (
+        SELECT doc_id,
+               list_transform(range(1, (length(text) // 64) * 64 + 1),
+                              i -> ascii(substring(text, i, 1)) % 256) AS b
+        FROM documents WHERE length(text) >= 64
+    ),
+    f AS (SELECT doc_id, len(b) // 64 AS n_frames, b FROM pcm),
+    s AS (SELECT doc_id, n_frames,
+                 list_filter(range(0, n_frames), fi -> fi % 4 = 0) AS sel, b
+          FROM f)
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(len(sel) AS BIGINT) AS n_sampled,
+           CAST(n_frames AS BIGINT) * 125 AS duration_ms,
+           CAST(list_sum(list_transform(sel,
+                fi -> list_sum(b[fi*64+1 : fi*64+64]))) AS BIGINT) AS luma_sum,
+           CAST(list_sum(list_transform(sel,
+                fi -> list_sum(b[fi*64+1 : fi*64+8]))) AS BIGINT) AS toprow_sum
+    FROM s
+    """,
+)
+def x55_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over a REAL RIFF/AVI container codec
+    (multimodal.encode_avi / parse_avi / sample_avi_frames — avih +
+    strl headers, bottom-up 8-bpp DIB '00db' frames, idx1 offsets
+    cross-checked on decode): each document's chars become 8x8
+    grayscale frames at 8 fps, packed into a spec-compliant AVI in an
+    Arrow encode pass; ``sample_avi_frames`` re-parses the container
+    and fans out one row per 4th frame (the flatMap sampling
+    contract); a feature pass reduces each sampled frame to integer
+    luma sums BEFORE the only shuffle (per-doc aggregation), so raw
+    pixels never cross the wire. The oracle recomputes everything
+    arithmetically from the text bytes — a header-layout, row-flip,
+    stride, idx1, or sampling-cadence bug is a value mismatch (the
+    toprow_sum column exists precisely to catch a bottom-up/top-down
+    flip that luma_sum alone would miss). Swap the text→pixels stub
+    for a real compressed-video decode and the sampling pipeline is
+    unchanged — this is the keyframe-extraction shape of video-corpus
+    curation. Reference analog: none (engine extension; the reference
+    has no media path at all)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from . import multimodal as MM
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 64)
+        .repartition(spark.sparkContext.defaultParallelism)  # codec CPU >> I/O
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def avi(text: str) -> bytes:
+            px = bytes(ord(c) % 256 for c in text)
+            n = len(px) // 64
+            return MM.encode_avi([px[i * 64 : (i + 1) * 64] for i in range(n)], 8, 8)
+
+        for b in batches:
+            yield pd.DataFrame(
+                {"media_id": b["doc_id"], "content": [avi(t) for t in b["text"]]}
+            )
+
+    media = docs.mapInPandas(
+        _encode, TT.StructType().add("media_id", "long").add("content", "binary")
+    )
+    frames = MM.sample_avi_frames(media, every_n=4)
+
+    feat_schema = (
+        TT.StructType()
+        .add("doc_id", "long")
+        .add("n_frames", "long")
+        .add("duration_ms", "long")
+        .add("luma", "long")
+        .add("toprow", "long")
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["media_id"],
+                    "n_frames": b["n_frames"].astype("int64"),
+                    "duration_ms": b["duration_ms"].astype("int64"),
+                    "luma": [sum(bytes(x)) for x in b["frame"]],
+                    "toprow": [sum(bytes(x)[:8]) for x in b["frame"]],
+                }
+            )
+
+    feats = frames.mapInPandas(_feat, feat_schema)
+    return feats.groupBy("doc_id").agg(
+        F.first("n_frames").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.first("duration_ms").alias("duration_ms"),
+        F.sum("luma").alias("luma_sum"),
+        F.sum("toprow").alias("toprow_sum"),
+    )
