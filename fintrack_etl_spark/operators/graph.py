@@ -147,3 +147,66 @@ def integer_pagerank(
             (F.lit(teleport) + F.coalesce("in_contrib", F.lit(0))).alias("rank"),
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any source node,
+    bounded by ``max_hops`` — reachability/radius queries over the
+    dedup-pair or interaction graph ("everything within N hops of a
+    flagged account"). ``edges`` is directed (src, dst); pass the
+    symmetric union for undirected semantics. ``sources`` is a
+    one-column (node) frame. Returns (node, hop) with hop 0 for the
+    sources themselves.
+
+    Scale shape — DELTA iteration (the Pregel/Flink incremental
+    form), not naive transitive closure:
+
+    * each round expands only the FRONTIER (nodes first reached last
+      round), never the whole reached set, so total join work is
+      O(edges within the explored ball), not O(rounds x edges);
+    * newly-seen nodes are found with a ``left_anti`` against the
+      reached set — the same hash exchange the union needs, no extra
+      shuffle shape;
+    * edge state is repartitioned by src ONCE and localCheckpointed;
+      every round's frontier join hashes on the same key, so the edge
+      side never re-exchanges;
+    * per-round ``localCheckpoint`` cuts the iterated lineage (same
+      discipline as connected_components above) and the early-exit
+      probe is an ``isEmpty`` on the already-materialized frontier —
+      free, no recomputation.
+
+    Rounds = min(max_hops, eccentricity of the source set); BFS over
+    short-diameter interaction graphs converges in single digits.
+    """
+    edges = edges.select("src", "dst").distinct().repartition("src").localCheckpoint()
+    reached = (
+        sources.select("node")
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    frontier = reached
+    for h in range(1, max_hops + 1):
+        expanded = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            expanded.join(reached.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .repartition("node")
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        reached = reached.unionByName(new).localCheckpoint()
+        frontier = new
+    return reached

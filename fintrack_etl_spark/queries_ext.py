@@ -3896,3 +3896,55 @@ def x55_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("luma").alias("luma_sum"),
         F.sum("toprow").alias("toprow_sum"),
     )
+
+
+@register(
+    "x56_bfs_hops",
+    """
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0),
+    src AS (SELECT 'S' || s_suppkey AS node FROM supplier WHERE s_nationkey = 0),
+    bfs AS (
+        SELECT node, 0 AS hop FROM src
+        UNION
+        SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node
+        WHERE bfs.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY node
+    """,
+)
+def x56_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (graph.bfs_hops — frontier-only delta
+    iteration) over the undirected customer–supplier transaction
+    graph: nodes 'C<custkey>'/'S<suppkey>', an edge where a customer's
+    order ships a supplier's line, sources = nation-0 suppliers, hops
+    capped at 3. The oracle is a DuckDB RECURSIVE CTE with UNION-
+    dedup semantics — min-hop per node is engine-agnostic, so a
+    frontier bug, a missed anti-join, or an off-by-one hop bound all
+    surface as value mismatches. Scale: the edge list shuffles ONCE
+    (repartition by src, checkpointed); each round joins only the
+    frontier against it; the explored ball — not rounds x edges —
+    bounds total work. Reference analog: none (engine extension; the
+    graph family lives alongside x16/x38/x42)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    sources = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return GR.bfs_hops(edges, sources, max_hops=3)

@@ -131,3 +131,29 @@ def test_integer_pagerank_total_mass_bounded(spark):
     assert sum(ranks.values()) <= 3 * 10**9
     # b receives from both a and c -> strictly the hub
     assert ranks["b"] > ranks["a"] and ranks["b"] > ranks["c"]
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    """bfs_hops: min hop from ANY source wins, direction respected,
+    unreachable and beyond-max_hops nodes absent, sources at hop 0."""
+    from fintrack_etl_spark.operators.graph import bfs_hops
+
+    #  a -> b -> c -> d -> e     x -> c (second source, shortcut)
+    #  island: z1 -> z2 (unreachable)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "c"), ("z1", "z2")],
+        ["src", "dst"],
+    )
+    sources = spark.createDataFrame([("a",), ("x",)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, sources, max_hops=2).collect()}
+    # c is hop 1 via x (not hop 2 via a->b); e is hop 3 -> cut by max_hops=2
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 1, "d": 2}
+
+    # early exit: a component exhausted before max_hops stops looping
+    got2 = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(
+            edges, spark.createDataFrame([("z1",)], ["node"]), max_hops=10
+        ).collect()
+    }
+    assert got2 == {"z1": 0, "z2": 1}
