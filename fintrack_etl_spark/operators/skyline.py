@@ -1,0 +1,91 @@
+"""Distributed skyline (Pareto frontier) — "best tradeoff" queries:
+rows no other row beats on EVERY criterion (and strictly beats on at
+least one). The multi-objective cousin of top-N: cheapest-but-largest
+parts, highest-quality-but-shortest documents, fastest-but-smallest
+models. (Engine extension; the reference has no multi-objective
+operator — its closest shape is the single-key top-N in
+``monthly_summary.py``.)
+
+Scale shape — the classic two-phase distributed skyline (Börzsönyi et
+al.'s block-nested-loop run per partition, then merged):
+
+1. **Local phase**: each partition computes its own skyline with a
+   vectorized numpy dominance test inside ``mapInPandas`` — Arrow in,
+   Arrow out, no shuffle. A row dominated ANYWHERE is dominated
+   globally, so local pruning is lossless and collapses each
+   partition to its frontier (typically orders of magnitude smaller
+   than the partition: the expected skyline of n random points in d
+   dims is O(log^{d-1} n)).
+2. **Global phase**: the surviving candidates — O(|skyline| x
+   #partitions), frontier-sized, NOT data-sized — coalesce to one
+   partition for the exact same dominance pass. This single-partition
+   step is bounded by the candidate set, never by the input; for the
+   pathological all-incomparable input (skyline == everything) the
+   coalesce target is the real cost and a pre-aggregation by
+   criterion buckets would be the next lever.
+
+Dominance is evaluated on the raw column values with plain ``<=``/
+``<`` comparisons — no floats are produced that the engines could
+disagree on, so a SQL ``NOT EXISTS`` dominance query value-checks the
+operator exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def _pareto_mask(vals) -> list[bool]:
+    """Boolean keep-mask for the skyline of an (n, d) float array
+    where LOWER is better in every column (callers pre-negate
+    maximized criteria). O(n * |skyline|): each candidate is compared
+    against the running frontier only."""
+    import numpy as np
+
+    n = vals.shape[0]
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        others = vals[keep]
+        le = (others <= vals[i]).all(axis=1)
+        lt = (others < vals[i]).any(axis=1)
+        if (le & lt).any():
+            keep[i] = False
+            continue
+        # i survives; anything i dominates can be dropped now
+        idx = np.flatnonzero(keep)
+        dominated = ((vals[i] <= vals[idx]).all(axis=1)) & (
+            (vals[i] < vals[idx]).any(axis=1)
+        )
+        keep[idx[dominated]] = False
+        keep[i] = True
+    return keep
+
+
+def skyline(df: DataFrame, minimize: list[str], maximize: list[str]) -> DataFrame:
+    """Rows of ``df`` not dominated under (minimize ∪ maximize).
+    Ties on every criterion are incomparable — both rows survive —
+    so the result is deterministic with no tie-break needed."""
+    crits = list(minimize) + list(maximize)
+    n_min = len(minimize)
+
+    def _local(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            yield pdf
+            return
+        vals = pdf[crits].to_numpy(dtype="float64", copy=True)
+        vals[:, n_min:] *= -1.0  # maximize -> minimize
+        yield pdf[_pareto_mask(vals)]
+
+    local = df.mapInPandas(_local, df.schema)
+    return local.coalesce(1).mapInPandas(_local, df.schema)

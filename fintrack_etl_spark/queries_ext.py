@@ -3948,3 +3948,40 @@ def x56_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"))
     )
     return GR.bfs_hops(edges, sources, max_hops=3)
+
+
+@register(
+    "x57_skyline_parts",
+    """
+    SELECT p_partkey,
+           round(p_retailprice, 2) AS price,
+           CAST(p_size AS BIGINT)  AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def x57_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (operators/skyline.py): parts where
+    no other part is both cheaper AND larger — minimize retail price,
+    maximize size. Two-phase distributed skyline: per-partition
+    vectorized dominance prune (mapInPandas, no shuffle, lossless),
+    then the frontier-sized candidate set coalesces once for the
+    exact global pass. The oracle is the textbook NOT EXISTS
+    dominance query — any dominance-direction, tie, or local-prune
+    bug is a value mismatch. Dominance compares raw parquet doubles
+    (bit-identical across engines); only the OUTPUT price is rounded
+    for the hash compare."""
+    from .operators.skyline import skyline
+
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    sky = skyline(part, minimize=["p_retailprice"], maximize=["p_size"])
+    return sky.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )

@@ -490,3 +490,31 @@ def test_apply_changes_tombstone_replay_and_ordering(spark):
     replayed = apply_changes(state, changes, ["k"], "seq", "op")
     got2 = {r["k"]: r["val"] for r in replayed.collect()}
     assert got2 == got, got2
+
+
+def test_skyline_dominance_ties_and_partition_independence(spark):
+    """Skyline: dominated rows drop, all-criteria ties are
+    incomparable (both survive), result is identical however the
+    input is partitioned (local prune is lossless)."""
+    from fintrack_etl_spark.operators.skyline import skyline
+
+    rows = [
+        # (id, price minimize, size maximize)
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # exact tie with 1 -> both survive
+        (3, 12.0, 5),   # dominated by 1 (worse price, equal size)
+        (4, 8.0, 3),    # frontier (cheaper, smaller)
+        (5, 15.0, 9),   # frontier (pricier, bigger)
+        (6, 15.0, 8),   # dominated by 5
+        (7, 8.0, 3),    # tie with 4
+    ]
+    df = spark.createDataFrame(rows, ["id", "price", "size"])
+    expect = {1, 2, 4, 5, 7}
+    for parts in (1, 3, 8):
+        got = {
+            r["id"]
+            for r in skyline(
+                df.repartition(parts), minimize=["price"], maximize=["size"]
+            ).collect()
+        }
+        assert got == expect, parts
