@@ -210,3 +210,68 @@ def bfs_hops(
         reached = reached.unionByName(new).localCheckpoint()
         frontier = new
     return reached
+
+
+def temporal_reach(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Time-respecting reachability (contact-tracing shape): earliest
+    time each node can be reached from the source set along paths
+    whose edge timestamps are NON-DECREASING — an interaction at time
+    t can only forward state acquired at or before t. ``edges`` is
+    directed (src, dst, ts); ``sources`` is (node, ts) seed states.
+    Returns (node, reach_ts) = the minimum over all time-respecting
+    paths of <= ``max_hops`` edges of the last edge's timestamp.
+
+    Earlier arrival never hurts under the non-decreasing constraint
+    (any edge usable from a later reach time is usable from an
+    earlier one), so min-reach label correcting — not full (node,
+    time) state enumeration — computes the exact answer; that
+    monotonicity is what the recursive-CTE oracle of x58 checks.
+
+    Scale shape — delta iteration like ``bfs_hops``: edge state is
+    shuffled ONCE (repartition by src, checkpointed); each round
+    joins only the IMPROVED nodes (reach time newly set or lowered)
+    against it, takes a map-side-combined min per dst, and full-outer
+    merges into the |reached|-sized state. Convergence probe is an
+    isEmpty on the already-materialized improved set."""
+    edges = edges.select("src", "dst", "ts").distinct().repartition("src").localCheckpoint()
+    reach = (
+        sources.groupBy("node")
+        .agg(F.min("ts").alias("reach_ts"))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    frontier = reach
+    for _ in range(max_hops):
+        cand = (
+            edges.join(
+                frontier.select(F.col("node").alias("src"), "reach_ts"), "src"
+            )
+            .filter(F.col("ts") >= F.col("reach_ts"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("ts").alias("cand_ts"))
+        )
+        merged = reach.join(cand, "node", "full_outer")
+        improved = (
+            merged.filter(
+                F.col("cand_ts").isNotNull()
+                & (F.col("reach_ts").isNull() | (F.col("cand_ts") < F.col("reach_ts")))
+            )
+            .select("node", F.col("cand_ts").alias("reach_ts"))
+            .repartition("node")
+            .localCheckpoint()
+        )
+        reach = (
+            merged.select(
+                "node", F.least("reach_ts", "cand_ts").alias("reach_ts")
+            )
+            .repartition("node")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        frontier = improved
+    return reach

@@ -3985,3 +3985,65 @@ def x57_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_retailprice", 2).alias("price"),
         F.col("p_size").cast("long").alias("size"),
     )
+
+
+@register(
+    "x58_temporal_reach",
+    """
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s,
+               CAST(o_orderdate AS DATE) AS ts
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst, ts FROM e0
+          UNION ALL SELECT s, c, ts FROM e0),
+    src AS (SELECT 'S' || s_suppkey AS node, DATE '1994-01-01' AS d
+            FROM supplier WHERE s_nationkey = 0),
+    reach AS (
+        SELECT node, d, 0 AS hop FROM src
+        UNION
+        SELECT e.dst, e.ts, reach.hop + 1
+        FROM reach JOIN e ON e.src = reach.node AND e.ts >= reach.d
+        WHERE reach.hop < 3
+    )
+    SELECT node, min(d) AS reach_date FROM reach GROUP BY node
+    """,
+)
+def x58_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (graph.temporal_reach) over the
+    dated customer–supplier interaction graph: nation-0 suppliers are
+    seeded at 1994-01-01; an order on date t forwards reach acquired
+    at or before t; hops capped at 3. The oracle is a recursive CTE
+    enumerating ALL (node, time) states and taking the min — if the
+    engine's min-reach label correcting were unsound (it is sound
+    precisely because non-decreasing-time reachability is monotone),
+    or a round leaked a time-travel edge (ts < reach), the dates
+    diverge. Delta iteration: edges shuffle once, rounds join only
+    improved nodes. Reference analog: none (engine extension)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.col("o_orderdate").cast("date").alias("ts"),
+        )
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "ts"
+    ).unionByName(e0.select(F.col("s").alias("src"), F.col("c").alias("dst"), "ts"))
+    sources = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
+            F.to_date(F.lit("1994-01-01")).alias("ts"),
+        )
+    )
+    return GR.temporal_reach(edges, sources, max_hops=3).select(
+        "node", F.col("reach_ts").alias("reach_date")
+    )

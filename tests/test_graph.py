@@ -157,3 +157,38 @@ def test_bfs_hops_min_distance_and_bound(spark):
         ).collect()
     }
     assert got2 == {"z1": 0, "z2": 1}
+
+
+def test_temporal_reach_time_respecting(spark):
+    """temporal_reach: edges only forward state at-or-after the reach
+    time; earliest arrival wins; hop bound honored; early exit."""
+    from fintrack_etl_spark.operators.graph import temporal_reach
+
+    # a reached at 5. a-b edge at 3 is in the past -> b unreachable
+    # via it; a-b at 7 works; b-c at 6 < 7 -> c NOT reachable via b
+    # even though 6 > 5 (time must be non-decreasing along the PATH).
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "b", 7), ("b", "c", 6), ("b", "c", 9), ("c", "d", 9)],
+        ["src", "dst", "ts"],
+    )
+    sources = spark.createDataFrame([("a", 5)], ["node", "ts"])
+    got = {
+        r["node"]: r["reach_ts"]
+        for r in temporal_reach(edges, sources, max_hops=3).collect()
+    }
+    assert got == {"a": 5, "b": 7, "c": 9, "d": 9}
+
+    # hop bound cuts the chain: with 2 hops, d (3 edges away) absent
+    got2 = {
+        r["node"]: r["reach_ts"]
+        for r in temporal_reach(edges, sources, max_hops=2).collect()
+    }
+    assert got2 == {"a": 5, "b": 7, "c": 9}
+
+    # a later seed never overwrites an earlier improvement
+    two = spark.createDataFrame([("a", 5), ("b", 100)], ["node", "ts"])
+    got3 = {
+        r["node"]: r["reach_ts"]
+        for r in temporal_reach(edges, two, max_hops=3).collect()
+    }
+    assert got3["b"] == 7  # min(seed 100, via-a 7)
