@@ -4047,3 +4047,53 @@ def x58_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.temporal_reach(edges, sources, max_hops=3).select(
         "node", F.col("reach_ts").alias("reach_date")
     )
+
+
+@register(
+    "x59_readability",
+    r"""
+    WITH sent AS (
+        SELECT doc_id,
+               regexp_replace(lower(text),
+                   '(\S+ \S+ \S+ \S+ \S+ \S+ \S+) ', '\1. ', 'g') AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               greatest(len(list_filter(regexp_split_to_array(t, '[.!?]+'),
+                            s -> length(trim(s)) > 0)), 1)        AS n_sentences,
+               len(regexp_split_to_array(trim(t), '\s+'))          AS n_words,
+               len(regexp_extract_all(t, '[aeiouy]+'))
+                 + len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+                       w -> NOT regexp_matches(w, '[aeiouy]')))    AS n_syllables
+        FROM sent
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT)     AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(206835 - (1015000 * n_words) // n_sentences // 1000
+                       - (84600000 * n_syllables) // n_words // 1000
+                AS BIGINT)             AS flesch_milli
+    FROM c
+    """,
+)
+def x59_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + readability scoring
+    (``textops.sentence_stats``): the fixture corpus has no sentence
+    punctuation, so BOTH engines first inject a deterministic
+    terminator after every non-overlapping 7-word run (the x25
+    synthetic-injection discipline), then the real machinery runs —
+    ``[.!?]+`` segmentation, whitespace words, vowel-group syllables
+    with the no-vowel floor, and a Flesch-style score in exact
+    integer milli-units (nested truncating DIV on all-positive
+    intermediates, bit-identical across engines — the x24 stance of
+    never emitting a float the engines could disagree on). Map-only,
+    zero UDFs, fully codegen'd."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower("text"), r"(\S+ \S+ \S+ \S+ \S+ \S+ \S+) ", r"$1. "
+        ).alias("text"),
+    )
+    return TX.sentence_stats(docs)

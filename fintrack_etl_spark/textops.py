@@ -341,3 +341,44 @@ def redact_pii(text: Column | str, kinds: tuple[str, ...] = ("email", "cpf", "ph
         pat, tag = PII_PATTERNS[kind]
         c = F.regexp_replace(c, pat, tag)
     return c
+
+
+def sentence_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sentence segmentation + readability counts, all native column
+    expressions (zero Python): sentences = nonempty runs between
+    ``[.!?]+`` terminators, words = whitespace tokens, syllables = the
+    standard heuristic (maximal ``[aeiouy]+`` vowel groups, floor 1
+    per word via a no-vowel-word bump). The Flesch-style score is
+    emitted in exact INTEGER milli-units (nested DIV — truncating on
+    the all-positive intermediates), so any engine reproduces it
+    bit-for-bit: flesch_milli = 206835 - 1015*W/S - 84600*Syl/W.
+
+    Scale: map-only over the corpus — one narrow projection, no
+    shuffle, no UDF; every count is a regexp/array expression that
+    whole-stage codegen compiles."""
+    t = F.lower(F.col(text_col))
+    sentences = F.expr(
+        f"size(filter(split(lower({text_col}), '[.!?]+'), s -> length(trim(s)) > 0))"
+    )
+    n_sent = F.greatest(sentences, F.lit(1))
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    vowel_groups = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+    novowel_words = F.expr(
+        f"size(filter(split(trim(lower({text_col})), '\\\\s+'),"
+        " w -> NOT (w RLIKE '[aeiouy]')))"
+    )
+    n_syll = vowel_groups + novowel_words
+    out = df.select(
+        F.col(id_col),
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+    )
+    return out.select(
+        "*",
+        (
+            F.lit(206835)
+            - F.expr("(1015000 * n_words) DIV n_sentences DIV 1000")
+            - F.expr("(84600000 * n_syllables) DIV n_words DIV 1000")
+        ).cast("long").alias("flesch_milli"),
+    )

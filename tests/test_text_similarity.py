@@ -994,3 +994,28 @@ def test_sniff_avi_metadata():
     assert (out["width"], out["height"]) == (3, 5)
     assert out["duration_ms"] == 2000.0
     assert out["sniff_error"] is None
+
+
+def test_sentence_stats_pinned_values(spark):
+    """sentence_stats: segmentation, syllable heuristic (vowel groups
+    + no-vowel floor), and the integer Flesch score on known text."""
+    from fintrack_etl_spark.textops import sentence_stats
+
+    rows = [
+        # "the cat sat. xyz!" -> 2 sentences, 4 words,
+        # syllables: the(1) cat(1) sat(1) xyz(0 -> floor 1) = 4
+        (1, "the cat sat. xyz!"),
+        # no terminator -> 1 sentence; "queue" = 2 vowel groups (ueue
+        # is one run? q-ueue: 'ueue' is a single maximal run -> 1)
+        (2, "queue"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in sentence_stats(df).collect()}
+    assert got[1]["n_sentences"] == 2
+    assert got[1]["n_words"] == 4
+    assert got[1]["n_syllables"] == 4
+    # 206835 - 1015*4/2*1000/1000 - 84600*4/4 = 206835 - 2030 - 84600
+    assert got[1]["flesch_milli"] == 206835 - 2030 - 84600
+    assert got[2]["n_sentences"] == 1
+    assert got[2]["n_words"] == 1
+    assert got[2]["n_syllables"] == 1
