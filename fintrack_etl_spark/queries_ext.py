@@ -4097,3 +4097,53 @@ def x59_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return TX.sentence_stats(docs)
+
+
+@register(
+    "x60_conversion_pattern",
+    """
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          WHEN 'error' THEN 'e' ELSE '?' END,
+                          '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    ),
+    m AS (SELECT user_id, seq,
+                 regexp_extract_all(seq, 'vc+p') AS hits FROM seqs)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(hits) AS BIGINT)   AS n_matches,
+           CAST(COALESCE(list_sum(list_transform(hits, h -> length(h))), 0)
+                AS BIGINT)             AS matched_chars
+    FROM m
+    WHERE len(hits) >= 1
+    """,
+)
+def x60_conversion_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite CEP (operators/sequence.match_pattern):
+    conversions = view, one-or-more clicks, then purchase ('vc+p'),
+    scanned non-overlapping left-to-right over each user's full
+    ordered history (ties broken by event_id — a total order, the
+    sessionize discipline). The pattern sits in the engine-portable
+    unambiguous class (single-char codes, contiguous-run
+    quantifiers), so Java regex and RE2 agree and the whole match
+    list is value-gated: per-user match count AND total matched
+    characters (clicks-per-conversion without a second scan). One
+    shuffle (the per-user groupBy); encode is a map; the scan is
+    linear. Reference analog: the stateful line classifier
+    (parse/lines.py) — same encode-then-scan idea, distributed."""
+    from .operators.sequence import match_pattern
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    out = match_pattern(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"},
+        "vc+p",
+    )
+    return out.filter(F.col("n_matches") >= 1)

@@ -518,3 +518,32 @@ def test_skyline_dominance_ties_and_partition_independence(spark):
             ).collect()
         }
         assert got == expect, parts
+
+
+def test_match_pattern_nonoverlapping_and_gap_breaking(spark):
+    """CEP matcher: non-overlapping left-to-right scan, unmapped
+    types break runs ('?'), deterministic tie order by event_id."""
+    from fintrack_etl_spark.operators.sequence import match_pattern
+
+    rows = [
+        # user 1: v c c p v c p  -> two matches, 4+3 chars
+        (1, 1, 1, "view"), (1, 2, 2, "click"), (1, 3, 3, "click"),
+        (1, 4, 4, "purchase"), (1, 5, 5, "view"), (1, 6, 6, "click"),
+        (1, 7, 7, "purchase"),
+        # user 2: v <unknown> c p -> unmapped event breaks the run
+        (2, 1, 1, "view"), (2, 2, 2, "refund"), (2, 3, 3, "click"),
+        (2, 4, 4, "purchase"),
+        # user 3: same ts, order falls to event_id: v(1) c(2) p(3)
+        (3, 1, 3, "purchase"), (3, 1, 1, "view"), (3, 1, 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {
+        r["user_id"]: (r["n_matches"], r["matched_chars"], r["seq_len"])
+        for r in match_pattern(
+            df, "user_id", ["ts", "event_id"], "event_type",
+            {"view": "v", "click": "c", "purchase": "p"}, "vc+p",
+        ).collect()
+    }
+    assert got[1] == (2, 7, 7)
+    assert got[2] == (0, 0, 4)
+    assert got[3] == (1, 3, 3)
