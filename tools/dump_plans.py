@@ -101,6 +101,12 @@ SUPPLEMENT = [
     "x50_feature_hash",
     "ext_corpus_diff",
     "ext_mixture_waterfill",
+    # round 4 additions (NOT x56_bfs_hops / x58_temporal_reach: their
+    # iterative builders return localCheckpoint scans — nothing to pin)
+    "x55_video_frame_sample",
+    "x57_skyline_parts",
+    "x59_readability",
+    "x60_conversion_pattern",
 ]
 
 
