@@ -4147,3 +4147,50 @@ def x60_conversion_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vc+p",
     )
     return out.filter(F.col("n_matches") >= 1)
+
+
+@register(
+    "x61_bm25_topk",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM tok)       AS total_dl),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
+               CAST(22 * tf.tf * tot.total_dl * tot.n_docs AS DOUBLE)
+               / CAST(dfreq.df * (10 * tf.tf * tot.total_dl
+                                  + 3 * tot.total_dl
+                                  + 9 * dl.dl * tot.n_docs) AS DOUBLE) AS score
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           CAST(dl AS BIGINT) AS dl,
+           round(score, 6)    AS score,
+           CAST(rnk AS INT)   AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY score DESC, tf DESC, term ASC) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def x61_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term ranking (``textops.bm25_topk``; k1=6/5, b=3/4) — the
+    retrieval-grade keyword scorer next to x24's tf-idf. The score is
+    algebraically cleared to one division of exact BIGINT products
+    (raw-frequency idf, avgdl substituted out), so ranking AND score
+    are bit-identical across engines and the whole top-3 list is
+    value-gated. Same 100 TB shape as x24: one (doc, term) shuffle,
+    broadcast statistics, WindowGroupLimit top-k."""
+    return TX.bm25_topk(T(spark, sf_dir, "documents"), k=3)

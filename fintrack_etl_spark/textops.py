@@ -382,3 +382,80 @@ def sentence_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             - F.expr("(84600000 * n_syllables) DIV n_words DIV 1000")
         ).cast("long").alias("flesch_milli"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by BM25 (Robertson-Sparck Jones),
+    k1 = 6/5, b = 3/4, with the same engine-portability stance as
+    ``tfidf_topk``: raw-frequency idf (``N/df``, no transcendental
+    log) and the whole score algebraically cleared to ONE division of
+    two exact BIGINT products::
+
+        bm25 = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+             = (22 * tf * total_dl * N)
+               / (df * (10*tf*total_dl + 3*total_dl + 9*dl*N))
+
+    (avgdl = total_dl/N substituted, numerator and denominator
+    multiplied through by 10*total_dl — every factor an exact
+    integer, so the single IEEE division is correctly rounded and
+    bit-identical across engines.) The integer products fit BIGINT
+    through corpus sizes of ~1e9 tokens x 1e5 docs per partition of
+    the statistics; at true web scale switch the cleared form back to
+    the floating factorization and gate on a tolerance instead.
+
+    Shape at 100 TB: identical to tfidf_topk — one (doc, term)
+    shuffle with partial counts, |vocab|-row broadcast of df, 1-row
+    broadcast of the corpus totals, WindowGroupLimit top-k.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = df.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tok.select(F.count(F.lit(1)).alias("total_dl"))
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score",
+            (F.lit(22) * F.col("tf") * F.col("total_dl") * F.col("n_docs")).cast(
+                "double"
+            )
+            / (
+                F.col("df")
+                * (
+                    F.lit(10) * F.col("tf") * F.col("total_dl")
+                    + F.lit(3) * F.col("total_dl")
+                    + F.lit(9) * F.col("dl") * F.col("n_docs")
+                )
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -1019,3 +1019,27 @@ def test_sentence_stats_pinned_values(spark):
     assert got[2]["n_sentences"] == 1
     assert got[2]["n_words"] == 1
     assert got[2]["n_syllables"] == 1
+
+
+def test_bm25_ranks_rare_terms_above_common(spark):
+    """BM25: a term appearing in one doc outranks one in every doc;
+    length normalization discounts tf in long docs."""
+    from fintrack_etl_spark.textops import bm25_topk
+
+    rows = [
+        (1, "common rare common xx yy"),
+        (2, "common aa bb cc dd"),
+        (3, "common ee ff gg hh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["score"])
+        for r in bm25_topk(df, k=5).collect()
+    }
+    # doc 1 has 4 distinct terms: 'rare' (df=1) must beat 'common'
+    # (df=3) despite common's higher tf (2 vs 1)
+    d1 = [top[(1, i)][0] for i in range(1, 5)]
+    assert d1.index("rare") < d1.index("common")
+    # scores positive and ranked by score desc
+    scores = [top[(1, i)][1] for i in range(1, 5)]
+    assert all(s > 0 for s in scores) and scores == sorted(scores, reverse=True)
