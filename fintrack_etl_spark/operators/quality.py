@@ -84,3 +84,42 @@ def drop_failed(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         p = _passes(e)
         cond = p if cond is None else (cond & p)
     return df.filter(cond) if cond is not None else df
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into the group's
+    [p_low, p_high] exact interpolated percentile band — the standard
+    outlier treatment before averaging noisy metrics. Returns the
+    input rows plus ``w_lo``/``w_hi`` (the group's clamp bounds,
+    floor/ceil to integers so downstream sums stay exact) and
+    ``w_value`` (the clamped value).
+
+    Integer discipline: bounds come from exact percentiles of the raw
+    values but are floored/ceiled to whole units, so the clamped
+    column is integer-valued whenever the input is — BIGINT sums of
+    winsorized values are then bit-identical across engines (the
+    ext_percentiles/x24 stance: never aggregate engine-divergent
+    floats).
+
+    Scale: one grouped percentile pass (a grouped sort by
+    construction — swap in approx_percentile for the sketch path at
+    100 TB, same plan shape) producing a |groups|-row bounds table
+    that BROADCASTS back onto the facts; the clamp itself is a map.
+    """
+    pct = F.expr(f"percentile({value_col}, array({p_low}D, {p_high}D))")
+    bounds = df.groupBy(*keys).agg(
+        F.floor(pct[0]).cast("long").alias("w_lo"),
+        F.ceil(pct[1]).cast("long").alias("w_hi"),
+    )
+    return df.join(F.broadcast(bounds), keys).withColumn(
+        "w_value",
+        F.least(F.greatest(F.col(value_col), F.col("w_lo")), F.col("w_hi")).cast(
+            "long"
+        ),
+    )

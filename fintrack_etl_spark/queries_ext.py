@@ -4194,3 +4194,49 @@ def x61_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-gated. Same 100 TB shape as x24: one (doc, term) shuffle,
     broadcast statistics, WindowGroupLimit top-k."""
     return TX.bm25_topk(T(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "x62_winsorized_spend",
+    """
+    WITH cents AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT grp,
+               CAST(floor(quantile_cont(v, 0.05)) AS BIGINT) AS w_lo,
+               CAST(ceil(quantile_cont(v, 0.95)) AS BIGINT)  AS w_hi
+        FROM cents GROUP BY grp
+    )
+    SELECT c.grp AS l_returnflag, b.w_lo, b.w_hi,
+           CAST(sum(CASE WHEN c.v < b.w_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN c.v > b.w_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(least(greatest(c.v, b.w_lo), b.w_hi)) AS BIGINT)     AS sum_w_cents
+    FROM cents c JOIN bounds b USING (grp)
+    GROUP BY c.grp, b.w_lo, b.w_hi
+    """,
+)
+def x62_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized aggregation (operators/quality.winsorize):
+    line spend in integer cents clamped into each return-flag group's
+    exact [p05, p95] percentile band (bounds floored/ceiled to whole
+    cents so the clamped sum is an exact BIGINT — no float summation
+    order anywhere), plus how many rows each tail clipped. The bounds
+    table is |groups| rows and BROADCAST back onto the facts; the
+    clamp is a map; one grouped percentile pass + one final rollup.
+    At 100 TB swap the exact percentile for approx_percentile — same
+    plan shape, gate stays on the exact twin."""
+    from .operators.quality import winsorize
+
+    cents = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
+    )
+    w = winsorize(cents, ["l_returnflag"], "v", 0.05, 0.95)
+    return w.groupBy("l_returnflag", "w_lo", "w_hi").agg(
+        F.sum((F.col("v") < F.col("w_lo")).cast("long")).alias("n_low"),
+        F.sum((F.col("v") > F.col("w_hi")).cast("long")).alias("n_high"),
+        F.sum("w_value").alias("sum_w_cents"),
+    )

@@ -547,3 +547,27 @@ def test_match_pattern_nonoverlapping_and_gap_breaking(spark):
     assert got[1] == (2, 7, 7)
     assert got[2] == (0, 0, 4)
     assert got[3] == (1, 3, 3)
+
+
+def test_winsorize_clamps_to_group_band(spark):
+    """winsorize: bounds are per-group, tails clamp to them, interior
+    values pass through, output stays integer-typed."""
+    from fintrack_etl_spark.operators.quality import winsorize
+
+    rows = [("a", v) for v in [0, 10, 20, 30, 40, 50, 60, 70, 80, 1000]] + [
+        ("b", v) for v in [5, 5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = winsorize(df, ["g"], "v", 0.10, 0.90)
+    a = sorted(
+        r["w_value"] for r in out.filter(F.col("g") == "a").collect()
+    )
+    lo = {r["w_lo"] for r in out.filter(F.col("g") == "a").collect()}.pop()
+    hi = {r["w_hi"] for r in out.filter(F.col("g") == "a").collect()}.pop()
+    # p10 of 0..1000 ladder = 9, p90 = 188 (interpolated, floored/ceiled)
+    assert a[0] == lo and a[-1] == hi
+    assert all(lo <= v <= hi for v in a)
+    # constant group: band collapses, values untouched
+    b = [r["w_value"] for r in out.filter(F.col("g") == "b").collect()]
+    assert b == [5, 5, 5, 5]
+    assert dict(out.dtypes)["w_value"] == "bigint"
