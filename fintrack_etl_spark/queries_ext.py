@@ -3970,7 +3970,7 @@ def x57_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     no other part is both cheaper AND larger — minimize retail price,
     maximize size. Two-phase distributed skyline: per-partition
     vectorized dominance prune (mapInPandas, no shuffle, lossless),
-    then the frontier-sized candidate set coalesces once for the
+    then the frontier-sized candidate set shuffles once for the
     exact global pass. The oracle is the textbook NOT EXISTS
     dominance query — any dominance-direction, tie, or local-prune
     bug is a value mismatch. Dominance compares raw parquet doubles
