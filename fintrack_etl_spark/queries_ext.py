@@ -4240,3 +4240,50 @@ def x62_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("v") > F.col("w_hi")).cast("long")).alias("n_high"),
         F.sum("w_value").alias("sum_w_cents"),
     )
+
+
+@register(
+    "x63_ppjoin_pairs",
+    f"""
+    WITH docs AS ({_RECRAWL_SQL}),
+    tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM tok WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (za.sz + zb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sz za ON doc_a = za.doc_id
+    JOIN sz zb ON doc_b = zb.doc_id
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.6
+    """,
+)
+def x63_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (PPJoin/All-Pairs family,
+    ``dedup_text.prefix_filter_pairs``): join keys are each doc's
+    RAREST shingles (global df-ascending order, prefix length
+    |X|-ceil(t|X|)+1), so boilerplate never becomes a join key and —
+    unlike the stop-shingle guard of x3 — completeness at the
+    threshold is theorem-backed, zero recall loss. The oracle is the
+    UNFILTERED exact all-pairs Jaccard (same as x3's): any pruning
+    unsoundness shows up as a missing row. Third member of the
+    pruning family next to x3 (df-guard) and x4 (MinHash-LSH)."""
+    return DD.prefix_filter_pairs(
+        _with_recrawl(T(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.6,
+    )

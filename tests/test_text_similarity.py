@@ -1043,3 +1043,57 @@ def test_bm25_ranks_rare_terms_above_common(spark):
     # scores positive and ranked by score desc
     scores = [top[(1, i)][1] for i in range(1, 5)]
     assert all(s > 0 for s in scores) and scores == sorted(scores, reverse=True)
+
+
+def test_prefix_filter_completeness_vs_unfiltered(spark):
+    """PPJoin completeness: prefix-filtered output EQUALS the
+    unfiltered exact join at the same threshold — including on the
+    adversarial boilerplate corpus where every doc shares hot
+    shingles (which must stay out of the prefix join keys)."""
+    for df in (docs_df(spark), boilerplate_docs_df(spark, n_docs=30)):
+        want = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in DD.prefix_filter_pairs(df, "doc_id", "text", 3, 0.3).collect()
+        }
+        assert got == want
+
+
+def test_prefix_filter_prunes_hot_keys(spark):
+    """At tight thresholds the prefix is short and rarity-ordered, so
+    boilerplate shingles stay OUT of the join keys: on the 30-doc
+    boilerplate corpus the unfiltered join compares every pair (435);
+    the t=0.6 prefix join's candidate count collapses to the docs
+    actually sharing rare shingles. (At loose thresholds the prefix
+    legitimately grows to include hot shingles — that is what
+    completeness costs; the equality test above covers t=0.3.)"""
+    from pyspark.sql import functions as F
+
+    df = boilerplate_docs_df(spark, n_docs=30)
+    # reproduce the internal candidate stage to count it
+    sh = DD._shingled(df, "doc_id", "text", 3)
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    arr = (
+        ex.join(dfreq, "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select("id", F.size("arr").alias("sz"),
+                F.transform("arr", lambda x: x.getField("s")).alias("ordered"))
+    )
+    t = 0.6
+    pref = arr.select(
+        "id",
+        F.explode(
+            F.slice("ordered", 1, (F.col("sz") - F.ceil(F.col("sz") * t) + 1).cast("int"))
+        ).alias("s"),
+    )
+    cand = (
+        pref.alias("a").join(pref.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id").distinct().count()
+    )
+    assert cand <= 5  # vs 435 all-pairs
