@@ -4287,3 +4287,98 @@ def x63_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.6,
     )
+
+
+@register(
+    "x64_source_drift_tvd",
+    r"""
+    WITH binned AS (
+        SELECT source AS part,
+               len(regexp_split_to_array(trim(text), '\s+')) // 10 AS bucket
+        FROM documents
+    ),
+    per AS (SELECT part, bucket, count(*) AS c FROM binned GROUP BY 1, 2),
+    gh AS (SELECT bucket, count(*) AS g FROM binned GROUP BY 1),
+    np AS (SELECT part, sum(c) AS n_part FROM per GROUP BY 1),
+    ng AS (SELECT sum(g) AS n_glob FROM gh),
+    cells AS (
+        SELECT np.part, gh.bucket, np.n_part, gh.g, ng.n_glob,
+               COALESCE(per.c, 0) AS c
+        FROM np CROSS JOIN gh CROSS JOIN ng
+        LEFT JOIN per ON per.part = np.part AND per.bucket = gh.bucket
+    )
+    SELECT part AS source,
+           CAST(n_part AS BIGINT) AS n_rows,
+           CAST((sum(abs(c * n_glob - g * n_part)) * 1000000000)
+                // (2 * n_part * n_glob) AS BIGINT) AS tvd_nano
+    FROM cells
+    GROUP BY part, n_part, n_glob
+    """,
+)
+def x64_source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring (quality.distribution_drift_tvd):
+    total variation distance between each source's token-length
+    histogram (decade buckets) and the global one, in exact integer
+    nano-units — all-integer cross-multiplication, no log, no float
+    division, so the drift table is bit-identical across engines
+    (unlike PSI/KL). The "which source changed shape this snapshot"
+    alert table of a training-data pipeline. One (source, bucket)
+    groupBy + a broadcast bucket grid + one per-source reduce."""
+    from .operators.quality import distribution_drift_tvd
+
+    docs = T(spark, sf_dir, "documents")
+    out = distribution_drift_tvd(
+        docs,
+        "source",
+        (F.size(F.split(F.trim(F.col("text")), r"\s+")) / 10).cast("int").alias("b"),
+    )
+    return out.select(F.col("part").alias("source"), "n_rows", "tvd_nano")
+
+
+@register(
+    "x65_bm25_search",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM tok)       AS total_dl),
+    qt AS (SELECT * FROM tok WHERE term IN ('table', 'scan', 'fast')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(22 * tf.tf * tot.total_dl * tot.n_docs AS DOUBLE)
+               / CAST(dfreq.df * (10 * tf.tf * tot.total_dl
+                                  + 3 * tot.total_dl
+                                  + 9 * dl.dl * tot.n_docs) AS DOUBLE) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id,
+               round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                                 (a, x) -> a + x), 6) AS score,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_terms_hit, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM agg)
+    WHERE rnk <= 10
+    """,
+)
+def x65_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval serving (``textops.bm25_search``): score every
+    document against the bag-of-terms query {table, scan, fast} and
+    return the global top-10. Per-term scores use x61's cleared
+    integer form; the per-doc SUM is a sequential fold in term order
+    (sort_array + F.aggregate ≡ DuckDB list_reduce — double addition
+    is not associative, so partial-agg F.sum ordering would be
+    engine-divergent). The term filter prunes the token stream BEFORE
+    any aggregation; top-10 is a TakeOrdered, not a sort."""
+    return TX.bm25_search(
+        T(spark, sf_dir, "documents"), ["table", "scan", "fast"], k=10
+    )

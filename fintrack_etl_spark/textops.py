@@ -459,3 +459,84 @@ def bm25_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval serving on top of the ``bm25_topk`` statistics: score
+    every document against a bag-of-terms query (sum of per-term BM25
+    over the matching terms) and return the global top-``k``
+    (score desc, id asc — total order). Same exact-integer clearing
+    as ``bm25_topk``, so scores and ranking are engine-portable.
+
+    Scale: the term filter is an ``isin`` on the EXPLODED token
+    stream — it prunes before the (doc, term) aggregation, so tf is
+    only computed for query terms (|query| x |docs-with-term| rows);
+    df/dl/corpus stats broadcast; the final top-k is a TakeOrdered,
+    never a full sort."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    totals = df.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tok.select(F.count(F.lit(1)).alias("total_dl"))
+    )
+    qt = tok.filter(F.col("term").isin(query_terms))
+    tf = qt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qt.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "s",
+            (F.lit(22) * F.col("tf") * F.col("total_dl") * F.col("n_docs")).cast(
+                "double"
+            )
+            / (
+                F.col("df")
+                * (
+                    F.lit(10) * F.col("tf") * F.col("total_dl")
+                    + F.lit(3) * F.col("total_dl")
+                    + F.lit(9) * F.col("dl") * F.col("n_docs")
+                )
+            ).cast("double"),
+        )
+        .groupBy(id_col)
+        .agg(
+            # double addition is not associative: fold the per-term
+            # scores SEQUENTIALLY in term order (sort_array + aggregate
+            # — bit-identical to a DuckDB list_reduce over the same
+            # ordering), never F.sum whose partial-agg order floats
+            F.sort_array(F.collect_list(F.struct("term", "s"))).alias("arr"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.transform("arr", lambda x: x.getField("s")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("score"),
+            "n_terms_hit",
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "score", "n_terms_hit", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -571,3 +571,29 @@ def test_winsorize_clamps_to_group_band(spark):
     b = [r["w_value"] for r in out.filter(F.col("g") == "b").collect()]
     assert b == [5, 5, 5, 5]
     assert dict(out.dtypes)["w_value"] == "bigint"
+
+
+def test_distribution_drift_tvd_exact(spark):
+    """TVD drift: identical distribution -> 0; disjoint -> ~1
+    (bounded by the part's weight in the global mix); hand-checked
+    middle case."""
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.operators.quality import distribution_drift_tvd
+
+    rows = (
+        [("a", 0)] * 5 + [("a", 1)] * 5     # a: uniform over {0,1}
+        + [("b", 0)] * 5 + [("b", 1)] * 5   # b: identical to a
+        + [("c", 2)] * 10                   # c: disjoint bucket
+    )
+    df = spark.createDataFrame(rows, ["part", "v"])
+    out = {
+        r["part"]: r["tvd_nano"]
+        for r in distribution_drift_tvd(df, "part", F.col("v")).collect()
+    }
+    # global: {0: 10, 1: 10, 2: 10}/30.  a: {0:.5, 1:.5, 2:0}
+    # TVD(a, glob) = 1/2 (|.5-1/3| + |.5-1/3| + |0-1/3|) = 1/3
+    assert out["a"] == out["b"] == 333_333_333
+    # c: disjoint except global includes c itself:
+    # 1/2 (1/3 + 1/3 + |1 - 1/3|) = 2/3
+    assert out["c"] == 666_666_666
