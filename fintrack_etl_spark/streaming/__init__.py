@@ -20,6 +20,7 @@ batch answer.
 
 from .pipelines import (
     continuous_aggregate_stream,
+    conversion_pattern_stream,
     file_source_stream,
     run_available_now,
     running_totals_stream,
@@ -33,6 +34,7 @@ from .pipelines import (
 
 __all__ = [
     "continuous_aggregate_stream",
+    "conversion_pattern_stream",
     "file_source_stream",
     "run_available_now",
     "running_totals_stream",

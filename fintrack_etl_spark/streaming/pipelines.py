@@ -672,3 +672,77 @@ def first_seen_stream(
         outputMode="append",
         timeMode="processingTime" if ttl_ms is not None else "none",
     )
+
+
+def _conversion_step(st: int, cs: int, n: int, mc: int, ch: str):
+    """One DFA step of the view→clicks→purchase ('vc+p') matcher —
+    the incremental form of the batch regex scan
+    (operators/sequence.match_pattern): state 0 = nothing pending,
+    1 = saw v, 2 = saw v then >=1 c; a 'p' in state 2 completes a
+    match (count + its v..p length) and resets. A fresh 'v' restarts
+    the pending match from the newer v — exactly what the
+    non-overlapping left-to-right regex scan does (pytest pins DFA ≡
+    regex on random strings). O(1) state per key vs O(history)."""
+    if ch == "v":
+        return 1, 0, n, mc
+    if ch == "c":
+        if st == 1:
+            return 2, 1, n, mc
+        if st == 2:
+            return 2, cs + 1, n, mc
+        return 0, 0, n, mc
+    if ch == "p" and st == 2:
+        return 0, 0, n + 1, mc + cs + 2
+    return 0, 0, n, mc
+
+
+def conversion_pattern_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming CEP: the x60 conversion pattern ('vc+p') matched
+    INCREMENTALLY per key via ``applyInPandasWithState`` — state is
+    the 2-bit DFA position plus counters, O(1) per key, not the
+    event history; after draining an in-order backlog the final row
+    per key equals the batch ``match_pattern`` scan (equivalence
+    pinned in tests/test_streaming.py).
+
+    Ordering caveat (standard CEP): events are sorted by (ts,
+    event_id) WITHIN each micro-batch; cross-batch order must come
+    from the source (time-range-split files, or a watermark-buffered
+    pre-stage). An out-of-order arrival across batches can split a
+    true match — the same contract as Flink CEP in processing-time
+    mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mapping = mapping or {
+        "view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"
+    }
+
+    def update(key, pdfs, state: GroupState):
+        st, cs, n, mc, sl = state.get if state.exists else (0, 0, 0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ch in pdf[type_col].map(mapping).fillna("?"):
+                st, cs, n, mc = _conversion_step(st, cs, n, mc, ch)
+                sl += 1
+        state.update((st, cs, n, mc, sl))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "seq_len": [sl],
+                "n_matches": [n],
+                "matched_chars": [mc],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, seq_len long, n_matches long, matched_chars long",
+        stateStructType="st integer, cs long, n long, mc long, sl long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

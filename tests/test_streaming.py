@@ -777,3 +777,79 @@ def test_first_seen_typed_state_matches_batch_distinct(spark, events_dir, tmp_pa
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_conversion_dfa_equals_regex_scan():
+    """The incremental DFA is exactly the non-overlapping regex scan:
+    property-checked over random event strings (including the restart
+    subtleties 'vvcp', 'vcvp', gap chars)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fintrack_etl_spark.streaming.pipelines import _conversion_step
+
+    def dfa_scan(s):
+        stt, cs, n, mc = 0, 0, 0, 0
+        for ch in s:
+            stt, cs, n, mc = _conversion_step(stt, cs, n, mc, ch)
+        return n, mc
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="vcpse?", max_size=60))
+    def check(s):
+        hits = re.findall("vc+p", s)
+        assert dfa_scan(s) == (len(hits), sum(len(h) for h in hits))
+
+    check()
+
+
+def test_conversion_pattern_stream_equals_batch(spark, tmp_path):
+    """Streaming CEP state after draining a TIME-ORDERED backlog in
+    2-file micro-batches equals the batch match_pattern scan."""
+    from pyspark.sql import Window
+
+    from fintrack_etl_spark.operators.sequence import match_pattern
+    from fintrack_etl_spark.streaming import (
+        conversion_pattern_stream,
+        file_source_stream,
+        run_available_now,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "event_type")
+    # time-range-split backlog: file k holds an earlier ts range than
+    # file k+1, so cross-batch arrival order respects event time
+    ordered_dir = str(tmp_path / "ordered")
+    ev.repartitionByRange(4, "ts", "event_id").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.parquet(ordered_dir)
+
+    schema = spark.read.parquet(ordered_dir).schema
+    stream = file_source_stream(spark, ordered_dir, schema, max_files_per_trigger=2)
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        conversion_pattern_stream(stream),
+        str(tmp_path / "ck"),
+        name,
+        output_mode="update",
+    )
+    got = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq_len"))
+    final = got.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    f = {
+        r["user_id"]: (r["seq_len"], r["n_matches"], r["matched_chars"])
+        for r in final.collect()
+    }
+
+    batch = match_pattern(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"},
+        "vc+p",
+    )
+    b = {
+        r["user_id"]: (r["seq_len"], r["n_matches"], r["matched_chars"])
+        for r in batch.collect()
+    }
+    assert f == b
