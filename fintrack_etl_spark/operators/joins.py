@@ -205,3 +205,102 @@ def fuzzy_self_pairs(
         *[F.col(f"__b{i}").alias(c) for i, c in enumerate(block_cols)],
         F.levenshtein("text_l", "text_r").alias("dist"),
     ).where(F.col("dist") <= max_dist)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col,
+    window: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Extension — sorted-neighborhood blocking (Hernández/Stolfo SNM):
+    sort all records by a blocking key, slide a window of ``window``
+    rows over the sorted order, and emit every in-window pair. The
+    classic complement to equi-key blocking (``fuzzy_self_pairs``):
+    equi-blocks miss near-misses that straddle a block boundary, SNM
+    catches anything the sort brings within ``window`` positions,
+    regardless of block membership.
+
+    Distributed shape — no single-partition window:
+
+    1. ``repartitionByRange`` + in-partition sort on ``(key, id)``
+       gives a total order across partitions; the global rank is the
+       per-partition ``row_number`` plus a prefix-sum of partition
+       counts (one O(#partitions) driver collect, same discipline as
+       ``packing.pack_documents_by_tokens``).
+    2. In-window pairs (rank gap 1..window-1) come from ONE equi-join:
+       with ``step = window - 1``, ranks at most ``step`` apart have
+       bucket ids ``floor(rank/step)`` differing by at most 1, so the
+       probe side is duplicated into its own bucket and the previous
+       one (2x fanout, pigeonhole-complete) and the join is a plain
+       shuffle equi-join on the bucket id — never an all-pairs
+       product, never a driver sort.
+
+    Output: ``src`` / ``dst`` (id pairs, src rank < dst rank),
+    ``key_l`` / ``key_r``, ``gap`` (rank distance, 1..window-1).
+    Deterministic: the order ``(key, id)`` is total.
+    """
+    step = window - 1
+    if step < 1:
+        raise ValueError("window must be >= 2")
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    key_expr = F.col(key_col) if isinstance(key_col, str) else key_col
+    keyed = df.select(F.col(id_col).alias("_id"), key_expr.alias("_key"))
+    ranged = keyed.repartitionByRange(parts, "_key", "_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("_key", "_id")
+    # localCheckpoint pins one materialization: repartitionByRange
+    # samples boundaries per execution, so without the pin the count
+    # pass and the rank pass could see different _pid layouts.
+    local = ranged.withColumn("_rn_local", F.row_number().over(w)).localCheckpoint()
+    totals = (
+        local.groupBy("_pid").agg(F.max("_rn_local").alias("_n")).orderBy("_pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    )
+    ranked = (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            "_id",
+            "_key",
+            (F.col("_offset") + F.col("_rn_local")).alias("_rank"),
+        )
+    )
+    anchor = ranked.select(
+        F.col("_id").alias("src"),
+        F.col("_key").alias("key_l"),
+        F.col("_rank").alias("_ra"),
+        F.floor(F.col("_rank") / step).alias("_bkt"),
+    )
+    probe = ranked.select(
+        F.col("_id").alias("dst"),
+        F.col("_key").alias("key_r"),
+        F.col("_rank").alias("_rb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_rank") / step),
+                F.floor(F.col("_rank") / step) - 1,
+            )
+        ).alias("_bkt"),
+    )
+    return (
+        anchor.join(probe, "_bkt")
+        .where(
+            (F.col("_rb") > F.col("_ra")) & (F.col("_rb") - F.col("_ra") <= step)
+        )
+        .select(
+            "src",
+            "dst",
+            "key_l",
+            "key_r",
+            (F.col("_rb") - F.col("_ra")).alias("gap"),
+        )
+    )

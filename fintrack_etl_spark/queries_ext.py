@@ -4382,3 +4382,45 @@ def x65_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_search(
         T(spark, sf_dir, "documents"), ["table", "scan", "fast"], k=10
     )
+
+
+@register(
+    "x66_sorted_neighborhood",
+    """
+    WITH r AS (
+        SELECT p_partkey, lower(p_name) AS k,
+               row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rn
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS src, b.p_partkey AS dst,
+               CAST(b.rn - a.rn AS BIGINT) AS gap,
+               CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 4
+    )
+    SELECT src, dst, gap, dist FROM pairs WHERE dist <= 3
+    """,
+)
+def x66_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity blocking
+    (``joins.sorted_neighborhood_pairs``): sort parts by lowercased
+    name, slide a 5-row window over the TOTAL order, verify in-window
+    candidates with exact Levenshtein <= 3. Catches the near-misses
+    equi-key blocking (ext_entity_resolution's last-word block) drops
+    at block boundaries. The global rank is distributed — range
+    partitioning + per-partition row_number + an O(#partitions)
+    prefix-sum collect — and the sliding window is ONE bucket
+    equi-join (probe side duplicated into bucket and bucket-1,
+    pigeonhole-complete for rank gaps <= window-1), so nothing is
+    single-partition and nothing is all-pairs. Oracle replays the
+    same window over DuckDB's row_number with identical tie-break."""
+    from .operators.joins import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        T(spark, sf_dir, "part"), "p_partkey", F.lower(F.col("p_name")), window=5
+    )
+    return (
+        pairs.withColumn("dist", F.levenshtein("key_l", "key_r").cast("long"))
+        .where(F.col("dist") <= 3)
+        .select("src", "dst", F.col("gap").cast("long").alias("gap"), "dist")
+    )

@@ -597,3 +597,43 @@ def test_distribution_drift_tvd_exact(spark):
     # c: disjoint except global includes c itself:
     # 1/2 (1/3 + 1/3 + |1 - 1/3|) = 2/3
     assert out["c"] == 666_666_666
+
+
+def test_sorted_neighborhood_matches_naive_window(spark):
+    """Bucket-join SNM must emit EXACTLY the rank-gap-1..w-1 pairs a
+    naive single-node sliding window produces, for several window
+    sizes and across repartitionings (the prefix-sum rank must not
+    depend on physical layout)."""
+    import random
+
+    from fintrack_etl_spark.operators.joins import sorted_neighborhood_pairs
+
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choice("abcd") for _ in range(5))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    for w in (2, 3, 5, 8):
+        expect = {
+            (ordered[i][0], ordered[j][0], j - i)
+            for i in range(len(ordered))
+            for j in range(i + 1, min(i + w, len(ordered)))
+        }
+        for parts in (1, 4, 13):
+            got = {
+                (r["src"], r["dst"], r["gap"])
+                for r in sorted_neighborhood_pairs(
+                    df.repartition(parts), "id", "k", window=w
+                ).collect()
+            }
+            assert got == expect, (w, parts)
+
+
+def test_sorted_neighborhood_rejects_degenerate_window(spark):
+    import pytest as _pytest
+
+    from fintrack_etl_spark.operators.joins import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["id", "k"])
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "k", window=1)
