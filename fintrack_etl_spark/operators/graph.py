@@ -275,3 +275,72 @@ def temporal_reach(
             break
         frontier = improved
     return reach
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Weighted single/multi-source shortest path, bounded at
+    ``max_hops`` edges — Bellman-Ford as a DELTA iteration (the
+    weighted twin of ``bfs_hops``): after round h, ``dist[v]`` is the
+    exact minimum cost over paths of <= h edges, and only nodes whose
+    distance IMPROVED last round are re-expanded (a relaxation
+    through a non-improved node was already tried in an earlier round
+    and can't beat the standing distance).
+
+    ``edges`` is directed (src, dst, w) with non-negative integer
+    weights (parallel edges collapse to their min); ``sources`` is a
+    one-column (node) frame; returns (node, dist) for every node
+    reachable within ``max_hops`` edges.
+
+    Scale shape mirrors bfs_hops: the edge list shuffles ONCE
+    (repartition by src, localCheckpoint) and every round's frontier
+    join hashes the same key; the per-round candidate min is a
+    map-side-combined groupBy; the improved set is found with one
+    outer join against the standing distances; per-round
+    localCheckpoint cuts the iterated lineage and the early-exit
+    probe is a free isEmpty on the materialized frontier.
+    """
+    edges = (
+        edges.select("src", "dst", "w")
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    dist = (
+        sources.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            edges.join(
+                frontier.select(F.col("node").alias("src"), F.col("dist").alias("_d")),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), (F.col("_d") + F.col("w")).alias("_nd"))
+            .groupBy("node")
+            .agg(F.min("_nd").alias("_nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .where(F.col("dist").isNull() | (F.col("_nd") < F.col("dist")))
+            .select("node", F.col("_nd").alias("dist"))
+            .repartition("node")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist

@@ -4424,3 +4424,55 @@ def x66_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 3)
         .select("src", "dst", F.col("gap").cast("long").alias("gap"), "dist")
     )
+
+
+@register(
+    "x67_weighted_sssp",
+    """
+    WITH RECURSIVE e AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(min(floor(l.l_extendedprice)) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    walk(node, d, hop) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, walk.d + e.w, walk.hop + 1
+        FROM walk JOIN e ON e.src = walk.node
+        WHERE walk.hop < 4
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+)
+def x67_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest path (graph.weighted_sssp — frontier-only
+    Bellman-Ford, <= 4 edges) over the directed nation trade graph:
+    an edge supplier-nation -> customer-nation weighted by the
+    cheapest line ever shipped between them (integer-floored price,
+    parallel edges min-collapsed), source = nation 0. The oracle
+    enumerates every <= 4-edge walk in a recursive CTE and takes the
+    min — exact integer weights make the distances engine-identical,
+    so a premature early-exit, a frontier that re-expands too little,
+    or an off-by-one hop bound all surface as value mismatches.
+    Scale: the edge list shuffles once; each round joins only the
+    improved frontier; work is bounded by the explored ball, not
+    rounds x edges."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.floor(F.min(F.floor(F.col("l_extendedprice")))).cast("long").alias("w"))
+    )
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return GR.weighted_sssp(edges, sources, max_hops=4)

@@ -192,3 +192,51 @@ def test_temporal_reach_time_respecting(spark):
         for r in temporal_reach(edges, two, max_hops=3).collect()
     }
     assert got3["b"] == 7  # min(seed 100, via-a 7)
+
+
+def test_weighted_sssp_matches_bellman_ford(spark):
+    """Frontier-only relaxation must equal textbook K-round
+    Bellman-Ford (min cost over paths of <= K edges) on a random
+    weighted digraph, for several hop bounds."""
+    import random
+
+    from fintrack_etl_spark.operators.graph import weighted_sssp
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 20))
+        for _ in range(120)
+    ]
+    e_df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    s_df = spark.createDataFrame([(0,), (7,)], ["node"])
+
+    for k in (1, 3, 5):
+        dist = {0: 0, 7: 0}
+        for _ in range(k):
+            nxt = dict(dist)
+            for s, d, w in edges:
+                if s in dist and (d not in nxt or dist[s] + w < nxt[d]):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        got = {
+            r["node"]: r["dist"]
+            for r in weighted_sssp(e_df, s_df, max_hops=k).collect()
+        }
+        assert got == dist, k
+
+
+def test_weighted_sssp_cheaper_long_path_wins(spark):
+    """A 3-edge cost-3 path must beat a 1-edge cost-100 shortcut when
+    hops allow, and lose to it when the bound excludes it."""
+    from fintrack_etl_spark.operators.graph import weighted_sssp
+
+    e = spark.createDataFrame(
+        [("s", "t", 100), ("s", "a", 1), ("a", "b", 1), ("b", "t", 1)],
+        ["src", "dst", "w"],
+    )
+    s = spark.createDataFrame([("s",)], ["node"])
+    three = {r["node"]: r["dist"] for r in weighted_sssp(e, s, max_hops=3).collect()}
+    assert three["t"] == 3
+    one = {r["node"]: r["dist"] for r in weighted_sssp(e, s, max_hops=1).collect()}
+    assert one["t"] == 100
