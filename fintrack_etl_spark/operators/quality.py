@@ -180,3 +180,47 @@ def distribution_drift_tvd(
             .alias("tvd_nano"),
         )
     )
+
+
+def discover_fds(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Extension — pairwise functional-dependency discovery (the
+    profiling primitive behind key detection and normalization
+    advice): for every ordered column pair (A, B), does A -> B hold,
+    and how many A-groups violate it?
+
+    ONE scan, one shuffle: each row explodes into |pairs| tagged
+    (lhs, rhs, a_value, b_value) tuples, the distinct-B count per
+    (pair, a_value) is a map-side-combined aggregate, and the verdict
+    per pair is a second tiny aggregate over group counts. Values are
+    cast to string so the exploded array is uniformly typed (the
+    casts are injective for the integer/string columns this is meant
+    for — don't feed doubles). The |pairs|-x fanout is the documented
+    cost: at very wide tables, refute cheap on a sample first and
+    re-verify only the surviving pairs with this exact pass.
+
+    Output: (lhs, rhs, n_groups, n_violating, holds) — ``holds`` iff
+    no lhs-group maps to two distinct rhs values.
+    """
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("lhs"),
+                        F.lit(b).alias("rhs"),
+                        F.col(a).cast("string").alias("av"),
+                        F.col(b).cast("string").alias("bv"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    per_group = tagged.groupBy("lhs", "rhs", "av").agg(
+        F.countDistinct("bv").alias("_d")
+    )
+    return per_group.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("_d") > 1, 1).otherwise(0)).alias("n_violating"),
+    ).withColumn("holds", F.col("n_violating") == 0)

@@ -4476,3 +4476,42 @@ def x67_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
     return GR.weighted_sssp(edges, sources, max_hops=4)
+
+
+def _fd_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(
+                f"""
+    SELECT '{a}' AS lhs, '{b}' AS rhs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {a} AS av, count(DISTINCT {b}) AS d
+          FROM orders GROUP BY 1)"""
+            )
+    return " UNION ALL ".join(parts)
+
+
+@register("x68_fd_discovery", _fd_oracle())
+def x68_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise functional-dependency discovery
+    (``quality.discover_fds``) over the orders table's key/status/
+    priority columns — the profiling pass behind "which column is a
+    key, which pairs are denormalized". ONE scan: rows explode into
+    tagged pairs, per-(pair, lhs-value) distinct-rhs counts are
+    map-side combined, verdicts are a second tiny aggregate. The
+    oracle runs the 12 per-pair group-count subqueries explicitly and
+    UNION ALLs them — any fanout/tagging bug in the exploded single
+    pass diverges from the per-pair ground truth."""
+    from .operators.quality import discover_fds
+
+    return discover_fds(
+        T(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

@@ -637,3 +637,29 @@ def test_sorted_neighborhood_rejects_degenerate_window(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "k"])
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "id", "k", window=1)
+
+
+def test_discover_fds_planted_dependencies(spark):
+    """Planted FD structure: id -> everything; city -> state holds;
+    state -> city fails with exactly the planted violating group."""
+    from fintrack_etl_spark.operators.quality import discover_fds
+
+    rows = [
+        (1, "porto", "RS"),
+        (2, "porto", "RS"),
+        (3, "canoas", "RS"),
+        (4, "osasco", "SP"),
+        (5, "osasco", "SP"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "city", "state"])
+    got = {
+        (r["lhs"], r["rhs"]): (r["n_groups"], r["n_violating"], r["holds"])
+        for r in discover_fds(df, ["id", "city", "state"]).collect()
+    }
+    assert got[("id", "city")] == (5, 0, True)
+    assert got[("id", "state")] == (5, 0, True)
+    assert got[("city", "state")] == (3, 0, True)
+    # RS maps to two cities -> exactly one violating group of two
+    assert got[("state", "city")] == (2, 1, False)
+    assert got[("city", "id")][2] is False
+    assert len(got) == 6
