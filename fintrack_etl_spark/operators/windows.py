@@ -239,3 +239,41 @@ def scd2_from_changes(
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def bitemporal_state(
+    df: DataFrame,
+    keys: list[str],
+    valid_col: str,
+    txn_col: str,
+    order_cols: list[str],
+    state_col: str,
+    valid_at,
+    txn_at,
+) -> DataFrame:
+    """Extension — bitemporal belief lookup: the state each key was
+    believed to have at VALID time ``valid_at``, based only on rows
+    whose TRANSACTION (ingest) time is <= ``txn_at``. Two cutoffs on
+    independent axes — late-arriving rows (txn >> valid) are exactly
+    the ones a later ``txn_at`` adds, which is what makes "what did
+    we believe last Monday about last Sunday" answerable and
+    auditable.
+
+    One keyed window shuffle (WindowGroupLimit prunes to the top row
+    per key map-side); ``order_cols`` must make the ordering total
+    for a deterministic winner. Returns (keys..., state,
+    state_since).
+    """
+    eligible = df.where(
+        (F.col(valid_col) <= F.lit(valid_at)) & (F.col(txn_col) <= F.lit(txn_at))
+    )
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        eligible.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(state_col).alias("state"),
+            F.col(valid_col).alias("state_since"),
+        )
+    )

@@ -4515,3 +4515,94 @@ def x68_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@register(
+    "x69_bitemporal_revision",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS vt,
+               epoch_us(ts)
+                 + (CAST(json_extract(props, '$.k') AS BIGINT) % 3)
+                   * 86400000000 AS tt
+        FROM events
+    ),
+    b1 AS (
+        SELECT user_id, event_type, vt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY vt DESC, event_id DESC) AS rn
+        FROM e WHERE vt <= 1705708800000000 AND tt <= 1705708800000000
+    ),
+    b2 AS (
+        SELECT user_id, event_type, vt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY vt DESC, event_id DESC) AS rn
+        FROM e WHERE vt <= 1705708800000000 AND tt <= 1705968000000000
+    ),
+    s1 AS (SELECT user_id, event_type AS old_state, vt AS old_since_us
+           FROM b1 WHERE rn = 1),
+    s2 AS (SELECT user_id, event_type AS new_state, vt AS new_since_us
+           FROM b2 WHERE rn = 1)
+    SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+           old_state, new_state, old_since_us, new_since_us
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    WHERE old_state IS DISTINCT FROM new_state
+       OR old_since_us IS DISTINCT FROM new_since_us
+    """,
+)
+def x69_bitemporal_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal revision report (``windows.bitemporal_state``): each
+    event carries VALID time (ts) and TRANSACTION time (ingest = ts +
+    a deterministic 0-2 day late-arrival delay derived from props.k),
+    and the report lists every user whose believed state at valid
+    time 2024-01-20 was REVISED between transaction cutoffs 01-20 and
+    01-23 — i.e. exactly the corrections late-arriving data forced.
+    Both beliefs are one keyed window shuffle each (WindowGroupLimit
+    top-1 per user); the diff is a full-outer join on the ~|users|
+    belief tables, null-safe on both state and since. All times in
+    integer epoch micros — engine-identical. The "what did we believe
+    then vs now" audit primitive lake_tx time travel gives at file
+    granularity, here at ROW granularity."""
+    from .operators.windows import bitemporal_state
+
+    t_us = 1705708800000000  # 2024-01-20 UTC
+    d2_us = 1705968000000000  # 2024-01-23 UTC
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("vt"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            + (F.from_json("props", "k BIGINT")["k"] % 3) * F.lit(86400000000)
+        ).alias("tt"),
+    )
+    old = bitemporal_state(
+        ev, ["user_id"], "vt", "tt", ["vt", "event_id"], "event_type", t_us, t_us
+    ).select(
+        F.col("user_id").alias("_u1"),
+        F.col("state").alias("old_state"),
+        F.col("state_since").alias("old_since_us"),
+    )
+    new = bitemporal_state(
+        ev, ["user_id"], "vt", "tt", ["vt", "event_id"], "event_type", t_us, d2_us
+    ).select(
+        F.col("user_id").alias("_u2"),
+        F.col("state").alias("new_state"),
+        F.col("state_since").alias("new_since_us"),
+    )
+    return (
+        old.join(new, F.col("_u1") == F.col("_u2"), "full_outer")
+        .where(
+            ~F.col("old_state").eqNullSafe(F.col("new_state"))
+            | ~F.col("old_since_us").eqNullSafe(F.col("new_since_us"))
+        )
+        .select(
+            F.coalesce("_u1", "_u2").alias("user_id"),
+            "old_state",
+            "new_state",
+            "old_since_us",
+            "new_since_us",
+        )
+    )

@@ -663,3 +663,44 @@ def test_discover_fds_planted_dependencies(spark):
     assert got[("state", "city")] == (2, 1, False)
     assert got[("city", "id")][2] is False
     assert len(got) == 6
+
+
+def test_bitemporal_state_late_arrival_revises_history(spark):
+    """A row with valid time inside the window but transaction time
+    after the cutoff must be invisible at the early cutoff and revise
+    the belief at the later one."""
+    from fintrack_etl_spark.operators.windows import bitemporal_state
+
+    rows = [
+        # (user, event_id, state, valid_us, txn_us)
+        (1, 10, "a", 100, 100),
+        (1, 11, "b", 200, 500),  # late: valid 200, arrived 500
+        (2, 20, "x", 150, 150),
+    ]
+    df = spark.createDataFrame(rows, ["u", "eid", "state", "vt", "tt"])
+
+    early = {
+        r["u"]: (r["state"], r["state_since"])
+        for r in bitemporal_state(
+            df, ["u"], "vt", "tt", ["vt", "eid"], "state", 300, 300
+        ).collect()
+    }
+    assert early == {1: ("a", 100), 2: ("x", 150)}
+
+    late = {
+        r["u"]: (r["state"], r["state_since"])
+        for r in bitemporal_state(
+            df, ["u"], "vt", "tt", ["vt", "eid"], "state", 300, 600
+        ).collect()
+    }
+    assert late == {1: ("b", 200), 2: ("x", 150)}
+
+    # valid-time cutoff still binds: the late row's state never leaks
+    # into beliefs about times before its valid time
+    before = {
+        r["u"]: r["state"]
+        for r in bitemporal_state(
+            df, ["u"], "vt", "tt", ["vt", "eid"], "state", 150, 600
+        ).collect()
+    }
+    assert before == {1: "a", 2: "x"}
