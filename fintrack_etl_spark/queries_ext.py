@@ -4606,3 +4606,92 @@ def x69_bitemporal_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_since_us",
         )
     )
+
+
+@register(
+    "x70_dsir_select",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+        )
+    ),
+    wts AS (
+        SELECT bucket,
+               (sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000
+                 // (sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 1) AS lam
+        FROM tok GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w.lam) // count(*) AS BIGINT) AS score
+        FROM tok t JOIN wts w USING (bucket)
+        WHERE NOT t.is_t
+        GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 50
+    """,
+)
+def x70_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (``textops.dsir_select``; Xie
+    et al. 2023): the English docs are the quality exemplar target,
+    every other doc is the raw pool, and the query keeps the 50 pool
+    docs whose hashed-unigram distribution is most target-like. The
+    per-bucket weight is the add-one-smoothed integer frequency ratio
+    (log-free DSIR surrogate — exact BIGINTs both engines); scores
+    are length-normalized integer sums; selection is a TakeOrdered.
+    Scale: two corpus passes (census + scoring), an O(256)-row
+    broadcast weight table, nothing driver-side — the DSIR paper's
+    shape at 100 TB. Reference analog: none (engine extension)."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.dsir_select(docs, F.col("lang") == "en", k=50, n_buckets=256)
+
+
+@register(
+    "x71_phrase_search",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+        )
+        WHERE len(toks) >= 3
+    ),
+    top AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_total
+        FROM grams GROUP BY 1
+        ORDER BY count(*) DESC, gram ASC LIMIT 1
+    )
+    SELECT g.doc_id,
+           t.gram AS phrase,
+           t.n_total,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(g.pos) AS BIGINT) AS first_pos
+    FROM grams g JOIN top t USING (gram)
+    GROUP BY 1, 2, 3
+    """,
+)
+def x71_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over a positional n-gram index
+    (``textops.phrase_search``): the corpus's most frequent trigram
+    (count desc, gram asc — deterministic argmax) is the query
+    phrase; the result lists every doc containing it with match count
+    and first match position. Index build = one (gram → count)
+    shuffle; the winner is a 1-row TakeOrdered broadcast; the
+    occurrence probe is a map-only broadcast semi-join over the
+    positional stream — the corpus text is never shuffled. With a
+    KNOWN phrase the build pass drops out and only the probe runs.
+    Reference analog: none (engine extension)."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.phrase_search(docs, n=3)

@@ -540,3 +540,145 @@ def bm25_search(
         .filter(F.col("rnk") <= k)
         .select(id_col, "score", "n_terms_hit", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def md5_bucket(c: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hashing: md5 first-8-hex → BIGINT →
+    mod ``n_buckets``. Same expression family as x50's hashing trick;
+    DuckDB twin is ``CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)
+    % n`` — replayable, unlike engine-native hash()."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int = 50,
+    n_buckets: int = 256,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance weighting (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): rank a raw candidate pool by how target-like its
+    hashed n-gram feature distribution is, and keep the top-``k``.
+
+    ``is_target`` marks the quality exemplar set (DSIR's "target");
+    every other row is the raw pool being selected FROM. Features are
+    md5-hashed lowercase unigrams in ``n_buckets`` buckets; each
+    bucket gets an integer importance weight
+
+        lambda_b = floor((target_count_b + 1) * scale / (raw_count_b + 1))
+
+    (add-one smoothed frequency RATIO — the deliberately log-free
+    integer surrogate for DSIR's log-likelihood ratio: per-bucket
+    monotone in the same direction, and exact across engines where a
+    ln()-based weight would diverge in the last ulp; the x26/x61
+    stance). A raw doc's score is the length-normalized weighted sum
+
+        score = floor(sum_b c_b(doc) * lambda_b / n_tokens)
+
+    — all BIGINT arithmetic, so the selection is value-oracle-exact.
+
+    Scale: the token stream crosses the wire once for the bucket
+    census (map-side combined to ``n_buckets`` grouped rows) and the
+    per-doc rollup; the weight table is O(n_buckets) and broadcasts;
+    the final selection is a TakeOrdered top-k, never a global sort.
+    At 100 TB the census and the scoring pass stream the corpus
+    exactly twice with nothing driver-side — the DSIR paper's
+    two-pass shape."""
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), is_target.alias("_is_target")
+    )
+    tok = flagged.select(
+        id_col,
+        "_is_target",
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_term"),
+    ).select(
+        id_col, "_is_target", md5_bucket(F.col("_term"), n_buckets).alias("bucket")
+    )
+    weights = (
+        tok.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tcnt"),
+            F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("rcnt"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"(tcnt + 1) * {scale} DIV (rcnt + 1)").alias("lam"),
+        )
+    )
+    scored = (
+        tok.filter(~F.col("_is_target"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lam").cast("long").alias("wsum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr("wsum DIV n_tokens").alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_tokens", "score")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-index phrase search: build the positional n-gram
+    view of the corpus, take the globally most frequent ``n``-gram
+    (count desc, gram asc — deterministic), and return every document
+    containing it with its match count and first match position —
+    the serving primitive behind exact-phrase retrieval.
+
+    The index build is ONE shuffle of (gram → count) partial aggs;
+    the winning phrase is a 1-row TakeOrdered broadcast; the
+    occurrence probe re-scans the positional stream map-only against
+    the broadcast phrase (a semi-join, no second shuffle of the
+    corpus). At 100 TB with a KNOWN phrase the build pass drops out
+    entirely and only the probe runs — filter-to-terms before any
+    join, which is what the broadcast achieves here."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(trim(lower({text_col})), '\\\\s+')) >= {n} "
+                f"THEN transform(sequence(0, size(split(trim(lower({text_col})), '\\\\s+')) - {n}), "
+                f"i -> struct(i AS pos, "
+                f"array_join(slice(split(trim(lower({text_col})), '\\\\s+'), i + 1, {n}), ' ') AS gram)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.col("n_total").desc(), F.col("gram").asc())
+        .limit(1)
+    )
+    return (
+        grams.join(F.broadcast(top), "gram")
+        .groupBy(id_col, "gram", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .select(
+            id_col,
+            F.col("gram").alias("phrase"),
+            F.col("n_total").cast("long").alias("n_total"),
+            "n_matches",
+            "first_pos",
+        )
+    )

@@ -1097,3 +1097,55 @@ def test_prefix_filter_prunes_hot_keys(spark):
         .select("a.id", "b.id").distinct().count()
     )
     assert cand <= 5  # vs 435 all-pairs
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    # Target docs speak "alpha beta gamma"; pool doc 10 mimics them,
+    # pool doc 11 is off-distribution — 10 must outscore 11.
+    rows = [
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "alpha gamma beta gamma", True),
+        (10, "alpha beta gamma beta", False),
+        (11, "zeta eta theta iota kappa", False),
+        (12, "alpha zeta beta eta", False),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = TX.dsir_select(df, F.col("is_t"), k=3, n_buckets=64)
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert set(got) == {10, 11, 12}  # target rows never selected
+    assert got[10] > got[12] > got[11]
+
+
+def test_dsir_select_scores_are_exact_integers(spark):
+    rows = [(i, f"w{i % 3} w{i % 5} common", i % 2 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = TX.dsir_select(df, F.col("is_t"), k=5, n_buckets=32).collect()
+    assert len(out) == 5
+    for r in out:
+        assert isinstance(r["score"], int) and r["score"] > 0
+    # deterministic: re-run yields the identical selection
+    out2 = TX.dsir_select(df, F.col("is_t"), k=5, n_buckets=32).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in out2]
+
+
+def test_phrase_search_finds_top_trigram_occurrences(spark):
+    rows = [
+        (1, "a b c a b c x"),     # "a b c" twice, first at 0
+        (2, "z a b c z"),         # once at 1
+        (3, "no match here at all"),
+        (4, "a b"),               # too short for a trigram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.phrase_search(df, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["phrase"] == "a b c"
+    assert out[1]["n_matches"] == 2 and out[1]["first_pos"] == 0
+    assert out[2]["n_matches"] == 1 and out[2]["first_pos"] == 1
+    assert out[1]["n_total"] == 3
+
+
+def test_phrase_search_argmax_tiebreak_is_lexicographic(spark):
+    # "a a b" and "a b a" both appear exactly once → gram asc wins.
+    df = spark.createDataFrame([(1, "a a b a")], ["doc_id", "text"])
+    out = TX.phrase_search(df, n=3).collect()
+    assert len(out) == 1 and out[0]["phrase"] == "a a b"
