@@ -4695,3 +4695,54 @@ def x71_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (engine extension)."""
     docs = T(spark, sf_dir, "documents")
     return TX.phrase_search(docs, n=3)
+
+
+@register(
+    "x72_association_rules",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    sized AS (
+        SELECT basket FROM items GROUP BY 1 HAVING count(*) <= 1000
+    ),
+    kept AS (SELECT i.* FROM items i JOIN sized USING (basket)),
+    n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM kept),
+    ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY 1),
+    pc AS (
+        SELECT a.item AS antecedent, b.item AS consequent,
+               CAST(count(*) AS BIGINT) AS pair_count
+        FROM kept a JOIN kept b
+          ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    )
+    SELECT antecedent, consequent, pair_count,
+           1000000 * pair_count // n.n_baskets          AS support_ppm,
+           1000 * pair_count // ca.c                    AS confidence_milli,
+           1000 * pair_count * n.n_baskets // (ca.c * cb.c) AS lift_milli
+    FROM pc
+    JOIN ic ca ON ca.item = pc.antecedent
+    JOIN ic cb ON cb.item = pc.consequent
+    CROSS JOIN n
+    """,
+)
+def x72_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori 2-itemset association rules (``operators/mining.py``)
+    over order→brand baskets: every directional rule brand_a→brand_b
+    with pair support >= 5, scored by exact scaled-integer support /
+    confidence / lift (the float-free x24/x61 stance, so all three
+    metrics are value-gated bit-for-bit). The oracle is the textbook
+    self-join formulation; the engine never self-joins the fact table
+    — distinct baskets group once, the k·(k-1) pair expansion runs
+    basket-locally, item counts and N broadcast. Reference analog:
+    none (engine extension)."""
+    from .operators.mining import association_rules
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return association_rules(items, "basket", "item", min_pair_count=5)

@@ -357,3 +357,42 @@ def test_mixture_waterfill_invariants(spark, sf_dir):
         else:
             expect = got1
         assert r["allocated_tokens"] == expect, (r["source"], r["allocated_tokens"], expect)
+
+
+def test_association_rules_exact_metrics(spark):
+    # 4 baskets: {a,b}, {a,b}, {a,c}, {b}
+    # c_a=3, c_b=3, c_c=1, N=4; c(a→b)=2.
+    from fintrack_etl_spark.operators.mining import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    items = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["antecedent"], r["consequent"]): r
+    for r in association_rules(items, "basket", "item").collect()}
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 2
+    assert ab["support_ppm"] == 500000            # 2/4
+    assert ab["confidence_milli"] == 666          # floor(2000/3)
+    assert ab["lift_milli"] == 888                # floor(1000*2*4/9)
+    ba = out[("b", "a")]
+    assert ba["confidence_milli"] == 666 and ba["lift_milli"] == 888
+    ac = out[("a", "c")]
+    assert ac["confidence_milli"] == 333          # floor(1000/3)
+    assert ac["lift_milli"] == 1333               # floor(1000*1*4/3)
+    # directional universe only — no self-rules
+    assert all(a != b for a, b in out)
+
+
+def test_association_rules_min_count_and_dedup(spark):
+    from fintrack_etl_spark.operators.mining import association_rules
+
+    rows = [(1, "a"), (1, "a"), (1, "b")]  # duplicate (1,a) collapses
+    items = spark.createDataFrame(rows, ["basket", "item"])
+    out = association_rules(items, "basket", "item").collect()
+    assert {r["pair_count"] for r in out} == {1}
+    assert association_rules(items, "basket", "item", min_pair_count=2).count() == 0
