@@ -30,7 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -344,3 +344,89 @@ def weighted_sssp(
         )
         frontier = improved
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_len: int = 6,
+    n_walks_per_start: int = 1,
+) -> DataFrame:
+    """Deterministic node2vec-style random walks — the corpus
+    generator for graph-embedding training (DeepWalk/node2vec): from
+    every start node, ``n_walks_per_start`` walks of up to
+    ``walk_len`` steps, where step t from node v in walk w picks the
+    neighbor ranked
+
+        md5(w || '|' || t || '|' || v) mod degree(v)
+
+    over the dst-ordered adjacency — md5-derived so the "randomness"
+    is engine-portable and REPLAYABLE (the x54 training-shuffle
+    stance: a seeded walk corpus is reproducible across reruns and
+    engines, which `rand()` never is, and value-oracle-checkable).
+    Walks terminate early at sink nodes (no out-edges). Returns one
+    row per visited position: (walk_id, step, node), step 0 = start.
+
+    Scale shape: the ranked adjacency (rank + degree in ONE window
+    pass) is shuffled by src once and localCheckpointed — every
+    step's frontier join hashes on that same key with no
+    re-exchange; per-step state is |walks| rows (frontier-only, the
+    bfs_hops delta-iteration discipline), so total work is
+    O(walk_len x |walks|) probes regardless of graph size. At 100 TB
+    the adjacency is the big side (bucketed by src on disk) and the
+    walk frontier broadcasts."""
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    replicas = starts.sparkSession.range(1, n_walks_per_start + 1).select(
+        F.col("id").alias("i")
+    )
+    frontier = (
+        starts.select("node")
+        .distinct()
+        .crossJoin(F.broadcast(replicas))
+        .select(
+            F.concat_ws("#", "node", "i").alias("walk_id"),
+            F.lit(0).alias("step"),
+            "node",
+        )
+        .localCheckpoint()
+    )
+    out = frontier
+    for t in range(1, walk_len + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "walk_id", F.lit(str(t)), "src")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+            + 1
+        )
+        frontier = (
+            frontier.select("walk_id", F.col("node").alias("src"))
+            .join(adj, "src")
+            .filter(F.col("rnk") == pick)
+            .select(
+                "walk_id", F.lit(t).alias("step"), F.col("dst").alias("node")
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "node"
+    )

@@ -4746,3 +4746,64 @@ def x72_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
     )
     return association_rules(items, "basket", "item", min_pair_count=5)
+
+
+@register(
+    "x73_random_walks",
+    """
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0),
+    adj AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+               count(*)     OVER (PARTITION BY src)              AS deg
+        FROM e
+    ),
+    starts AS (SELECT 'S' || s_suppkey AS node FROM supplier),
+    walk AS (
+        SELECT node || '#1' AS walk_id, 0 AS step, node FROM starts
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, a.dst
+        FROM walk w JOIN adj a
+          ON a.src = w.node
+         AND a.rnk = CAST(('0x' || substring(md5(
+                w.walk_id || '|' || CAST(w.step + 1 AS VARCHAR) || '|' || w.node
+             ), 1, 8)) AS BIGINT) % a.deg + 1
+        WHERE w.step < 6
+    )
+    SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM walk
+    """,
+)
+def x73_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-embedding walk corpus (``graph.random_walks``): one
+    6-step deterministic walk from every supplier over the undirected
+    customer–supplier transaction graph (x56's graph). Each step's
+    neighbor pick is md5(walk|step|node) mod degree over the
+    dst-ranked adjacency — engine-portable pseudo-randomness, so the
+    DuckDB RECURSIVE CTE replays the EXACT same walks and every
+    visited (walk, step, node) row is value-gated; any divergence in
+    adjacency ranking, degree, hash arithmetic, or early termination
+    mismatches. Scale: ranked adjacency shuffles once
+    (localCheckpointed); per-step work is |walks| frontier probes —
+    the DeepWalk/node2vec corpus generator shape. Reference analog:
+    none (engine extension)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    starts = T(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return GR.random_walks(edges, starts, walk_len=6)

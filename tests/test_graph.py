@@ -240,3 +240,54 @@ def test_weighted_sssp_cheaper_long_path_wins(spark):
     assert three["t"] == 3
     one = {r["node"]: r["dist"] for r in weighted_sssp(e, s, max_hops=1).collect()}
     assert one["t"] == 100
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from fintrack_etl_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")],
+        ["src", "dst"],
+    )
+    starts = spark.createDataFrame([("a",), ("b",)], ["node"])
+    out = random_walks(edges, starts, walk_len=4).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert set(walks) == {"a#1", "b#1"}
+    adj = {"a": {"b", "c"}, "b": {"c"}, "c": {"a", "d"}, "d": set()}
+    for wid, steps in walks.items():
+        assert steps[0] == wid.split("#")[0]
+        for t in range(1, max(steps) + 1):
+            # every step follows a real edge; d terminates the walk
+            assert steps[t] in adj[steps[t - 1]]
+    # replayable: identical corpus on a second run
+    out2 = random_walks(edges, starts, walk_len=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_random_walks_sink_terminates_early(spark):
+    from fintrack_etl_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    starts = spark.createDataFrame([("a",)], ["node"])
+    out = {r["step"]: r["node"] for r in random_walks(edges, starts, walk_len=5).collect()}
+    assert out == {0: "a", 1: "b"}  # b is a sink — walk stops
+
+
+def test_random_walks_multi_walks_per_start_differ(spark):
+    from fintrack_etl_spark.operators.graph import random_walks
+
+    # complete digraph on 4 nodes: every step has 3 choices
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(
+        [(x, y) for x in nodes for y in nodes if x != y], ["src", "dst"]
+    )
+    starts = spark.createDataFrame([("a",)], ["node"])
+    out = random_walks(edges, starts, walk_len=6, n_walks_per_start=4).collect()
+    paths = {}
+    for r in out:
+        paths.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    assert len(paths) == 4 and all(len(v) == 7 for v in paths.values())
+    # the walk_id feeds the hash, so sibling walks diverge
+    assert len({tuple(sorted(v)) for v in paths.values()}) > 1
