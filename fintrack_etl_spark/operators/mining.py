@@ -40,15 +40,24 @@ def association_rules(
     |catalog|- and 1-row broadcasts. The fact stream crosses the wire
     once.
     """
-    distinct_items = items.select(basket_col, item_col).distinct()
+    # ONE scan of the fact stream: the basket arrays are materialized
+    # eagerly (localCheckpoint — persist() on a real cluster) and item
+    # counts / basket total / pair expansion all derive from them, so
+    # the 100 TB fact table crosses the wire exactly once instead of
+    # once per downstream statistic.
     baskets = (
-        distinct_items.groupBy(basket_col)
+        items.select(basket_col, item_col)
+        .distinct()
+        .groupBy(basket_col)
         .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
         .filter(F.size("_items") <= max_basket_size)
+        .localCheckpoint()
     )
     n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
-    item_counts = distinct_items.groupBy(item_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    item_counts = (
+        baskets.select(F.explode("_items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     pair_expr = F.expr(
         "flatten(transform(_items, x -> "

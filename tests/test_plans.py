@@ -493,3 +493,37 @@ def test_training_shuffle_has_no_global_window(spark, sf_dir):
     plan = _phys(x54_training_shuffle(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_dsir_weight_table_broadcasts_and_topk_takeordered(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import x70_dsir_select
+
+    plan = _phys(x70_dsir_select(spark, sf_dir))
+    # the O(n_buckets) weight table must broadcast back onto the token
+    # stream, and the final top-k must be a TakeOrdered, never a sort
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_phrase_search_probe_is_broadcast_semi(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import x71_phrase_search
+
+    plan = _phys(x71_phrase_search(spark, sf_dir))
+    # the 1-row winning phrase broadcasts; the positional stream is
+    # never sort-merge-joined
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_association_rules_never_self_join_facts(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import x72_association_rules
+
+    phys = _phys(x72_association_rules(spark, sf_dir))
+    # the oracle's textbook form self-joins the fact table; the engine
+    # expands pairs basket-locally over the ONE materialized basket
+    # state — the fact parquet is never rescanned downstream and no
+    # fact-vs-fact shuffle join exists anywhere
+    assert "lineitem.parquet" not in phys, phys
+    assert "SortMergeJoin" not in phys, phys
+    # item counts and N are broadcast, not shuffled against the pairs
+    assert "BroadcastHashJoin" in phys, phys
