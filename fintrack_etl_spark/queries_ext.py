@@ -4807,3 +4807,112 @@ def x73_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
     )
     return GR.random_walks(edges, starts, walk_len=6)
+
+
+@register(
+    "x74_rrf_fusion",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM tok)       AS total_dl),
+    qt AS (SELECT * FROM tok WHERE term IN ('table', 'scan', 'fast')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(22 * tf.tf * tot.total_dl * tot.n_docs AS DOUBLE)
+               / CAST(dfreq.df * (10 * tf.tf * tot.total_dl
+                                  + 3 * tot.total_dl
+                                  + 9 * dl.dl * tot.n_docs) AS DOUBLE) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN tot
+    ),
+    lex AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                                            (a, x) -> a + x) DESC,
+                                doc_id ASC) AS rnk
+            FROM scored GROUP BY doc_id
+        ) WHERE rnk <= 20
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    dense AS (
+        SELECT neighbor_id, rnk FROM (
+            SELECT neighbor_id,
+                   row_number() OVER (
+                       ORDER BY list_dot_product(qv, cv)
+                             / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                                * sqrt(list_sum(list_transform(cv, x -> x*x)))) DESC,
+                                neighbor_id) AS rnk
+            FROM q, c WHERE neighbor_id <> 0
+        ) WHERE rnk <= 20
+    )
+    SELECT doc_id,
+           CAST(lex_rnk AS BIGINT)   AS lex_rnk,
+           CAST(dense_rnk AS BIGINT) AS dense_rnk,
+           rrf_nano,
+           CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT)
+               AS fused_rnk
+    FROM (
+        SELECT coalesce(l.doc_id, d.neighbor_id) AS doc_id,
+               l.rnk AS lex_rnk, d.rnk AS dense_rnk,
+               coalesce(1000000000 // (60 + l.rnk), 0)
+                 + coalesce(1000000000 // (60 + d.rnk), 0) AS rrf_nano
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.neighbor_id
+    )
+    QUALIFY fused_rnk <= 10
+    """,
+)
+def x74_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): the lexical ranker (x65's exact-integer-cleared BM25 over
+    query terms table/scan/fast, top-20) and the dense ranker (x11's
+    brute-force cosine against doc 0's embedding, top-20) fuse as
+
+        rrf_nano = sum_r floor(1e9 / (60 + rank_r))
+
+    — integer reciprocal-rank units, so fusion scores and the fused
+    top-10 ordering are value-gated bit-for-bit. Docs missing from a
+    ranker contribute 0 (standard RRF over the union of top lists).
+    Scale: each ranker ends in its own top-k (TakeOrdered / window
+    top-1 shapes pinned elsewhere); the fusion join touches two
+    k-row lists — broadcast territory, never the corpus. Reference
+    analog: none (engine extension)."""
+    from .similarity import cosine_topk_bruteforce
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    lex = TX.bm25_search(docs, ["table", "scan", "fast"], k=20).select(
+        F.col("doc_id").alias("_lex_id"), F.col("rnk").cast("long").alias("lex_rnk")
+    )
+    dense = cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(
+        F.col("neighbor_id").alias("_dense_id"),
+        F.col("rnk").cast("long").alias("dense_rnk"),
+    )
+    fused = (
+        lex.join(dense, lex["_lex_id"] == dense["_dense_id"], "full_outer")
+        .select(
+            F.coalesce("_lex_id", "_dense_id").alias("doc_id"),
+            "lex_rnk",
+            "dense_rnk",
+            (
+                F.coalesce(F.expr("1000000000 DIV (60 + lex_rnk)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000 DIV (60 + dense_rnk)"), F.lit(0))
+            ).alias("rrf_nano"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_nano").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rnk") <= 10)
+    )

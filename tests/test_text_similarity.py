@@ -1149,3 +1149,25 @@ def test_phrase_search_argmax_tiebreak_is_lexicographic(spark):
     df = spark.createDataFrame([(1, "a a b a")], ["doc_id", "text"])
     out = TX.phrase_search(df, n=3).collect()
     assert len(out) == 1 and out[0]["phrase"] == "a a b"
+
+
+def test_rrf_fusion_blends_both_rankers(spark, sf_dir):
+    from fintrack_etl_spark.queries_ext import x74_rrf_fusion
+
+    rows = x74_rrf_fusion(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # fused order is strictly by rrf_nano desc (ties by id)
+    scores = [r["rrf_nano"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a doc ranked by BOTH rankers must outscore one ranked by only
+    # one at the same positions — check additivity of the formula
+    for r in rows:
+        expect = 0
+        if r["lex_rnk"] is not None:
+            expect += 1_000_000_000 // (60 + r["lex_rnk"])
+        if r["dense_rnk"] is not None:
+            expect += 1_000_000_000 // (60 + r["dense_rnk"])
+        assert r["rrf_nano"] == expect
+    # both rankers contribute at least one doc to the fused head
+    assert any(r["lex_rnk"] is not None for r in rows)
+    assert any(r["dense_rnk"] is not None for r in rows)
