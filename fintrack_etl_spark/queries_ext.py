@@ -4916,3 +4916,105 @@ def x74_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("fused_rnk") <= 10)
     )
+
+
+@register(
+    "x75_audio_fingerprint_dedup",
+    """
+    WITH pcm AS (
+        SELECT doc_id AS media_id,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substring(text, i, 1)) % 256 - 128) AS s
+        FROM documents
+    ),
+    corpus AS (
+        SELECT media_id, s FROM pcm
+        UNION ALL
+        SELECT media_id + 200000,
+               list_transform(range(1, len(s) + 1),
+                              i -> s[i] + CASE WHEN (i - 1) % 7 = 0 THEN 1 ELSE 0 END)
+        FROM pcm WHERE media_id % 4 = 0
+    ),
+    e AS (
+        SELECT media_id,
+               list_transform(range(0, len(s) // 8), f ->
+                   list_transform(range(0, 4), b ->
+                       list_sum(list_transform(
+                           list_slice(s, 8*f + 2*b + 1, 8*f + 2*b + 2),
+                           x -> CAST(x AS BIGINT) * x)))) AS e
+        FROM corpus
+    ),
+    v AS (
+        SELECT media_id,
+               CASE WHEN len(e) >= 2 THEN
+                   list_transform(range(1, len(e)), f ->
+                       (CASE WHEN (e[f+1][1] - e[f+1][2]) - (e[f][1] - e[f][2]) > 0
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN (e[f+1][2] - e[f+1][3]) - (e[f][2] - e[f][3]) > 0
+                             THEN 2 ELSE 0 END)
+                     + (CASE WHEN (e[f+1][3] - e[f+1][4]) - (e[f][3] - e[f][4]) > 0
+                             THEN 4 ELSE 0 END))
+               ELSE [] END AS v
+        FROM e
+    ),
+    fp AS (
+        SELECT media_id,
+               list_transform(range(0, len(v) // 4), c ->
+                   CAST(v[4*c+1] AS BIGINT) + (CAST(v[4*c+2] AS BIGINT) << 3)
+                 + (CAST(v[4*c+3] AS BIGINT) << 6) + (CAST(v[4*c+4] AS BIGINT) << 9)) AS chunks
+        FROM v WHERE len(v) // 4 >= 1
+    ),
+    flat AS (
+        SELECT media_id, chunks, unnest(range(1, len(chunks) + 1)) AS pos
+        FROM fp
+    ),
+    flatv AS (SELECT media_id, chunks, pos, chunks[pos] AS chunk FROM flat),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                        a.chunks AS ca, b.chunks AS cb
+        FROM flatv a JOIN flatv b
+          ON a.pos = b.pos AND a.chunk = b.chunk AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b,
+           CAST(list_sum(list_transform(range(1, len(ca) + 1),
+                i -> bit_count(xor(ca[i], cb[i])))) AS BIGINT) AS hamming
+    FROM cand
+    WHERE len(ca) = len(cb)
+      AND list_sum(list_transform(range(1, len(ca) + 1),
+              i -> bit_count(xor(ca[i], cb[i])))) <= 4
+    """,
+)
+def x75_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection by Haitsma–Kalker fingerprint
+    (``multimodal.pcm_fingerprint`` + ``fingerprint_match_pairs``):
+    documents-as-8-bit-PCM (the x49 convention) with a planted
+    "re-encode" — every 4th doc reappears with +1 amplitude on every
+    7th sample, the tiny-perturbation shape a lossy transcode leaves.
+    Sign-of-band-energy-derivative bits are robust to it, so the
+    planted twin matches its original at small Hamming distance while
+    unrelated docs don't collide. Candidates come from the (position,
+    chunk) sub-fingerprint block join — bucketed, never all-pairs —
+    and the full-Hamming verify (<= 4 bits) is value-gated
+    bit-for-bit. All integer arithmetic end to end, zero UDFs.
+    Reference analog: none (engine extension; the audio counterpart
+    of x45's image pHash)."""
+    from .multimodal import fingerprint_match_pairs, pcm_fingerprint
+
+    docs = T(spark, sf_dir, "documents")
+    pcm = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "transform(sequence(1, length(text)), "
+            "i -> ascii(substring(text, i, 1)) % 256 - 128)"
+        ).alias("s"),
+    )
+    twins = pcm.filter(F.col("media_id") % 4 == 0).select(
+        (F.col("media_id") + 200000).alias("media_id"),
+        F.expr(
+            "transform(sequence(1, size(s)), "
+            "i -> s[i - 1] + CASE WHEN (i - 1) % 7 = 0 THEN 1 ELSE 0 END)"
+        ).alias("s"),
+    )
+    corpus = pcm.unionByName(twins)
+    fps = pcm_fingerprint(corpus, sample_col="s")
+    return fingerprint_match_pairs(fps, max_hamming=4)
