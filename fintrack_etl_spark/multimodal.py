@@ -581,11 +581,17 @@ def pcm_fingerprint(
     bsz = frame // bands
     bits = bands - 1
     s = sample_col
+    # Guard: sequence(0, n-1) with n == 0 yields [0, -1] (descending
+    # default step) and the inner lambda then indexes out of bounds —
+    # any row shorter than one frame must produce array(), matching
+    # DuckDB's empty range(0, 0).
     energies = (
+        f"CASE WHEN size({s}) >= {frame} THEN "
         f"transform(sequence(0, size({s}) DIV {frame} - 1), f -> "
         f"transform(sequence(0, {bands - 1}), b -> "
         f"aggregate(slice({s}, {frame} * f + {bsz} * b + 1, {bsz}), "
-        f"0L, (a, x) -> a + CAST(x AS BIGINT) * x)))"
+        f"0L, (a, x) -> a + CAST(x AS BIGINT) * x))) "
+        f"ELSE array() END"
     )
     # NB: Spark SQL bracket indexing on arrays is 0-BASED (unlike
     # element_at and DuckDB brackets) — f is the current frame, f-1
@@ -613,12 +619,21 @@ def pcm_fingerprint(
             id_col,
             "n_frames",
             F.expr(
+                f"CASE WHEN size(_v) >= {chunk_frames} THEN "
                 f"transform(sequence(0, size(_v) DIV {chunk_frames} - 1), c -> "
                 f"aggregate(sequence(0, {chunk_frames - 1}), 0L, "
-                f"(a, k) -> a + shiftleft(CAST(_v[c * {chunk_frames} + k] AS BIGINT), {bits} * k)))"
+                f"(a, k) -> a + shiftleft(CAST(_v[c * {chunk_frames} + k] AS BIGINT), {bits} * k))) "
+                f"ELSE array() END"
             ).alias("chunks"),
         )
-        .filter(F.size("chunks") >= 1)
+        # NO trailing filter on the computed column: PushDownPredicate
+        # substitutes aliases with no cost check, so filter(size(chunks)
+        # >= 1) here inlines the ENTIRE _e -> _v -> chunks chain into
+        # one Filter condition — an exponentially blown-up expression
+        # evaluated on the interpreted higher-order path (the round-4
+        # x75 hang). Rows with fewer than frame*chunk_frames samples
+        # keep an empty chunks array; explode-based consumers drop
+        # them for free, others filter after a barrier.
     )
 
 
@@ -643,34 +658,54 @@ def fingerprint_match_pairs(
     (the 100 TB layout keys the fingerprint store by chunk value);
     the verify join retrieves two k-chunk arrays per candidate pair.
     """
+    # Materialize the fingerprint store once (lazy local checkpoint)
+    # before matching. Three consumers branch off fps (two explode
+    # sides + the array re-attach), so without a barrier the whole
+    # fingerprint chain is recomputed per branch — and worse, the
+    # optimizer's InferFiltersFromGenerate inserts size(chunks) > 0
+    # below the explode and PushDownPredicate substitutes the chain
+    # into it all the way to the scan: an exponentially inlined
+    # (~250 copies of the sample-extraction expr) interpreted Filter
+    # that hung round 4's bench. At production scale this checkpoint
+    # IS the fingerprint store you'd key by chunk value; at query
+    # scale it is a few longs per media row.
+    fps = fps.localCheckpoint(eager=False)
+    # Candidate generation on BARE (id, pos, chunk) rows — the full
+    # chunk arrays are re-attached only AFTER the pair distinct.
+    # Carrying both arrays through the explode+join+distinct (round-4
+    # shape) made every colliding block copy two arrays and made
+    # DISTINCT group on array values; with 12-bit sub-fingerprints
+    # over skewed text energy that went near-quadratic (BENCH_r04
+    # rc=124). Join keys must be EXPLODE OUTPUTS or scan columns only:
+    # a computed key like size(chunks) makes InferFiltersFromConstraints
+    # push isnotnull(<computed>) below every Project with full alias
+    # substitution — a ~100 KB interpreted Filter expression at the
+    # scan, re-deriving the whole fingerprint chain per row per
+    # reference (the other half of the round-4 hang). The equal-length
+    # requirement is enforced after re-attach instead, where the
+    # predicate spans both join sides and cannot be pushed.
     flat = fps.select(
         F.col(id_col).alias("_id"),
-        F.col("chunks").alias("_chunks"),
         F.posexplode("chunks").alias("_pos", "_chunk"),
     )
-    a = flat.select(
-        F.col("_id").alias("id_a"),
-        F.col("_chunks").alias("_ca"),
-        "_pos",
-        "_chunk",
-    )
-    b = flat.select(
-        F.col("_id").alias("id_b"),
-        F.col("_chunks").alias("_cb"),
-        "_pos",
-        "_chunk",
-    )
     cand = (
-        a.join(b, ["_pos", "_chunk"])
+        flat.select(F.col("_id").alias("id_a"), "_pos", "_chunk")
+        .join(
+            flat.select(F.col("_id").alias("id_b"), "_pos", "_chunk"),
+            ["_pos", "_chunk"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ca", "_cb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    arrs = fps.select(F.col(id_col).alias("_rid"), F.col("chunks").alias("_c"))
     ham = F.expr(
         "aggregate(zip_with(_ca, _cb, (x, y) -> bit_count(x ^ y)), 0, (a, x) -> a + x)"
     )
     return (
-        cand.filter(F.size("_ca") == F.size("_cb"))
+        cand.join(arrs.select(F.col("_rid").alias("id_a"), F.col("_c").alias("_ca")), "id_a")
+        .join(arrs.select(F.col("_rid").alias("id_b"), F.col("_c").alias("_cb")), "id_b")
+        .filter(F.size("_ca") == F.size("_cb"))
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -4923,8 +4923,8 @@ def x74_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pcm AS (
         SELECT doc_id AS media_id,
-               list_transform(range(1, length(text) + 1),
-                              i -> ascii(substring(text, i, 1)) % 256 - 128) AS s
+               list_transform(string_split(text, ''),
+                              c -> ascii(c) % 256 - 128) AS s
         FROM documents
     ),
     corpus AS (
@@ -4937,11 +4937,13 @@ def x74_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
         SELECT media_id,
-               list_transform(range(0, len(s) // 8), f ->
-                   list_transform(range(0, 4), b ->
-                       list_sum(list_transform(
-                           list_slice(s, 8*f + 2*b + 1, 8*f + 2*b + 2),
-                           x -> CAST(x AS BIGINT) * x)))) AS e
+               CASE WHEN len(s) >= 8 THEN
+                   list_transform(range(0, len(s) // 8), f ->
+                       list_transform(range(0, 4), b ->
+                           list_sum(list_transform(
+                               list_slice(s, 8*f + 2*b + 1, 8*f + 2*b + 2),
+                               x -> CAST(x AS BIGINT) * x))))
+               ELSE [] END AS e
         FROM corpus
     ),
     v AS (
@@ -4959,29 +4961,34 @@ def x74_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fp AS (
         SELECT media_id,
-               list_transform(range(0, len(v) // 4), c ->
-                   CAST(v[4*c+1] AS BIGINT) + (CAST(v[4*c+2] AS BIGINT) << 3)
-                 + (CAST(v[4*c+3] AS BIGINT) << 6) + (CAST(v[4*c+4] AS BIGINT) << 9)) AS chunks
-        FROM v WHERE len(v) // 4 >= 1
+               list_transform(range(0, len(v) // 8), c ->
+                   CAST(v[8*c+1] AS BIGINT) + (CAST(v[8*c+2] AS BIGINT) << 3)
+                 + (CAST(v[8*c+3] AS BIGINT) << 6) + (CAST(v[8*c+4] AS BIGINT) << 9)
+                 + (CAST(v[8*c+5] AS BIGINT) << 12) + (CAST(v[8*c+6] AS BIGINT) << 15)
+                 + (CAST(v[8*c+7] AS BIGINT) << 18) + (CAST(v[8*c+8] AS BIGINT) << 21)) AS chunks
+        FROM v WHERE len(v) // 8 >= 1
     ),
     flat AS (
-        SELECT media_id, chunks, unnest(range(1, len(chunks) + 1)) AS pos
+        SELECT media_id, chunks,
+               unnest(range(1, len(chunks) + 1)) AS pos
         FROM fp
     ),
-    flatv AS (SELECT media_id, chunks, pos, chunks[pos] AS chunk FROM flat),
+    flatv AS (SELECT media_id, pos, chunks[pos] AS chunk FROM flat),
     cand AS (
-        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-                        a.chunks AS ca, b.chunks AS cb
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
         FROM flatv a JOIN flatv b
-          ON a.pos = b.pos AND a.chunk = b.chunk AND a.media_id < b.media_id
+          ON a.pos = b.pos AND a.chunk = b.chunk
+         AND a.media_id < b.media_id
     )
-    SELECT id_a, id_b,
-           CAST(list_sum(list_transform(range(1, len(ca) + 1),
-                i -> bit_count(xor(ca[i], cb[i])))) AS BIGINT) AS hamming
-    FROM cand
-    WHERE len(ca) = len(cb)
-      AND list_sum(list_transform(range(1, len(ca) + 1),
-              i -> bit_count(xor(ca[i], cb[i])))) <= 4
+    SELECT c.id_a, c.id_b,
+           CAST(list_sum(list_transform(range(1, len(fa.chunks) + 1),
+                i -> bit_count(xor(fa.chunks[i], fb.chunks[i])))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.media_id = c.id_a
+    JOIN fp fb ON fb.media_id = c.id_b
+    WHERE len(fa.chunks) = len(fb.chunks)
+      AND list_sum(list_transform(range(1, len(fa.chunks) + 1),
+              i -> bit_count(xor(fa.chunks[i], fb.chunks[i])))) <= 4
     """,
 )
 def x75_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5001,13 +5008,21 @@ def x75_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import fingerprint_match_pairs, pcm_fingerprint
 
     docs = T(spark, sf_dir, "documents")
+    # LINEAR byte extraction: split-to-chars is one O(n) pass. The
+    # round-4 form — ascii(substring(text, i, 1)) per index i — was an
+    # O(i) UTF-8 walk per character, and CollapseProject inlined it
+    # into every (frame, band) aggregate lambda downstream: O(n^2) x
+    # ~150 re-evaluations per document on the interpreted higher-order
+    # path (BENCH_r04 rc=124, the stuck 2-task stage). The repartition
+    # both fans the codec work across all cores and is an optimizer
+    # barrier that keeps the pcm projection from being inlined.
     pcm = docs.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            "transform(sequence(1, length(text)), "
-            "i -> ascii(substring(text, i, 1)) % 256 - 128)"
+            "transform(filter(split(text, ''), c -> c <> ''), "
+            "c -> ascii(c) % 256 - 128)"
         ).alias("s"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     twins = pcm.filter(F.col("media_id") % 4 == 0).select(
         (F.col("media_id") + 200000).alias("media_id"),
         F.expr(
@@ -5016,5 +5031,8 @@ def x75_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     corpus = pcm.unionByName(twins)
-    fps = pcm_fingerprint(corpus, sample_col="s")
+    # chunk_frames=8 -> 24-bit sub-fingerprints: wide enough that
+    # (n, pos, chunk) buckets hold only true near-matches, never the
+    # skew-driven collision piles 12-bit chunks produced in round 4.
+    fps = pcm_fingerprint(corpus, sample_col="s", chunk_frames=8)
     return fingerprint_match_pairs(fps, max_hamming=4)

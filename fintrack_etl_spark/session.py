@@ -35,6 +35,11 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxRecordsPerFile": "1000000",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # The console progress bar floods stderr with \r-frames; under the
+    # driver's 2,000-byte tail capture one slow stage erases the bench
+    # JSON entirely (BENCH_r04: rc=124, parsed null). Static conf — must
+    # be set at session build, not via spark.conf.set.
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
 }
 

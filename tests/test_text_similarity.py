@@ -1171,3 +1171,47 @@ def test_rrf_fusion_blends_both_rankers(spark, sf_dir):
     # both rankers contribute at least one doc to the fused head
     assert any(r["lex_rnk"] is not None for r in rows)
     assert any(r["dense_rnk"] is not None for r in rows)
+
+
+def test_pcm_fingerprint_short_inputs_yield_empty_not_crash(spark):
+    # sequence(0, n-1) with n == 0 is DESCENDING [0, -1] in Spark —
+    # unguarded, any row under one frame (or one chunk of words)
+    # indexed out of bounds (round-5 ADVICE). 5/12/39 samples cover:
+    # sub-frame, sub-two-frames (no words), and sub-chunk word counts.
+    from fintrack_etl_spark.multimodal import pcm_fingerprint
+
+    rows = [
+        (1, list(range(5))),          # < 1 frame  -> no energies
+        (2, list(range(12))),         # 1 frame    -> no derivative words
+        (3, list(range(39))),         # 4 words    -> still < chunk_frames=8
+        (4, list(range(100))),        # 12 frames / 11 words -> 1 chunk
+        (5, []),                      # empty array
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "samples"])
+    got = {r["media_id"]: r for r in pcm_fingerprint(df, chunk_frames=8).collect()}
+    assert len(got) == 5  # no rows dropped, none crashed
+    for mid in (1, 2, 3, 5):
+        assert got[mid]["chunks"] == []
+    assert len(got[4]["chunks"]) == 1
+    assert got[4]["n_frames"] == 12
+
+
+def test_fingerprint_match_pairs_finds_planted_twin(spark):
+    from fintrack_etl_spark.multimodal import fingerprint_match_pairs, pcm_fingerprint
+
+    base = [((i * 37) % 97) - 48 for i in range(256)]
+    twin = [v + (1 if i % 7 == 0 else 0) for i, v in enumerate(base)]
+    other = [((i * 53 + 11) % 89) - 44 for i in range(256)]
+    df = spark.createDataFrame(
+        [(1, base), (2, twin), (3, other)], ["media_id", "samples"]
+    )
+    fps = pcm_fingerprint(df, chunk_frames=4)
+    pairs = fingerprint_match_pairs(fps, max_hamming=6).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+    assert not any({r["id_a"], r["id_b"]} == {1, 3} for r in pairs)
+    # different-length fingerprints can never pair
+    df2 = spark.createDataFrame(
+        [(1, base), (2, base[:128])], ["media_id", "samples"]
+    )
+    pairs2 = fingerprint_match_pairs(pcm_fingerprint(df2, chunk_frames=4)).collect()
+    assert pairs2 == []
