@@ -29,12 +29,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return a1_group_sum_flagship(spark, "/root/testdata/sf0.001")
 
 
-# Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03.
+# Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04.
 # The driver's correctness gate caps at 50 entries sampled from the head of
 # this registry, so entries it has already verified sort LAST and everything
 # still lacking a driver-green row (including queries added this round, which
 # are never in this frozen set) sorts FIRST, in registry order.
 _DRIVER_CHECKED = frozenset({
+    # round 4 greens (CORRECTNESS_r04.json) — all 49; the one red row
+    # (ext_correlation, float-rounding flake, rewritten on exact
+    # integer sufficient statistics this round) stays tier-0.
+    "x29_quantize_embeddings", "ext_sql_entry_q3", "ext_order_priority_q4",
+    "ext_revenue_q6", "ext_volume_shipping_q7", "ext_market_share_q8",
+    "ext_profit_by_nation_q9", "ext_sql_entry_q10", "ext_important_stock_q11",
+    "ext_late_shipment_q12", "ext_left_join_count_q13", "ext_promo_share_q14",
+    "ext_top_supplier_q15", "ext_supplier_count_q16", "ext_avg_subquery_q17",
+    "ext_or_predicate_q19", "ext_excess_inventory_q20",
+    "ext_waiting_supplier_q21", "ext_not_exists_q22", "ext_min_cost_supplier_q2",
+    "ext_bloom_prune_join", "ext_incremental_join_view",
+    "ext_incremental_quantiles", "x38_triangle_count", "ext_profile_table",
+    "ext_histogram", "ext_string_agg", "ext_outlier_zscore", "ext_event_funnel",
+    "ext_cohort_retention", "ext_fuzzy_join", "ext_skew_profile",
+    "ext_referential_integrity", "ext_regression_slope", "ext_decile_stats",
+    "x22_media_metadata", "ext_rolling_wau", "ext_anomaly_mad",
+    "ext_event_transitions", "ext_exact_k_sample", "ext_attribution",
+    "ext_time_to_convert", "ext_session_paths", "x13_knn_ivf",
+    "x52_png_roundtrip", "x53_bpe_encode", "x54_training_shuffle",
+    "p9_cid_pdf_roundtrip", "p10_encrypted_pdf_roundtrip",
     # round 3 greens (CORRECTNESS_r03.json)
     "ext_interval_join", "ext_running_totals_state", "ext_versioned_merge",
     "ext_table_changes", "ext_ewma", "ext_scd2_build", "ext_cdc_apply",
@@ -97,67 +117,65 @@ _JUDGE_VERIFIED = frozenset({
 })
 
 
-# Round-4 rotation (VERDICT r3 "Next round" #2): the 44 entries that
-# have never earned a driver-green row now fill the 50-slot window, in
-# the judge's priority order — x29 (the one red row, now emitting a
-# gate-hashable q8_csv) first, then all 20 remaining TPC-H shapes,
-# bloom-prune, incremental join-view/quantiles, triangle count,
-# profile table, then the rest. Brand-new round-4 entries (absent from
-# every frozen set) sort immediately after this list and take the
-# remaining slots; judge-verified-only names spill in after that.
+# Round-5 rotation (VERDICT r4 "Next round" #3): the never-driver-
+# checked reference core fills the 50-slot window — the document
+# parsers p1–p7 (the reference's raison d'être), the end-user reports
+# r1–r8, this round's two fixes (ext_correlation rewritten on exact
+# integer statistics; x75 un-hung), the core dedup/ANN block x1–x20
+# (x5b/x13 already green), then the round-4 locals x55–x68 plus x74
+# (ADVICE: new float/array oracle path). x69–x73 and the remaining
+# ext_* locals head round 6's rotation.
 _WINDOW_FIRST = (
-    "x29_quantize_embeddings",
-    "ext_sql_entry_q3",
-    "ext_order_priority_q4",
-    "ext_revenue_q6",
-    "ext_volume_shipping_q7",
-    "ext_market_share_q8",
-    "ext_profit_by_nation_q9",
-    "ext_sql_entry_q10",
-    "ext_important_stock_q11",
-    "ext_late_shipment_q12",
-    "ext_left_join_count_q13",
-    "ext_promo_share_q14",
-    "ext_top_supplier_q15",
-    "ext_supplier_count_q16",
-    "ext_avg_subquery_q17",
-    "ext_or_predicate_q19",
-    "ext_excess_inventory_q20",
-    "ext_waiting_supplier_q21",
-    "ext_not_exists_q22",
-    "ext_min_cost_supplier_q2",
-    "ext_bloom_prune_join",
-    "ext_incremental_join_view",
-    "ext_incremental_quantiles",
-    "x38_triangle_count",
-    "ext_profile_table",
-    "ext_histogram",
-    "ext_string_agg",
+    "p1_bb_statement_roundtrip",
+    "p2_bb_bill_roundtrip",
+    "p3_bradesco_roundtrip",
+    "p4_bb_bill_resumo_roundtrip",
+    "p5_bb_statement_header_roundtrip",
+    "p6_bradesco_resumo_roundtrip",
+    "p7_binary_pdf_scan",
+    "r1_monthly_by_category",
+    "r2_by_category_parcelado",
+    "r3_recorrentes",
+    "r4_top_gastos",
+    "r5_top_parcelados",
+    "r6_compare_budget",
+    "r7_forms_normalize",
+    "r8_payments_report",
     "ext_correlation",
-    "ext_outlier_zscore",
-    "ext_event_funnel",
-    "ext_cohort_retention",
-    "ext_fuzzy_join",
-    "ext_skew_profile",
-    "ext_referential_integrity",
-    "ext_regression_slope",
-    "ext_decile_stats",
-    "x22_media_metadata",
-    "ext_rolling_wau",
-    "ext_anomaly_mad",
-    "ext_event_transitions",
-    "ext_exact_k_sample",
-    "ext_attribution",
-    "ext_time_to_convert",
-    "ext_session_paths",
-    # round-4 new entries completing the 50 slots (pinned so later
-    # additions — next round's rotation fodder — can't displace them)
-    "x13_knn_ivf",
-    "x52_png_roundtrip",
-    "x53_bpe_encode",
-    "x54_training_shuffle",
-    "p9_cid_pdf_roundtrip",
-    "p10_encrypted_pdf_roundtrip",
+    "x75_audio_fingerprint_dedup",
+    "x1_dedup_exact",
+    "x2_fingerprint",
+    "x3_ngram_jaccard",
+    "x4_minhash_lsh",
+    "x6_embedding_near_dup",
+    "x7_token_stats",
+    "x8_quality_scores",
+    "x9_lang_id",
+    "x10_bpe_estimate",
+    "x11_knn_bruteforce",
+    "x12_knn_lsh",
+    "x14_label_centroids",
+    "x15_multimodal_features",
+    "x16_dedup_clusters",
+    "x17_train_eval_split",
+    "x18_knn_ivf_kmeans",
+    "x19_repetition_filter",
+    "x20_knn_ivf_pq",
+    "x55_video_frame_sample",
+    "x56_bfs_hops",
+    "x57_skyline_parts",
+    "x58_temporal_reach",
+    "x59_readability",
+    "x60_conversion_pattern",
+    "x61_bm25_topk",
+    "x62_winsorized_spend",
+    "x63_ppjoin_pairs",
+    "x64_source_drift_tvd",
+    "x65_bm25_search",
+    "x66_sorted_neighborhood",
+    "x67_weighted_sssp",
+    "x68_fd_discovery",
+    "x74_rrf_fusion",
 )
 
 
@@ -177,8 +195,12 @@ def _merge_registry(attr: str) -> dict:
         return 0  # never driver-green: no slot to waste
 
     ordered: dict = {}
+    # The pinned rotation outranks the tier sort: judge-verified-only
+    # names (tier 1) still need their first driver row, and round 5's
+    # window is deliberately built from them (p1–p7, r1–r8, x1–x20).
+    # Only a name that already has a driver-green row is ineligible.
     ordered.update(
-        {k: merged[k] for k in _WINDOW_FIRST if k in merged and tier(k) == 0}
+        {k: merged[k] for k in _WINDOW_FIRST if k in merged and tier(k) < 2}
     )
     ordered.update(
         {k: v for k, v in merged.items() if tier(k) == 0 and k not in ordered}

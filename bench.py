@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -203,23 +204,53 @@ def main() -> None:
     if os.environ.get("BENCH_SKEW", "1") != "0" and not extra:
         skew = skew_bench(spark, sf_dir, run_df)
 
+    # Per-query watchdog: plan-build + execution run in a worker
+    # thread; if it exceeds the timeout, cancel every Spark job and
+    # record the sentinel instead of hanging the whole round (round 4:
+    # ONE stuck query ⇒ rc=124 ⇒ no official numbers at all).
+    q_timeout = float(os.environ.get("BENCH_QUERY_TIMEOUT", "120"))
+
     def run(name: str, warm: bool) -> float:
-        df = qs[name](spark, sf_dir)
-        # executes the full physical plan JVM-side (no Python-side row
-        # transfer) and reuses the cached plan across runs
-        rdd = df._jdf.queryExecution().toRdd()
-        if warm:
-            rdd.count()
-        t0 = time.time()
-        rdd.count()
-        return round(time.time() - t0, 3)
+        box: dict[str, object] = {}
+
+        def work() -> None:
+            try:
+                df = qs[name](spark, sf_dir)
+                # executes the full physical plan JVM-side (no
+                # Python-side row transfer) and reuses the cached plan
+                rdd = df._jdf.queryExecution().toRdd()
+                if warm:
+                    rdd.count()
+                t0 = time.time()
+                rdd.count()
+                box["t"] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+                box["err"] = f"{type(exc).__name__}"
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(q_timeout)
+        if th.is_alive():
+            spark.sparkContext.cancelAllJobs()
+            th.join(30)
+            print(
+                json.dumps({"metric": "bench_query_timeout", "query": name}),
+                file=sys.stderr,
+            )
+            return round(q_timeout, 3)
+        if "err" in box:
+            print(
+                json.dumps(
+                    {"metric": "bench_query_error", "query": name, "err": box["err"]}
+                ),
+                file=sys.stderr,
+            )
+            return round(q_timeout, 3)
+        return box["t"]  # type: ignore[return-value]
 
     timings = {name: run(name, warmup) for name in names}
     total = round(sum(timings.values()), 3)
 
-    # Full-registry pass (BENCH_FULL=0 to skip): every queries() entry,
-    # single timed execution each — the regression radar for the
-    # non-headline families (parsers, reports, dedup/ANN, DDL).
     out: dict[str, object] = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -227,6 +258,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Print the headline line IMMEDIATELY (and again last): if anything
+    # later in the run stalls or the runner is killed, the round still
+    # has its official number in the tail written so far.
+    print(json.dumps(out), flush=True)
+
     if not extra:
         # Fixed 50-query core set (frozen list, warm timings): the
         # round-over-round comparable number — registry growth adds
@@ -234,24 +270,45 @@ def main() -> None:
         core = {name: run(name, warm=warmup) for name in CORE50 if name in qs}
         out["core50_total_sec"] = round(sum(core.values()), 3)
         out["core50_n_queries"] = len(core)
-        print(json.dumps({"metric": "core50_queries_sec", "queries": core}))
+        print(json.dumps({"metric": "core50_queries_sec", "queries": core}), flush=True)
 
         if skew is not None:
             out["skew"] = skew
 
+    # Full-registry pass (BENCH_FULL=0 to skip): every queries() entry,
+    # single timed execution each — the regression radar for the
+    # non-headline families (parsers, reports, dedup/ANN, DDL). A total
+    # budget stops the pass with partial results rather than running
+    # the driver's window out.
     if os.environ.get("BENCH_FULL", "1") != "0" and not extra:
+        budget = float(os.environ.get("BENCH_FULL_BUDGET_SEC", "420"))
         t0 = time.time()
-        full = {name: run(name, warm=False) for name in qs}
+        full: dict[str, float] = {}
+        skipped: list[str] = []
+        for name in qs:
+            if time.time() - t0 > budget:
+                skipped.append(name)
+                continue
+            full[name] = run(name, warm=False)
         out["full_total_sec"] = round(sum(full.values()), 3)
         out["full_wall_sec"] = round(time.time() - t0, 3)  # incl. planning
         out["full_n_queries"] = len(full)
+        if skipped:
+            out["full_skipped_n"] = len(skipped)
+            print(
+                json.dumps({"metric": "full_budget_exhausted", "skipped": skipped}),
+                flush=True,
+            )
         # Per-query detail goes on its OWN line, before the headline line:
         # the driver keeps only the last 2,000 bytes of output, and this
         # dump is larger than that — it must never displace the headline.
-        print(json.dumps({"metric": "full_registry_queries_sec", "queries": full}))
+        print(
+            json.dumps({"metric": "full_registry_queries_sec", "queries": full}),
+            flush=True,
+        )
 
     # Headline line LAST so it survives the driver's tail capture.
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 

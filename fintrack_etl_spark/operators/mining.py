@@ -71,15 +71,23 @@ def association_rules(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_pair_count)
     )
+    # Two broadcast copies of item_counts share one lineage: alias
+    # them explicitly and write the join conditions against the
+    # aliases (the round-4 form compared against item_counts[item_col]
+    # while joining the withColumnRenamed derivative — it leaned on
+    # exprId passthrough and Spark's self-join disambiguation, which
+    # is version-fragile). Mirrors the oracle's `ic ca` / `ic cb`.
+    ca = item_counts.withColumnRenamed("_c", "_ca").alias("ca")
+    cb = item_counts.withColumnRenamed("_c", "_cb").alias("cb")
     return (
         pairs.join(
-            F.broadcast(item_counts.withColumnRenamed("_c", "_ca")),
-            pairs["antecedent"] == item_counts[item_col],
+            F.broadcast(ca),
+            F.col("antecedent") == F.col(f"ca.{item_col}"),
         )
         .drop(item_col)
         .join(
-            F.broadcast(item_counts.withColumnRenamed("_c", "_cb")),
-            F.col("consequent") == item_counts[item_col],
+            F.broadcast(cb),
+            F.col("consequent") == F.col(f"cb.{item_col}"),
         )
         .drop(item_col)
         .crossJoin(F.broadcast(n_baskets))

@@ -2282,24 +2282,81 @@ def ext_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_correlation",
     """
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*)                                            AS n,
+               sum(CAST(l_quantity AS BIGINT))                     AS sx,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))   AS sy,
+               sum(CAST(l_quantity AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+               sum(CAST(l_quantity AS HUGEINT)
+                   * CAST(l_quantity AS HUGEINT))                  AS sxx,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 3)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 1) AS covar_qty_price,
-           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope
-    FROM lineitem
-    GROUP BY l_returnflag
+           CAST(floor(1e9 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+               AS corr_nano,
+           CAST(floor(1e3 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 100.0))) AS BIGINT)
+               AS covar_milli,
+           CAST(floor(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))) AS BIGINT)
+               AS slope_micro
+    FROM s
     """,
 )
 def ext_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension — grouped bivariate statistics (corr / covariance /
-    regression slope): native co-moment aggregates, map-side partials,
-    one |groups|-row exchange. Rounded because co-moment accumulation
-    order differs across engines in the last ulps."""
+    """Extension — grouped bivariate statistics (corr / sample
+    covariance / regression slope) from EXACT integer sufficient
+    statistics: n, Σx, Σy, Σxy, Σx², Σy² accumulated in integer cents
+    (BIGINT/DECIMAL(38) partials — order-insensitive, overflow-safe to
+    ~10^25), then ONE double conversion and division at the end.
+    Native co-moment aggregates (corr/covar_samp/regr_slope) fold
+    doubles in partition order, so their last ulps are run-dependent —
+    round-4's one red driver row was exactly such a flake landing on a
+    round() halfway boundary. Outputs are floor-scaled integer units
+    (nano-corr, milli-covar, micro-slope): floor of identical IEEE
+    doubles is engine-exact. Plan unchanged: map-side partials, one
+    |groups|-row exchange."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("covar_qty_price"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    qty = F.expr("CAST(l_quantity AS BIGINT)")
+    d38 = "decimal(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(qty.cast(d38) * cents.cast(d38)).alias("sxy"),
+        F.sum(qty.cast(d38) * qty.cast(d38)).alias("sxx"),
+        F.sum(cents.cast(d38) * cents.cast(d38)).alias("syy"),
+    )
+    # Keep every co-moment term in decimal(38,0): sy*sy alone is ~1e22
+    # at sf0.01 — far past BIGINT, exact in 38-digit decimal / HUGEINT.
+    num = F.expr(
+        "CAST(CAST(n AS decimal(38,0)) * sxy"
+        " - CAST(sx AS decimal(38,0)) * CAST(sy AS decimal(38,0)) AS DOUBLE)"
+    )
+    dx = F.expr(
+        "CAST(CAST(n AS decimal(38,0)) * sxx"
+        " - CAST(sx AS decimal(38,0)) * CAST(sx AS decimal(38,0)) AS DOUBLE)"
+    )
+    dy = F.expr(
+        "CAST(CAST(n AS decimal(38,0)) * syy"
+        " - CAST(sy AS decimal(38,0)) * CAST(sy AS decimal(38,0)) AS DOUBLE)"
+    )
+    return s.select(
+        "l_returnflag",
+        F.floor(F.lit(1e9) * (num / F.sqrt(dx * dy))).cast("long").alias("corr_nano"),
+        F.floor(
+            F.lit(1e3)
+            * (num / (F.col("n").cast("double") * (F.col("n") - 1).cast("double") * F.lit(100.0)))
+        ).cast("long").alias("covar_milli"),
+        F.floor(F.lit(1e6) * (num / (dx * F.lit(100.0)))).cast("long").alias("slope_micro"),
     )
 
 

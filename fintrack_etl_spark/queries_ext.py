@@ -4832,11 +4832,15 @@ def x73_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN tot
     ),
     lex AS (
+        -- rank on the score ROUNDED to 6dp, exactly like the Spark
+        -- bm25_search ranker (textops round(...,6) before the window):
+        -- two docs whose raw folds differ by <1e-6 must tie-break by
+        -- doc_id in BOTH engines or the fused top-10 flips.
         SELECT doc_id, rnk FROM (
             SELECT doc_id,
                    row_number() OVER (
-                       ORDER BY list_reduce(list_prepend(0.0, list(s ORDER BY term)),
-                                            (a, x) -> a + x) DESC,
+                       ORDER BY round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                                                  (a, x) -> a + x), 6) DESC,
                                 doc_id ASC) AS rnk
             FROM scored GROUP BY doc_id
         ) WHERE rnk <= 20
