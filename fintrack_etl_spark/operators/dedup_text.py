@@ -612,7 +612,20 @@ def prefix_filter_pairs(
     shingle ARRAYS onto the candidate-bounded pair set and intersects
     JVM-side (`array_intersect`) — candidate count, not corpus size,
     bounds the verify stage."""
-    sh = _shingled(df, id_col, text_col, n).cache()
+    # Shingles travel as xxhash64 LONGS from the first explode on:
+    # candidate keys, df stats, rarity sort, prefixes, and the verify
+    # intersect all run on 8-byte ints instead of ~25-byte strings —
+    # ~3x less shuffle and an order-of-magnitude cheaper
+    # array_intersect on the candidate-bounded verify stage (measured
+    # 22.8 -> ~8 s cold at sf0.1). Completeness is untouched: the
+    # prefix theorem holds for ANY global total order, and Jaccard on
+    # hashed sets equals Jaccard on string sets absent 64-bit
+    # collisions (the unfiltered-oracle gate would surface one).
+    sh = (
+        _shingled(df, id_col, text_col, n)
+        .select("id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh"))
+        .cache()
+    )
     ex = sh.select("id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     arr = (

@@ -1724,21 +1724,32 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|² rows at most."""
     docs = T(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
+    # Shingles travel hashed (8-byte longs, not ~30-byte strings) and
+    # the pair matrix comes from ONE groupBy-per-shingle + in-row pair
+    # expansion over the per-shingle source set — the basket-local
+    # trick (x41) instead of a self-join, so the corpus is shingled
+    # and shuffled ONCE (the self-join recomputed both sides:
+    # 27 s -> ~6 s cold at sf0.1). A shingle in s sources still emits
+    # exactly C(s,2) rows, s bounded by the source catalog.
     sh = (
         docs.select("source", TX.shingles(toks, 3).alias("sh"))
-        .select("source", F.explode("sh").alias("g"))
+        .select("source", F.explode("sh").alias("g0"))
+        .select("source", F.xxhash64("g0").alias("g"))
         .distinct()
     )
     sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    pair_expr = F.expr(
+        "flatten(transform(srcs, x -> "
+        "transform(filter(srcs, y -> y > x), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
+        sh.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     uni = F.col("za.sz") + F.col("zb.sz") - F.col("n_shared")

@@ -34,6 +34,18 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.files.maxRecordsPerFile": "1000000",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # InferFiltersFromGenerate inserts size(e) > 0 below every explode;
+    # PushDownPredicate then substitutes computed aliases into that
+    # predicate with no cost model, so exploding a COMPUTED array
+    # (shingles, n-grams, sub-fingerprints) plants a filter at the scan
+    # that re-derives the whole array expression — per element, on the
+    # interpreted higher-order path. Measured: x23 decontamination
+    # 65.7 s -> 5 s at sf0.1 with the rule off. The rule only ever
+    # saves exploding already-empty arrays, which our operators guard
+    # structurally (total expressions returning array()).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.ui.enabled": "false",
     # The console progress bar floods stderr with \r-frames; under the
     # driver's 2,000-byte tail capture one slow stage erases the bench

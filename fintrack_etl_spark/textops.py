@@ -115,16 +115,27 @@ def shingles(toks: Column, n: int = 3) -> Column:
     past the array end is an ANSI runtime error. ``try_element_at``
     for the same reason; with the guard its indices are always valid.
     """
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # LET-BINDING via a 1-element transform: the old form referenced
+    # ``toks`` inside the per-gram lambda (n times per gram), so when a
+    # caller passes an EXPRESSION — shingles(tokens(text), 13) — or the
+    # optimizer substitutes the alias into a pushed-down predicate, the
+    # tokenizer re-evaluated n times per gram per row (measured 1.7 ms
+    # per ~45-token document; 65 s of the round-4 x23 regression).
+    # Binding the input to a lambda variable evaluates it exactly ONCE
+    # per row no matter how the expression is inlined.
+    def grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(toks), grams)[0]
 
 
 def chunk_documents(
