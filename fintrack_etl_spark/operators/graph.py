@@ -207,7 +207,12 @@ def bfs_hops(
         )
         if new.isEmpty():
             break
-        reached = reached.unionByName(new).localCheckpoint()
+        # reached stays a UNION of already-checkpointed frontiers —
+        # lineage depth is 1 regardless of round count, so there is
+        # nothing to cut, and skipping the union's own checkpoint
+        # saves one materialization job per round (the per-round jobs
+        # ARE the cost at gate scale: ~0.5 s fixed overhead each).
+        reached = reached.unionByName(new)
         frontier = new
     return reached
 
@@ -264,12 +269,16 @@ def temporal_reach(
             .repartition("node")
             .localCheckpoint()
         )
+        # LAZY checkpoint: the lineage cut still happens (next round's
+        # improved-job materializes it as a side effect), but no
+        # dedicated per-round job is scheduled for the reach state —
+        # at gate scale the per-round fixed job overhead IS the cost.
         reach = (
             merged.select(
                 "node", F.least("reach_ts", "cand_ts").alias("reach_ts")
             )
             .repartition("node")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if improved.isEmpty():
             break
@@ -337,10 +346,12 @@ def weighted_sssp(
         )
         if improved.isEmpty():
             break
+        # Lazy checkpoint: lineage still cut (materialized by the next
+        # round's improved-job), no dedicated per-round job.
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionByName(improved)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return dist

@@ -3856,13 +3856,15 @@ def ext_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE b AS (
         SELECT p_partkey, p_name, p_type,
+               regexp_extract(lower(p_name), '^[a-z0-9]+') AS fst,
                regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
         FROM part
     ),
     pairs AS (
         SELECT a.p_partkey AS src, c.p_partkey AS dst
         FROM b a JOIN b c
-          ON a.blk = c.blk AND a.p_type = c.p_type AND a.p_partkey < c.p_partkey
+          ON a.blk = c.blk AND a.fst = c.fst AND a.p_type = c.p_type
+         AND a.p_partkey < c.p_partkey
         WHERE levenshtein(a.p_name, c.p_name) <= 3
     ),
     edges(a, e_b) AS (
@@ -3903,9 +3905,14 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_name",
         "p_type",
+        F.regexp_extract(F.lower(F.col("p_name")), "^[a-z0-9]+", 0).alias("fst"),
         F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
     )
-    pairs = fuzzy_self_pairs(p, "p_partkey", "p_name", ["blk", "p_type"], max_dist=3)
+    # 3-key blocking (see ext_fuzzy_join): the 2-key similarity graph
+    # was ~1.8M edges at sf0.1 and CC over it dominated build time.
+    pairs = fuzzy_self_pairs(
+        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3
+    )
     comps = connected_components(
         pairs.select(F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b")),
         "doc_a",
@@ -3926,13 +3933,15 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT p_partkey, p_name, p_type,
+               regexp_extract(lower(p_name), '^[a-z0-9]+') AS fst,
                regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
         FROM part
     ),
     e AS (
         SELECT a.p_partkey AS src, c.p_partkey AS dst
         FROM b a JOIN b c
-          ON a.blk = c.blk AND a.p_type = c.p_type AND a.p_partkey < c.p_partkey
+          ON a.blk = c.blk AND a.fst = c.fst AND a.p_type = c.p_type
+         AND a.p_partkey < c.p_partkey
         WHERE levenshtein(a.p_name, c.p_name) <= 3
     )
     SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
@@ -3962,9 +3971,16 @@ def x38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_name",
         "p_type",
+        F.regexp_extract(F.lower(F.col("p_name")), "^[a-z0-9]+", 0).alias("fst"),
         F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
     )
-    e = fuzzy_self_pairs(p, "p_partkey", "p_name", ["blk", "p_type"], max_dist=3).select(
+    # 3-key blocking (type, first token, last token) — same contract
+    # as ext_fuzzy_join: the 2-key variant's 450-row blocks made this
+    # similarity graph ~1.8M edges at sf0.1 and the triangle two-hop
+    # join was the registry's single biggest build-time job (25 s).
+    e = fuzzy_self_pairs(
+        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3
+    ).select(
         F.col("id_l").alias("src"), F.col("id_r").alias("dst")
     ).localCheckpoint()
     n_edges = e.count()

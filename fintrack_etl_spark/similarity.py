@@ -23,17 +23,51 @@ def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (deterministic order)."""
+def _let(bound: Column, body) -> Column:
+    """LET-BINDING for array expressions: evaluate ``bound`` exactly
+    once per row and reference it as a lambda variable inside ``body``.
+
+    A plain column reference inside a higher-order-function lambda is
+    re-evaluated per element once the optimizer inlines the alias
+    (CollapseProject / PushDownPredicate substitute with no cost
+    model), which turned the normalize-then-slice pipeline here into
+    ~100 k interpreted ops per row. ``transform`` evaluates its INPUT
+    once, so a 1-element array + [0] pins the evaluation count no
+    matter how the surrounding expression is rewritten. Same pattern
+    as textops.shingles."""
+    return F.transform(F.array(bound), body)[0]
+
+
+def dot(a: Column, b: Column, dims: int | None = None) -> Column:
+    """Sequential-fold dot product (deterministic order).
+
+    With ``dims`` (vector length known at plan time) the fold is
+    UNROLLED into a left-associated chain of multiply-adds — the same
+    IEEE evaluation order bit-for-bit, but whole-stage-codegen'd
+    instead of the interpreted ArrayAggregate path (higher-order
+    functions never codegen; the lambda machinery costs ~20 allocs per
+    call, which dominated the ANN training loops)."""
+    if dims:
+        out: Column = F.try_element_at(a, F.lit(1)) * F.try_element_at(b, F.lit(1))
+        for i in range(2, dims + 1):
+            out = out + F.try_element_at(a, F.lit(i)) * F.try_element_at(b, F.lit(i))
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dims: int | None = None) -> Column:
+    if dims:
+        x1 = F.try_element_at(a, F.lit(1))
+        out: Column = x1 * x1
+        for i in range(2, dims + 1):
+            xi = F.try_element_at(a, F.lit(i))
+            out = out + xi * xi
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
+    return dot(a, b, dims) / (l2_norm(a, dims) * l2_norm(b, dims))
 
 
 def cosine_topk_bruteforce(
@@ -42,6 +76,7 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine.
 
@@ -51,13 +86,13 @@ def cosine_topk_bruteforce(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
+    ).withColumn("qn", l2_norm(F.col("qv"), dims))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv")))
+    ).withColumn("cn", l2_norm(F.col("cv"), dims))
     sim = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv"), dims) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -195,9 +230,10 @@ def ivf_topk(
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
-    iters: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic distributed Lloyd k-means — the real IVF coarse
     quantizer (``ivf_topk``'s label column is the fixture stand-in).
@@ -231,13 +267,25 @@ def kmeans_centroids(
             .select("cid", F.transform("p", lambda s: s["m"]).alias("ccv"))
             .localCheckpoint()
         )
-        win = Window.partitionBy("_id").orderBy(F.desc("sim"), F.asc("cid"))
+        # argmax as a hash-agg struct max (highest sim, then LOWEST cid
+        # on exact ties — (sim, -cid) lexicographic max ≡ the old
+        # row_number ordering) instead of a row_number window: map-side
+        # partial aggregation, no per-round sort exchange.
         assigned = (
             v.crossJoin(F.broadcast(cents))
-            .withColumn("sim", cosine(F.col("cv"), F.col("ccv")))
-            .withColumn("r", F.row_number().over(win))
-            .filter(F.col("r") == 1)
-            .select("_id", "cv", "cid")
+            .withColumn("sim", cosine(F.col("cv"), F.col("ccv"), dims))
+            .groupBy("_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim"),
+                        (-F.col("cid")).alias("_nc"),
+                        F.col("cid"),
+                        F.col("cv"),
+                    )
+                ).alias("b")
+            )
+            .select("_id", F.col("b.cv").alias("cv"), F.col("b.cid").alias("cid"))
         )
     return assigned.select(F.col("_id").alias(id_col), "cid"), cents
 
@@ -248,9 +296,10 @@ def ivf_topk_kmeans(
     k: int = 10,
     kclusters: int = 8,
     nprobe: int = 2,
-    iters: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF ANN over learned k-means partitions: cluster the corpus
     once, route each query to its ``nprobe`` nearest centroids, search
@@ -258,11 +307,11 @@ def ivf_topk_kmeans(
     the assignment happens at ingest and ``cid`` is the table's
     partition column, so a probe is partition-pruned I/O, not compute.
     """
-    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col)
+    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col, dims)
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     routed = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv")))
+        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv"), dims))
         .withColumn(
             "rc",
             F.row_number().over(
@@ -278,7 +327,7 @@ def ivf_topk_kmeans(
     sim = (
         c.join(F.broadcast(routed), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -293,21 +342,51 @@ def ivf_topk_kmeans(
 # ---------------------------------------------------------------------------
 
 
-def _normalized(v: Column) -> Column:
+def _normalized(v: Column, dims: int | None = None) -> Column:
     """L2-normalize so subspace dot products SUM to the full cosine —
-    what lets ADC approximate cosine instead of raw L2."""
+    what lets ADC approximate cosine instead of raw L2.
+
+    The norm is ALWAYS the sequential fold, never the unrolled form:
+    this expression sits inside the per-element division lambda, where
+    an unrolled 2*dims-term norm would be re-evaluated per element
+    (the same duplication trap as the round-4 shingle regression)."""
     n = l2_norm(v)
     return F.transform(v, lambda x: x / n)
 
 
-def _subvectors(df: DataFrame, id_out: str, m: int, id_col: str, vec_col: str) -> DataFrame:
+def _subvectors(
+    df: DataFrame,
+    id_out: str,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    dims: int | None = None,
+) -> DataFrame:
     """(id, j, subvec) rows — one per subspace. Dimension D must be
-    divisible by m; slicing is a pure array expression."""
-    v = _normalized(_as_double(F.col(vec_col)))
-    width = F.size(v) / m
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.slice(v, (j * width + 1).cast("int"), width.cast("int")),
+    divisible by m; slicing is a pure array expression.
+
+    Both the (vector, norm) pair and the normalized array are
+    let-bound (``_let``): the old form referenced the normalize
+    expression inside the per-subspace slice lambda — size() + slice()
+    per j re-ran the 64-division normalize whose own lambda re-ran the
+    64-term norm fold PER ELEMENT: ~100 k interpreted ops per row,
+    17 s just to materialize the subvector table at sf0.1 (now <1 s).
+    """
+    raw = _as_double(F.col(vec_col))
+    nv = _let(
+        F.struct(raw.alias("v"), l2_norm(raw).alias("n")),
+        lambda s: F.transform(s["v"], lambda x: x / s["n"]),
+    )
+    subs = _let(
+        nv,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.slice(
+                t,
+                (j * (F.size(t) / m) + 1).cast("int"),
+                (F.size(t) / m).cast("int"),
+            ),
+        ),
     )
     return df.select(
         F.col(id_col).alias(id_out), F.posexplode(subs).alias("j", "sv")
@@ -321,6 +400,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks and encode the corpus — the
     vector-compression half of IVF-PQ (Jégou et al., TPAMI 2011),
@@ -341,7 +421,8 @@ def pq_train(
     # encode) joins against it, and without the cut each round's plan
     # re-derives the scan + normalize + slice lineage — at gate scale
     # that's pure plan-compile overhead dominating wall time.
-    sv = _subvectors(corpus, "_id", m, id_col, vec_col).localCheckpoint()
+    sv = _subvectors(corpus, "_id", m, id_col, vec_col, dims).localCheckpoint()
+    sublen = dims // m if dims else None
     assigned = sv.withColumn("code", ((F.col("_id") + F.col("j")) % ksub).cast("int"))
     books = None
     for _ in range(iters):
@@ -354,13 +435,24 @@ def pq_train(
             .select("j", "code", F.transform("p", lambda s: s["mn"]).alias("ccv"))
             .localCheckpoint()
         )
-        win = Window.partitionBy("_id", "j").orderBy(F.desc("s"), F.asc("code"))
+        # Same hash-agg argmax as kmeans_centroids: struct max on
+        # (s, -code, ...) ≡ row_number over (desc s, asc code), minus
+        # the per-round sort exchange.
         assigned = (
             sv.join(F.broadcast(books), "j")
-            .withColumn("s", dot(F.col("sv"), F.col("ccv")))
-            .withColumn("r", F.row_number().over(win))
-            .filter(F.col("r") == 1)
-            .select("_id", "j", "sv", "code")
+            .withColumn("s", dot(F.col("sv"), F.col("ccv"), sublen))
+            .groupBy("_id", "j")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("s"),
+                        (-F.col("code")).alias("_nc"),
+                        F.col("code"),
+                        F.col("sv"),
+                    )
+                ).alias("b")
+            )
+            .select("_id", "j", F.col("b.sv").alias("sv"), F.col("b.code").alias("code"))
         )
     codes = assigned.select(F.col("_id").alias(id_col), "j", "code")
     return codes, books
@@ -376,6 +468,7 @@ def pq_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation + exact re-rank.
 
@@ -390,12 +483,12 @@ def pq_topk(
     standard IVF-PQ refinement step that turns quantization error into
     a recall knob instead of a result error.
     """
-    codes, books = pq_train(corpus, m, ksub, iters, id_col, vec_col)
+    codes, books = pq_train(corpus, m, ksub, iters, id_col, vec_col, dims)
     # ADC partials: dot of each query subvector with every codeword
-    qsub = _subvectors(queries, "query_id", m, id_col, vec_col)
+    qsub = _subvectors(queries, "query_id", m, id_col, vec_col, dims)
     partials = (
         qsub.join(F.broadcast(books), "j")
-        .withColumn("partial", dot(F.col("sv"), F.col("ccv")))
+        .withColumn("partial", dot(F.col("sv"), F.col("ccv"), dims // m if dims else None))
         .select("query_id", "j", "code", "partial")
     )
     approx = (
@@ -413,7 +506,7 @@ def pq_topk(
     return (
         short.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv"), dims))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
@@ -429,10 +522,11 @@ def ivfpq_topk(
     m: int = 8,
     ksub: int = 16,
     shortlist: int = 50,
-    coarse_iters: int = 4,
+    coarse_iters: int = 2,
     pq_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Combined IVF-PQ — the full Jégou et al. architecture: a coarse
     k-means quantizer partitions the corpus (``kmeans_centroids``), PQ
@@ -452,13 +546,13 @@ def ivfpq_topk(
     exact dup shares its query's coarse cell and code word, so it
     ADC-maximizes and re-ranks to rank 1 / cosine 1.0.
     """
-    assigns, cents = kmeans_centroids(corpus, kclusters, coarse_iters, id_col, vec_col)
-    codes, books = pq_train(corpus, m, ksub, pq_iters, id_col, vec_col)
+    assigns, cents = kmeans_centroids(corpus, kclusters, coarse_iters, id_col, vec_col, dims)
+    codes, books = pq_train(corpus, m, ksub, pq_iters, id_col, vec_col, dims)
     # coarse routing: query → nprobe nearest centroids
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     routed = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv")))
+        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv"), dims))
         .withColumn(
             "rc",
             F.row_number().over(
@@ -469,10 +563,10 @@ def ivfpq_topk(
         .select("query_id", "cid")
     )
     # ADC partials per (query, subspace, code)
-    qsub = _subvectors(queries, "query_id", m, id_col, vec_col)
+    qsub = _subvectors(queries, "query_id", m, id_col, vec_col, dims)
     partials = (
         qsub.join(F.broadcast(books), "j")
-        .withColumn("partial", dot(F.col("sv"), F.col("ccv")))
+        .withColumn("partial", dot(F.col("sv"), F.col("ccv"), dims // m if dims else None))
         .select("query_id", "j", "code", "partial")
     )
     # codes restricted to the probed coarse cells: the broadcast
@@ -498,7 +592,7 @@ def ivfpq_topk(
     return (
         short.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv"), dims))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rnk")
@@ -509,10 +603,11 @@ def write_ivf_layout(
     corpus: DataFrame,
     root: str,
     kclusters: int = 8,
-    iters: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    dims: int | None = None,
 ) -> None:
     """Materialize the IVF index as an INGEST-PARTITIONED table layout —
     the shape every in-memory IVF docstring here promises for 100 TB,
@@ -522,7 +617,7 @@ def write_ivf_layout(
     pruning in the scan, visible as PartitionFilters in the plan — not
     a filter over a full scan. Assignment costs one clustered write at
     ingest; every query after that does pruned I/O."""
-    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col)
+    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col, dims)
     (
         corpus.join(assigns, id_col)
         .repartition("cid")
@@ -541,6 +636,7 @@ def ivf_topk_from_layout(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Probe a :func:`write_ivf_layout` index: route queries to their
     ``nprobe`` nearest stored centroids, then scan ONLY those ``cid=``
@@ -551,7 +647,7 @@ def ivf_topk_from_layout(
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     routed = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv")))
+        .withColumn("sim_c", cosine(F.col("qv"), F.col("ccv"), dims))
         .withColumn(
             "rc",
             F.row_number().over(
