@@ -174,8 +174,11 @@ _WINDOW_FIRST = (
     "x65_bm25_search",
     "x66_sorted_neighborhood",
     "x67_weighted_sssp",
-    "x68_fd_discovery",
     "x74_rrf_fusion",
+    # round-5 stretch (VERDICT r4 #7): the full scan→decrypt→parse→
+    # categorize→report lifecycle as ONE plan. x68/x69–x73 head the
+    # round-6 rotation.
+    "p11_bank_pipeline_e2e",
 )
 
 

@@ -730,3 +730,151 @@ def p10_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode("text", "utf-8")).alias("fp"),
         F.length("text").alias("n_chars"),
     )
+
+
+def _p11_oracle() -> str:
+    cat = rules.categorize_sql_case(f"({_BILL_DESC_SQL})")
+    return f"""
+    WITH parsed AS (
+        SELECT p_partkey % 199                              AS doc_id,
+               ({_BILL_DESC_SQL})                           AS descricao,
+               round(CASE WHEN p_partkey % 7 = 0 THEN -p_retailprice
+                          ELSE p_retailprice END, 2)        AS valor,
+               {cat["categoria"]}                           AS categoria,
+               {cat["subcategoria"]}                        AS subcategoria,
+               {cat["parcelado_suspeito"]}                  AS parcelado_suspeito
+        FROM part
+    )
+    SELECT categoria, subcategoria,
+           CAST(count(*) AS BIGINT)                                   AS n_txn,
+           CAST(count(DISTINCT doc_id) AS BIGINT)                     AS n_docs,
+           CAST(sum(CAST(round(valor * 100) AS BIGINT)) AS BIGINT)    AS total_cents,
+           CAST(sum(CASE WHEN parcelado_suspeito THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_parcelado
+    FROM parsed
+    GROUP BY categoria, subcategoria
+    """
+
+
+@register("p11_bank_pipeline_e2e", None)  # oracle attached below (computed)
+def p11_bank_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL document lifecycle in one plan — the
+    ``bank_lnd_raw_finantial_files_load`` shape
+    (``etls_raw/main.py:352-424``): binary file scan → RC4 decrypt +
+    text extraction → dialect parse → rule categorization → the
+    end-user category report.
+
+    Concretely: each document's BB-bill text (p2's render) is sealed
+    into a REAL encrypted PDF container (``minipdf.build_pdf_encrypted``
+    — R3/128-bit standard security handler, the format banks ship), the
+    distributed ``binary_docs_to_text`` pipeline derives the file key,
+    decrypts, inflates and extracts the text, ``parse_bb_bill`` turns
+    lines into transactions with card-context forward-fill, the F12
+    when-chain categorizes, and the report aggregates per (categoria,
+    subcategoria) in integer cents. The oracle computes the expected
+    report STRAIGHT from the fixture table — any failure anywhere in
+    the five-stage chain (key derivation, CMap, regex, forward-fill,
+    rule order, money parse) lands in a wrong count or cent sum.
+
+    Scale: the two codec passes are Arrow-batched mapInPandas with a
+    repartition fan-out (no shuffle, payload dropped at decode); parse
+    and categorize are native column expressions; the only exchange is
+    the |categories|-row final groupBy."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from .parse.minipdf import build_pdf_encrypted
+    from .parse.pdf_source import binary_docs_to_text
+
+    # --- stage 1: render the bill text per document (p2's fixtures)
+    p = T(spark, sf_dir, "part")
+    h = F.col("p_partkey") % 2
+    desc = F.expr(_BILL_DESC_SQL)
+    data = F.concat_ws(
+        "/",
+        F.lpad((F.col("p_partkey") % 28 + 1).cast("string"), 2, "0"),
+        F.lpad((F.col("p_partkey") % 12 + 1).cast("string"), 2, "0"),
+    )
+    signed = F.when(
+        F.col("p_partkey") % 7 == 0, F.concat(F.lit("-"), _brl("p_retailprice"))
+    ).otherwise(_brl("p_retailprice"))
+    pais_tok = F.when(F.col("p_partkey") % 3 == 0, F.lit("BR"))
+    line = F.concat_ws(" ", data, desc, pais_tok, F.lit("R$"), signed)
+    txn = p.select(
+        (F.col("p_partkey") % 199).alias("doc_id"),
+        (h * F.lit(1_000_000_000) + F.col("p_partkey")).alias("ord"),
+        line.alias("ln"),
+    )
+    ctx = (
+        p.select((F.col("p_partkey") % 199).alias("doc_id"), h.alias("h"))
+        .distinct()
+        .select(
+            "doc_id",
+            (F.col("h") * F.lit(1_000_000_000) - 1).alias("ord"),
+            F.concat(
+                F.when(F.col("h") == 0, "TITULAR ALFA").otherwise("TITULAR BETA"),
+                F.lit(" (Cartão "),
+                F.when(F.col("h") == 0, "1111").otherwise("2222"),
+                F.lit(")"),
+            ).alias("ln"),
+        )
+    )
+    docs = _doc_text(txn.unionByName(ctx), "doc_id", "ord", "ln").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    # --- stage 2: seal into encrypted PDF containers
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": "/bank/" + b["doc_id"].astype(str) + ".pdf",
+                    "content": [build_pdf_encrypted(t) for t in b["text"]],
+                }
+            )
+
+    binary = docs.select("doc_id", "text").mapInPandas(
+        _encode,
+        TT.StructType(
+            [
+                TT.StructField("path", TT.StringType(), False),
+                TT.StructField("content", TT.BinaryType(), False),
+            ]
+        ),
+    )
+
+    # --- stage 3: distributed decrypt + extract. The extracted text is
+    # materialized ONCE (lazy checkpoint): the line parser fans into
+    # several filtered branches, and without the barrier each branch
+    # re-runs the whole encode→decrypt→extract Python codec pipeline
+    # (measured 39 s -> 7 s at the sf0.01 gate). This is also the
+    # reference's own lifecycle — extracted text lands in the raw zone
+    # before parsing (etls_raw/main.py:352-424).
+    decoded = binary_docs_to_text(binary).filter(F.col("decode_error").isNull())
+    redocs = decoded.select(
+        F.regexp_extract("doc_path", r"/bank/(\d+)\.pdf", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "text",
+    ).localCheckpoint(eager=False)
+
+    # --- stages 4+5: parse, categorize (inside parse_bb_bill), report
+    parsed = parse_bb_bill(redocs)
+    return (
+        parsed.groupBy("categoria", "subcategoria")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_txn"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.sum(F.expr("CAST(round(valor * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("total_cents"),
+            F.sum(F.when(F.col("parcelado_suspeito"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_parcelado"),
+        )
+    )
+
+
+ORACLES["p11_bank_pipeline_e2e"] = _p11_oracle()
