@@ -290,11 +290,51 @@ def expire_snapshots(spark: SparkSession, table: str, older_than=None, retain_la
 
     if _os.path.sep in table or table_exists(table):
         return expire_versions(table, retain_last=retain_last)
+    if _iceberg_available(spark):
+        # Real Iceberg catalog present: the reference's exact call
+        # (datatrack_spark_utils.py:756-768). older_than defaults to
+        # "now" so retain_last is the effective knob, like the ref.
+        args = [f"table => '{table}'", f"retain_last => {int(retain_last)}"]
+        if older_than is not None:
+            args.insert(1, f"older_than => TIMESTAMP '{older_than}'")
+        return spark.sql(
+            f"CALL {_iceberg_catalog(spark)}.system.expire_snapshots({', '.join(args)})"
+        )
     raise NotImplementedError(
         "expire_snapshots on a catalog table requires an Iceberg catalog; "
         "use a lake_tx versioned table root for plain-parquet snapshot "
         "lineage (see fintrack_etl_spark/lake_tx.py)"
     )
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime jar + a configured catalog are on
+    the session — lights up the real MERGE/DELETE/expire paths when a
+    user runs this engine on a cluster that ships Iceberg (the sandbox
+    does not, so the lake_tx commit-log fallback stays the default)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — jar probe
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+    except Exception:  # noqa: BLE001 — any JVM error means "not present"
+        return False
+    return _iceberg_catalog(spark) is not None
+
+
+def _iceberg_catalog(spark: SparkSession) -> str | None:
+    """First catalog configured with the Iceberg SparkCatalog impl."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:  # noqa: BLE001
+        return None
+    for k, v in confs:
+        if (
+            k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and "iceberg" in str(v).lower()
+        ):
+            return k.rsplit(".", 1)[-1]
+    return None
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
