@@ -527,3 +527,41 @@ def test_association_rules_never_self_join_facts(spark, sf_dir):
     assert "SortMergeJoin" not in phys, phys
     # item counts and N are broadcast, not shuffled against the pairs
     assert "BroadcastHashJoin" in phys, phys
+
+
+def test_no_exponential_alias_inlining_in_expression_heavy_plans(spark, sf_dir):
+    """Round-4/5 pathology canary: PushDownPredicate substitutes
+    aliases into predicates with no cost model, and
+    InferFiltersFromGenerate (now excluded in session.py) plants a
+    size(e) > 0 filter below every explode — together they inlined
+    whole shingle/fingerprint chains into single Filter conditions at
+    the scan (93-178 KB expressions, re-evaluated interpreted per row:
+    the x75 hang and the x23 69.9 s regression). Pin the ceiling: no
+    single optimized-plan NODE in the expression-heavy entries may
+    exceed 20 KB (healthy plans sit under 3 KB per node; the blowups
+    were 30-60x that)."""
+    from fintrack_etl_spark.queries_ext import QUERIES
+
+    for name in (
+        "x23_decontaminate",
+        "x75_audio_fingerprint_dedup",
+        "x63_ppjoin_pairs",
+        "ext_source_overlap",
+        "x3_ngram_jaccard",
+        "x4_minhash_lsh",
+    ):
+        jplan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+
+        def walk(node, worst=0):
+            s = node.toString().split("\n", 1)[0]
+            worst = max(worst, len(s))
+            for i in range(node.children().size()):
+                worst = max(worst, walk(node.children().apply(i)))
+            return worst
+
+        worst = walk(jplan)
+        assert worst < 20_000, (
+            f"{name}: optimized-plan node of {worst} chars — alias "
+            f"inlining has re-exploded (see session.py excludedRules and "
+            f"the _let/shingles let-binding pattern)"
+        )
