@@ -658,3 +658,98 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 30,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplication profile (the
+    character-level dedup of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — ExactSubstr): for every
+    document, how many of its ``gram_len``-char windows appear
+    verbatim in at least one OTHER document, and how many of its
+    characters are covered by such shared windows (the span you would
+    cut). Word-shingle dedup (x3/x4/x63) misses verbatim reuse that
+    crosses token boundaries or lives inside long lines; this is the
+    substring-level complement.
+
+    Shape: one split-to-chars pass per doc (let-bound — the window
+    extraction references only lambda variables, so the char array is
+    materialized once per row no matter how the optimizer inlines it),
+    windows hashed to xxhash64 longs at the source; one groupBy over
+    (gram → distinct-doc count) finds shared grams; per-doc coverage
+    is the classic union-of-fixed-length-intervals sum — sort hit
+    positions, first hit contributes ``gram_len``, each next
+    ``min(gram_len, gap)`` — a per-doc window, never a self-join.
+
+    At 100 TB the paper's suffix-array pass is replaced by exactly
+    this gram table with a STRIDE (hash every k-th window, verify
+    matches by re-reading the colliding docs); stride=1 here keeps
+    the DuckDB oracle bit-exact.
+
+    Returns (id, n_chars, n_shared_grams, covered_chars).
+    """
+    from ..similarity import _let
+
+    empty = "array<struct<p:bigint,g:bigint>>"
+    chars = F.expr(f"filter(split({text_col}, ''), c -> c <> '')")
+    grams = _let(
+        chars,
+        lambda t: F.when(
+            F.size(t) >= gram_len,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - gram_len),
+                lambda p: F.struct(
+                    p.cast("long").alias("p"),
+                    F.xxhash64(F.array_join(F.slice(t, p + 1, gram_len), "")).alias(
+                        "g"
+                    ),
+                ),
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {empty})")),
+    )
+    # Two consumers (shared-gram detection + the hit join) — pin the
+    # gram table once or the whole split+window+hash extraction runs
+    # twice (lazy checkpoint: ~24 B/gram, 40 MB at sf0.1).
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("pg"))
+        .select("id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    shared = (
+        ex.groupBy("g")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("p")
+    cov = (
+        ex.join(shared, "g")
+        .withColumn("prev", F.lag("p").over(w))
+        .groupBy("id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_grams"),
+            F.sum(
+                F.when(F.col("prev").isNull(), gram_len).otherwise(
+                    F.least(F.lit(gram_len), F.col("p") - F.col("prev"))
+                )
+            ).alias("covered_chars"),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.length(text_col).alias("n_chars")
+        )
+        .join(cov, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            F.coalesce("covered_chars", F.lit(0)).cast("long").alias("covered_chars"),
+        )
+    )

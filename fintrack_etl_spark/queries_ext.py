@@ -5051,3 +5051,64 @@ def x75_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-driven collision piles 12-bit chunks produced in round 4.
     fps = pcm_fingerprint(corpus, sample_col="s", chunk_frames=8)
     return fingerprint_match_pairs(fps, max_hamming=4)
+
+
+@register(
+    "x76_substring_dedup",
+    f"""
+    WITH corpus AS ({_RECRAWL_SQL}),
+    g AS (
+        SELECT doc_id, text,
+               unnest(range(0, CASE WHEN length(text) >= 30
+                                    THEN length(text) - 30 + 1 ELSE 0 END)) AS p
+        FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p,
+               substring(text, CAST(p AS INT) + 1, 30) AS gv
+        FROM g
+    ),
+    shared AS (
+        SELECT gv FROM grams GROUP BY gv HAVING count(DISTINCT doc_id) >= 2
+    ),
+    lagged AS (
+        SELECT doc_id, p, gv,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM grams JOIN shared USING (gv)
+    ),
+    cov AS (
+        SELECT doc_id,
+               count(DISTINCT gv) AS n_shared_grams,
+               sum(CASE WHEN prev IS NULL THEN 30
+                        ELSE least(30, p - prev) END) AS covered
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(length(c.text) AS BIGINT)            AS n_chars,
+           CAST(coalesce(cov.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           CAST(coalesce(cov.covered, 0) AS BIGINT)  AS covered_chars
+    FROM corpus c LEFT JOIN cov ON c.doc_id = cov.doc_id
+    """,
+)
+def x76_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level EXACT-SUBSTRING dedup profile
+    (``dedup_text.substring_dedup`` — the Lee et al. 2022 ExactSubstr
+    method): per document, the distinct 30-char windows shared
+    verbatim with any OTHER document and the characters covered by
+    those windows (the cuttable span). The recrawl twins guarantee
+    full-coverage hits; template-generated text contributes partial
+    spans that word-shingle dedup (x3/x4/x63) cannot see when reuse
+    crosses token boundaries. Interval-union coverage is the
+    sort + lag window form — exact, no pair expansion. The oracle
+    recomputes on RAW substrings while the engine joins on xxhash64
+    grams, so the value gate also certifies hash injectivity on this
+    corpus (same discipline as x23). Scale: gram table is one
+    let-bound split pass (stride=1 here; production uses a stride +
+    verify pass, see operator docstring); shared-gram detection is one
+    groupBy; coverage is a per-doc window. Reference analog: none
+    (engine extension)."""
+    from .operators.dedup_text import substring_dedup
+
+    return substring_dedup(
+        _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", gram_len=30
+    )

@@ -1215,3 +1215,35 @@ def test_fingerprint_match_pairs_finds_planted_twin(spark):
     )
     pairs2 = fingerprint_match_pairs(pcm_fingerprint(df2, chunk_frames=4)).collect()
     assert pairs2 == []
+
+
+def test_substring_dedup_finds_cross_doc_spans(spark):
+    from fintrack_etl_spark.operators.dedup_text import substring_dedup
+
+    shared = "X" * 10 + "SHAREDSPANSHAREDSPANSHAREDSPAN" + "Y" * 10  # 30-char core
+    rows = [
+        (1, shared),                         # shares the core with 2
+        (2, "A" * 25 + shared[10:40] + "B" * 25),
+        (3, "z" * 80),                       # unique (z-run only in doc 3)
+        (4, "too short"),                    # < gram_len -> zero grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in substring_dedup(df, gram_len=30).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1 and 2 share exactly the 30-char core: one shared gram each,
+    # covering exactly 30 chars
+    assert out[1]["n_shared_grams"] == 1 and out[1]["covered_chars"] == 30
+    assert out[2]["n_shared_grams"] == 1 and out[2]["covered_chars"] == 30
+    assert out[3]["n_shared_grams"] == 0 and out[3]["covered_chars"] == 0
+    assert out[4]["n_shared_grams"] == 0 and out[4]["n_chars"] == 9
+    # identical twin docs -> full coverage; a NON-PERIODIC body makes
+    # every window a distinct gram value (n - L + 1 of them)
+    import string
+
+    body = (string.ascii_letters + string.digits)[:60]
+    twins = spark.createDataFrame(
+        [(1, body), (2, body)], ["doc_id", "text"]
+    )
+    t = {r["doc_id"]: r for r in substring_dedup(twins, gram_len=30).collect()}
+    assert t[1]["covered_chars"] == t[1]["n_chars"] == 60
+    assert t[1]["n_shared_grams"] == 60 - 30 + 1
