@@ -5112,3 +5112,70 @@ def x76_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(
         _with_recrawl(T(spark, sf_dir, "documents")), "doc_id", "text", gram_len=30
     )
+
+
+@register(
+    "x77_ccnet_buckets",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    lm AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(1000000 * sum(lm.c) // count(*) AS BIGINT) AS score_micro
+        FROM tok JOIN lm USING (term)
+        GROUP BY tok.doc_id
+    ),
+    bucketed AS (
+        SELECT d.doc_id, d.lang, s.score_micro,
+               CAST(ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY s.score_micro DESC, d.doc_id ASC)
+                    AS INT) AS bucket
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, score_micro, bucket, bucket <= 2 AS kept
+    FROM bucketed
+    """,
+)
+def x77_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus unigram LM (x26's log-free integer
+    proxy — avg corpus count per token, micro-scaled integer division
+    so the value is bit-exact across engines), split each LANGUAGE
+    into head/middle/tail terciles by score (ntile over a fully
+    deterministic ordering), keep head+middle — the standard
+    pre-training curation step that drops the most perplexe tail per
+    language rather than applying one global threshold (which would
+    starve low-resource languages). Plan: one |vocab| shuffle to build
+    the LM (broadcast back), one per-doc rollup, one doc-level join
+    for lang, one |docs|-row window per lang — the corpus streams
+    once; the window runs over doc-level rows, never tokens.
+    Reference analog: none (engine extension; composes with x30's
+    heuristic gate and x70's DSIR as the curation family)."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        tok.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(1000000 * sum(c) DIV count(*) AS BIGINT)").alias("score_micro"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("int"))
+        .select(
+            "doc_id",
+            "lang",
+            "score_micro",
+            "bucket",
+            (F.col("bucket") <= 2).alias("kept"),
+        )
+    )
