@@ -10,16 +10,22 @@ Codec status (honest inventory):
   PNG per the public spec, CRC-checked, all five filter types) plus a
   24-bit BMP path; ``decode_image`` and ``resize_image`` run them
   end-to-end, quarantining undecodable rows as ``decode_error``.
-- **audio: REAL container parse** — RIFF/WAVE chunk walk in
-  ``sniff_media_metadata`` (and x49's segmenter); compressed codecs
-  (mp3 etc.) are out of scope.
-- **video: REAL container codec** — ``encode_avi``/``parse_avi``
-  implement RIFF/AVI 1.0 (avih + strl headers, movi ``00db``
-  uncompressed-DIB frames, idx1 cross-checked) and
-  ``sample_avi_frames`` runs real frame-sampling over it; compressed
-  video codecs (H.264 etc.) stay out of scope like mp3 does for
-  audio. ``sample_video_frames`` keeps its deterministic
-  byte-splitter as the format-agnostic plumbing stub.
+- **audio: REAL container parse + REAL compressed codec** — RIFF/WAVE
+  chunk walk in ``sniff_media_metadata`` (and x49's segmenter), plus
+  IMA/DVI ADPCM (wFormatTag 0x11, the standard step/index tables,
+  fact-chunk lengths) encode AND four-table state-machine decode
+  (``encode_wav_adpcm``/``parse_wav_adpcm``, gated by x79). Transform
+  codecs (mp3 etc.) remain out of scope.
+- **video: REAL container codec + REAL compressed codec** —
+  ``encode_avi``/``parse_avi`` implement RIFF/AVI 1.0 (avih + strl
+  headers, idx1 cross-checked) with BOTH uncompressed ``00db`` DIB
+  frames and MS-RLE8 (BI_RLE8 / 'mrle') compressed ``00dc`` frames —
+  the registered run-length video codec, all four decode modes
+  (``rle8_encode``/``rle8_decode``, gated by x78);
+  ``sample_avi_frames`` runs real frame-sampling over either.
+  Transform-coded video (H.264 etc.) stays out of scope like mp3.
+  ``sample_video_frames`` keeps its deterministic byte-splitter as
+  the format-agnostic plumbing stub.
 """
 
 from __future__ import annotations
@@ -793,3 +799,169 @@ def fingerprint_match_pairs(
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM audio (WAVE_FORMAT_IMA_ADPCM, wFormatTag 0x11) — a REAL
+# compressed audio codec per the public IMA Digital Audio spec (the
+# 4-bit code, 89-entry step table, and index-adjust table are the
+# standard ones; the same algorithm ships in RFC 3551 / every VfW
+# "Microsoft IMA ADPCM" WAV). 4:1 compression of PCM16. Transform
+# codecs (mp3 etc.) stay out of scope; run-length (video) + ADPCM
+# (audio) are the honest compressed-codec classes this engine decodes
+# for real.
+# ---------------------------------------------------------------------------
+
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_BLOCK_ALIGN = 256  # bytes -> (256-4)*2+1 = 505 samples per block
+_ADPCM_SAMPLES_PER_BLOCK = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+
+
+def _ima_step(predictor: int, index: int, code: int) -> tuple[int, int]:
+    """One IMA reconstruction step (shared by encoder and decoder —
+    the encoder tracks the decoder's state exactly, which is what
+    makes the scheme self-synchronizing)."""
+    step = _IMA_STEPS[index]
+    vpdiff = step >> 3
+    if code & 4:
+        vpdiff += step
+    if code & 2:
+        vpdiff += step >> 1
+    if code & 1:
+        vpdiff += step >> 2
+    predictor = predictor - vpdiff if code & 8 else predictor + vpdiff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[code & 7]))
+    return predictor, index
+
+
+def adpcm_encode_block(samples: list[int], index: int = 0) -> bytes:
+    """Encode one block (<= _ADPCM_SAMPLES_PER_BLOCK PCM16 samples):
+    4-byte header (predictor int16 = sample 0 stored EXACTLY, step
+    index, reserved 0) + one 4-bit code per remaining sample, low
+    nibble first, zero-padded to the block's nibble capacity."""
+    import struct
+
+    predictor = samples[0]
+    out = bytearray(struct.pack("<hBB", predictor, index, 0))
+    nibbles: list[int] = []
+    for s in samples[1:]:
+        step = _IMA_STEPS[index]
+        diff = s - predictor
+        code = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        predictor, index = _ima_step(predictor, index, code)
+        nibbles.append(code)
+    cap = (_ADPCM_BLOCK_ALIGN - 4) * 2
+    nibbles += [0] * (cap - len(nibbles))
+    for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def encode_wav_adpcm(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Pack PCM16 samples into a spec-compliant IMA-ADPCM WAV:
+    RIFF/WAVE, fmt chunk with wFormatTag=0x11 + the cbSize=2
+    wSamplesPerBlock extension, a fact chunk carrying the TRUE sample
+    count (mandatory for compressed formats), and a data chunk of
+    fixed-align blocks. ~4:1 vs PCM16."""
+    import struct
+
+    blocks = []
+    index = 0
+    for i in range(0, len(samples), _ADPCM_SAMPLES_PER_BLOCK):
+        chunk = samples[i : i + _ADPCM_SAMPLES_PER_BLOCK]
+        blocks.append(adpcm_encode_block(chunk, index))
+        # carry the ADAPTED (end-of-block) step index into the next
+        # block header — re-derived by replaying the block, so the
+        # state lives in exactly one place; blocks stay independently
+        # decodable because each header stores its own start state
+        _, index = adpcm_decode_block(blocks[-1], len(chunk))
+    data = b"".join(blocks)
+    byte_rate = sample_rate * _ADPCM_BLOCK_ALIGN // _ADPCM_SAMPLES_PER_BLOCK
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+        _ADPCM_BLOCK_ALIGN, 4, 2, _ADPCM_SAMPLES_PER_BLOCK,
+    )
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def adpcm_decode_block(block: bytes, n_samples: int) -> tuple[list[int], int]:
+    """Decode one block; returns (samples, end index state)."""
+    import struct
+
+    predictor, index, _ = struct.unpack_from("<hBB", block, 0)
+    out = [predictor]
+    nibbles = []
+    for byte in block[4:]:
+        nibbles.append(byte & 0xF)
+        nibbles.append(byte >> 4)
+    for code in nibbles[: n_samples - 1]:
+        predictor, index = _ima_step(predictor, index, code)
+        out.append(predictor)
+    return out, index
+
+
+def parse_wav_adpcm(blob: bytes) -> dict:
+    """Parse + fully DECODE an IMA-ADPCM WAV: validates RIFF/WAVE,
+    reads the 0x11 fmt (+extension), takes the true length from fact,
+    walks the fixed-align data blocks through the four-table IMA state
+    machine. Returns {sample_rate, n_samples, samples}."""
+    import struct
+
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE", blob[:12]
+    pos, fmt, n_samples, data = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHHHH", body, 0)
+            assert fmt[0] == 0x11 and fmt[1] == 1 and fmt[5] == 4, fmt
+            assert fmt[4] == _ADPCM_BLOCK_ALIGN and fmt[7] == _ADPCM_SAMPLES_PER_BLOCK, fmt
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack_from("<I", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    assert fmt is not None and n_samples is not None and data is not None
+    samples: list[int] = []
+    remaining = n_samples
+    for off in range(0, len(data), _ADPCM_BLOCK_ALIGN):
+        take = min(remaining, _ADPCM_SAMPLES_PER_BLOCK)
+        block_samples, _ = adpcm_decode_block(data[off : off + _ADPCM_BLOCK_ALIGN], take)
+        samples.extend(block_samples)
+        remaining -= take
+        if remaining == 0:
+            break
+    assert len(samples) == n_samples, (len(samples), n_samples)
+    return {
+        "sample_rate": fmt[2],
+        "n_samples": n_samples,
+        "samples": samples,
+        "data_bytes": len(data),
+    }

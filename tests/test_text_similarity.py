@@ -1286,3 +1286,47 @@ def test_rle8_codec_roundtrip_all_modes():
         rle8_decode(bytes([200, 5, 0, 1]), 8, 2)  # run past row end
     with _pt.raises(ValueError):
         rle8_decode(bytes([2, 5]), 8, 2)  # missing end-of-bitmap
+
+
+def test_adpcm_codec_contracts():
+    import math
+
+    from fintrack_etl_spark.multimodal import (
+        _ADPCM_SAMPLES_PER_BLOCK,
+        _ima_step,
+        encode_wav_adpcm,
+        parse_wav_adpcm,
+    )
+
+    # exact IMA state-machine vector: (pred=0, idx=0, code=7)
+    # step=7 -> vpdiff = 0 + 7 + 3 + 1 = 11, index += 8
+    assert _ima_step(0, 0, 7) == (11, 8)
+    assert _ima_step(0, 0, 15) == (-11, 8)      # sign bit
+    # code 0 at index 20 (step 50): vpdiff = 50 >> 3 = 6, index -1
+    assert _ima_step(100, 20, 0) == (106, 19)
+    # clamps
+    assert _ima_step(32760, 88, 7)[0] == 32767
+    assert _ima_step(0, 0, 0)[1] == 0           # index floor
+
+    # smooth-signal roundtrip: steady-state tracking after adaptation
+    n = 1600
+    sig = [int(8000 * math.sin(2 * math.pi * 100 * i / 8000)) for i in range(n)]
+    out = parse_wav_adpcm(encode_wav_adpcm(sig))
+    assert out["n_samples"] == n and out["sample_rate"] == 8000
+    err = [a - b for a, b in zip(sig, out["samples"])]
+    ps = sum(x * x for x in sig) / n
+    pe = max(sum(x * x for x in err) / n, 1e-9)
+    assert 10 * math.log10(ps / pe) > 25, "ADPCM SNR below spec-typical range"
+    # steady state (post-adaptation) error stays within a few steps
+    assert max(abs(e) for e in err[200:]) < 2500
+
+    # block anchors are EXACT (header stores the first sample verbatim)
+    spb = _ADPCM_SAMPLES_PER_BLOCK
+    big = sig * 2
+    dec = parse_wav_adpcm(encode_wav_adpcm(big))["samples"]
+    for b in range(0, len(big), spb):
+        assert dec[b] == big[b], f"block anchor at {b} not exact"
+
+    # 4:1-class compression: data chunk = 256 bytes per 505 samples
+    v = parse_wav_adpcm(encode_wav_adpcm(big))
+    assert v["data_bytes"] == 256 * ((len(big) + spb - 1) // spb)
