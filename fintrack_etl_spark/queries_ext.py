@@ -5348,3 +5348,42 @@ def x79_adpcm_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(rows)
 
     return docs.mapInPandas(_roundtrip, out_schema)
+
+
+@register(
+    "x80_suffix_ranks",
+    """
+    WITH pos AS (
+        SELECT doc_id, unnest(range(0, length(text))) AS p, text
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p,
+               CAST(dense_rank() OVER (
+                   ORDER BY substring(text, CAST(p AS INT) + 1, 32)
+               ) AS BIGINT) AS srank
+        FROM pos
+    )
+    SELECT doc_id, p, srank FROM ranked WHERE p % 25 = 0
+    """,
+)
+def x80_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BOUNDED SUFFIX ARRAY (``operators/suffix.py`` —
+    Manber–Myers prefix doubling as DataFrame rounds): dense rank of
+    every (doc, position) by its suffix truncated to 32 chars, over
+    the whole corpus. The suffix-sorting backbone of ExactSubstr dedup
+    (x76 is the gram-table variant; equal ranks here ARE the repeated
+    substrings). The oracle sorts the raw bounded suffixes outright —
+    any error in the doubling recurrence, the per-doc lead pairing,
+    the past-end sentinel, or the distributed rank offsets lands in a
+    wrong rank. Scale: log2(bound) rounds, each ONE range-partitioned
+    shuffle; the global dense rank is never a single-partition window
+    (per-partition ranks + an O(#partitions) offsets collect — the
+    packing.py prefix-sum discipline), and convergence stops the loop
+    as soon as all ranks are distinct. Output sampled (p % 25) to
+    keep the gate payload bounded; ranks are computed over ALL
+    positions. Reference analog: none (engine extension)."""
+    from .operators.suffix import suffix_ranks
+
+    out = suffix_ranks(T(spark, sf_dir, "documents"), "doc_id", "text", bound=32)
+    return out.filter(F.col("p") % 25 == 0)

@@ -1330,3 +1330,20 @@ def test_adpcm_codec_contracts():
     # 4:1-class compression: data chunk = 256 bytes per 505 samples
     v = parse_wav_adpcm(encode_wav_adpcm(big))
     assert v["data_bytes"] == 256 * ((len(big) + spb - 1) // spb)
+
+
+def test_suffix_ranks_exact_small(spark):
+    from fintrack_etl_spark.operators.suffix import suffix_ranks
+
+    # "banana": suffix array is a classic worked example
+    df = spark.createDataFrame([(1, "banana")], ["doc_id", "text"])
+    got = {r["p"]: r["srank"] for r in suffix_ranks(df, bound=8).collect()}
+    # suffixes sorted: a(5) < ana(3) < anana(1) < banana(0) < na(4) < nana(2)
+    assert got == {5: 1, 3: 2, 1: 3, 0: 4, 4: 5, 2: 6}
+    # equal bounded suffixes SHARE a dense rank (the dedup contract)
+    df2 = spark.createDataFrame(
+        [(1, "xxabcdef"), (2, "yyabcdef")], ["doc_id", "text"]
+    )
+    got2 = {(r["doc_id"], r["p"]): r["srank"] for r in suffix_ranks(df2, bound=8).collect()}
+    assert got2[(1, 2)] == got2[(2, 2)]  # both 'abcdef'
+    assert got2[(1, 0)] != got2[(2, 0)]  # 'xxabcdef' vs 'yyabcdef'
