@@ -86,16 +86,30 @@ def suffix_ranks(
     real rank), matching the oracle's plain string comparison where a
     shorter suffix that is a prefix of a longer one sorts first.
     """
+    # Initial ranks cover a 4-char block (one string sort of short
+    # keys), not single chars: rounds = 1 + log2(bound/4) instead of
+    # log2(bound) — at gate scale the fixed per-round job overhead
+    # dominates, so two fewer rounds is ~a third of the wall. A block
+    # shorter than 4 (suffix tail) compares as the shorter string,
+    # exactly like the oracle's substring comparison.
+    init_w = 4
     chars = F.expr(f"filter(split({text_col}, ''), c -> c <> '')")
+    grams = F.transform(
+        F.array(chars),  # let-binding: chars evaluated once per row
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.size(t) - 1),
+            lambda p: F.array_join(F.slice(t, p + 1, init_w), ""),
+        ),
+    )[0]
     pos = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(chars).alias("p", "ch"),
+        F.posexplode(grams).alias("p", "ch"),
     )
     r0, nd, nrows = _distributed_dense_rank(pos, ["ch"])
     ranked = r0.select(
         "id", F.col("p").cast("long").alias("p"), F.col("r").alias("rank")
     )
-    k = 1
+    k = init_w
     # EARLY TERMINATION: once every position's rank is unique, further
     # doubling cannot change any rank (all pairs already distinct) —
     # natural text distinguishes suffixes in 3-4 rounds, and the probe
