@@ -34,6 +34,12 @@ SUPPLEMENT = [
     "ext_data_quality",
     "ext_heavy_hitters",
     "ext_merge_evolving",
+    # round 5
+    "p11_bank_pipeline_e2e",
+    "x75_audio_fingerprint_dedup",
+    "x76_substring_dedup",
+    "x77_ccnet_buckets",
+    "x80_suffix_ranks",
     # round 3
     "p8_real_pdf_roundtrip",
     "ext_versioned_merge",
