@@ -200,9 +200,26 @@ def main() -> None:
     # fixture is the largest shuffle in the file and is measurably
     # penalized by block-manager pressure from 70+ warmed query plans
     # (observed 0.56 s -> 3.4 s for the salted join when run last).
+    # Guarded by the same watchdog discipline as the queries — it runs
+    # BEFORE the headline, so a hang here would zero the whole round.
     skew = None
     if os.environ.get("BENCH_SKEW", "1") != "0" and not extra:
-        skew = skew_bench(spark, sf_dir, run_df)
+        box: dict[str, object] = {}
+
+        def _skew_work() -> None:
+            try:
+                box["v"] = skew_bench(spark, sf_dir, run_df)
+            except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+                box["e"] = type(exc).__name__
+
+        th = threading.Thread(target=_skew_work, daemon=True)
+        th.start()
+        th.join(float(os.environ.get("BENCH_SKEW_TIMEOUT", "180")))
+        if th.is_alive():
+            spark.sparkContext.cancelAllJobs()
+            th.join(30)
+            print(json.dumps({"metric": "bench_skew_timeout"}), file=sys.stderr)
+        skew = box.get("v")  # type: ignore[assignment]
 
     # Per-query watchdog: plan-build + execution run in a worker
     # thread; if it exceeds the timeout, cancel every Spark job and
