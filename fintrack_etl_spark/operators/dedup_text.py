@@ -660,6 +660,90 @@ def prefix_filter_pairs(
     return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def gram_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 30,
+) -> DataFrame:
+    """The persisted side of SUBSTRING-level incremental dedup: every
+    ``gram_len``-char window of every document as (id, p, g) with g an
+    xxhash64 long — at 100 TB this table is written once at ingest
+    (bucketed by g) and every future batch probes it instead of
+    re-scanning the corpus (the exact-substring twin of the LSH
+    ``signature_store``). One let-bound split pass per doc."""
+    from ..similarity import _let
+
+    empty = "array<struct<p:bigint,g:bigint>>"
+    chars = F.expr(f"filter(split({text_col}, ''), c -> c <> '')")
+    grams = _let(
+        chars,
+        lambda t: F.when(
+            F.size(t) >= gram_len,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - gram_len),
+                lambda p: F.struct(
+                    p.cast("long").alias("p"),
+                    F.xxhash64(F.array_join(F.slice(t, p + 1, gram_len), "")).alias(
+                        "g"
+                    ),
+                ),
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {empty})")),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("pg")).select(
+        "id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g")
+    )
+
+
+def substring_dedup_against_store(
+    batch: DataFrame,
+    store_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 30,
+) -> DataFrame:
+    """Incremental EXACT-SUBSTRING dedup: profile an incoming BATCH
+    against an existing corpus via its materialized ``gram_store`` —
+    the continuous-ingest path (a new crawl lands; only IT is scanned
+    and hashed; the corpus contributes a semi-join against its gram
+    table, bucketed by g at scale so the probe is shuffle-free on the
+    store side). Coverage is the same union-of-intervals window as
+    ``substring_dedup``, over batch rows only.
+
+    Returns (batch_id, n_chars, n_hit_grams, covered_chars) — grams of
+    the batch doc that appear ANYWHERE in the stored corpus, and the
+    batch characters covered by them (the span a cutter would drop)."""
+    from pyspark.sql import Window
+
+    bg = gram_store(batch, id_col, text_col, gram_len).localCheckpoint(eager=False)
+    store_g = store_grams.select("g").distinct()
+    w = Window.partitionBy("id").orderBy("p")
+    cov = (
+        bg.join(store_g, "g", "left_semi")
+        .withColumn("prev", F.lag("p").over(w))
+        .groupBy("id")
+        .agg(
+            F.count_distinct("g").alias("n_hit_grams"),
+            F.sum(
+                F.when(F.col("prev").isNull(), gram_len).otherwise(
+                    F.least(F.lit(gram_len), F.col("p") - F.col("prev"))
+                )
+            ).alias("covered_chars"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"), F.length(text_col).alias("n_chars"))
+        .join(cov, "id", "left")
+        .select(
+            F.col("id").alias("batch_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("covered_chars", F.lit(0)).cast("long").alias("covered_chars"),
+        )
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -692,33 +776,10 @@ def substring_dedup(
 
     Returns (id, n_chars, n_shared_grams, covered_chars).
     """
-    from ..similarity import _let
-
-    empty = "array<struct<p:bigint,g:bigint>>"
-    chars = F.expr(f"filter(split({text_col}, ''), c -> c <> '')")
-    grams = _let(
-        chars,
-        lambda t: F.when(
-            F.size(t) >= gram_len,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - gram_len),
-                lambda p: F.struct(
-                    p.cast("long").alias("p"),
-                    F.xxhash64(F.array_join(F.slice(t, p + 1, gram_len), "")).alias(
-                        "g"
-                    ),
-                ),
-            ),
-        ).otherwise(F.expr(f"CAST(array() AS {empty})")),
-    )
     # Two consumers (shared-gram detection + the hit join) — pin the
     # gram table once or the whole split+window+hash extraction runs
     # twice (lazy checkpoint: ~24 B/gram, 40 MB at sf0.1).
-    ex = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("pg"))
-        .select("id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
-        .localCheckpoint(eager=False)
-    )
+    ex = gram_store(df, id_col, text_col, gram_len).localCheckpoint(eager=False)
     shared = (
         ex.groupBy("g")
         .agg(F.count_distinct("id").alias("nd"))

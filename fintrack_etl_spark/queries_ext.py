@@ -5387,3 +5387,71 @@ def x80_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = suffix_ranks(T(spark, sf_dir, "documents"), "doc_id", "text", bound=32)
     return out.filter(F.col("p") % 25 == 0)
+
+
+@register(
+    "x81_incremental_substring_dedup",
+    """
+    WITH batch AS (
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus_grams AS (
+        SELECT DISTINCT substring(text, CAST(p AS INT) + 1, 30) AS gv
+        FROM (
+            SELECT text,
+                   unnest(range(0, CASE WHEN length(text) >= 30
+                                        THEN length(text) - 30 + 1 ELSE 0 END)) AS p
+            FROM documents
+        )
+    ),
+    bg AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p,
+               substring(text, CAST(p AS INT) + 1, 30) AS gv
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CASE WHEN length(text) >= 30
+                                        THEN length(text) - 30 + 1 ELSE 0 END)) AS p
+            FROM batch
+        )
+    ),
+    lagged AS (
+        SELECT doc_id, p, gv,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM bg SEMI JOIN corpus_grams ON bg.gv = corpus_grams.gv
+    ),
+    cov AS (
+        SELECT doc_id,
+               count(DISTINCT gv) AS n_hit_grams,
+               sum(CASE WHEN prev IS NULL THEN 30
+                        ELSE least(30, p - prev) END) AS covered
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT b.doc_id                                   AS batch_id,
+           CAST(length(b.text) AS BIGINT)             AS n_chars,
+           CAST(coalesce(cov.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           CAST(coalesce(cov.covered, 0) AS BIGINT)   AS covered_chars
+    FROM batch b LEFT JOIN cov ON b.doc_id = cov.doc_id
+    """,
+)
+def x81_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-INGEST exact-substring dedup
+    (``dedup_text.gram_store`` + ``substring_dedup_against_store``):
+    an incoming batch (the recrawl twins — guaranteed full-coverage
+    hits) is profiled against the standing corpus via its materialized
+    gram table; only the BATCH is scanned and hashed, the corpus
+    contributes a distinct-gram semi-join (bucketed by g at 100 TB, so
+    the probe never reshuffles the store — the exact-substring twin of
+    x33's incremental LSH). The oracle recomputes on raw substrings,
+    re-certifying hash injectivity. Every batch doc is an exact
+    re-crawl, so covered_chars == n_chars for all long-enough docs —
+    the value gate pins full coverage plus the gram counts.
+    Reference analog: none (engine extension)."""
+    from .operators.dedup_text import gram_store, substring_dedup_against_store
+
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    store = gram_store(docs, "doc_id", "text", 30)
+    return substring_dedup_against_store(batch, store, "doc_id", "text", 30)

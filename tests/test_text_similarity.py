@@ -1347,3 +1347,36 @@ def test_suffix_ranks_exact_small(spark):
     got2 = {(r["doc_id"], r["p"]): r["srank"] for r in suffix_ranks(df2, bound=8).collect()}
     assert got2[(1, 2)] == got2[(2, 2)]  # both 'abcdef'
     assert got2[(1, 0)] != got2[(2, 0)]  # 'xxabcdef' vs 'yyabcdef'
+
+
+def test_substring_dedup_against_store_probe_only_scans_batch(spark):
+    from fintrack_etl_spark.operators.dedup_text import (
+        gram_store,
+        substring_dedup_against_store,
+    )
+
+    import string
+
+    body = (string.ascii_letters + string.digits)[:60]
+    corpus = spark.createDataFrame(
+        [(1, body), (2, "z" * 80)], ["doc_id", "text"]
+    )
+    store = gram_store(corpus, gram_len=30)
+    batch = spark.createDataFrame(
+        [
+            (10, body),             # exact re-crawl -> full coverage
+            (11, "Q" * 25 + body[:30] + "W" * 5),  # one stored gram inside
+            (12, "fresh and unseen content x" * 4),  # no hits
+            (13, "short"),          # < gram_len
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["batch_id"]: r
+        for r in substring_dedup_against_store(batch, store, gram_len=30).collect()
+    }
+    assert out[10]["covered_chars"] == out[10]["n_chars"] == 60
+    assert out[10]["n_hit_grams"] == 31
+    assert out[11]["n_hit_grams"] == 1 and out[11]["covered_chars"] == 30
+    assert out[12]["n_hit_grams"] == 0 and out[12]["covered_chars"] == 0
+    assert out[13]["n_hit_grams"] == 0 and out[13]["n_chars"] == 5
