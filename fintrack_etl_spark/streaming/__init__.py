@@ -28,6 +28,7 @@ from .pipelines import (
     stream_dedup_by_content,
     stream_dedup_latest,
     stream_interval_join,
+    substring_dedup_stream,
     upsert_sink_stream,
     windowed_agg_stream,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "stream_dedup_by_content",
     "stream_dedup_latest",
     "stream_interval_join",
+    "substring_dedup_stream",
     "upsert_sink_stream",
     "windowed_agg_stream",
 ]

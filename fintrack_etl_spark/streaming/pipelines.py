@@ -746,3 +746,47 @@ def conversion_pattern_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def substring_dedup_stream(
+    docs: DataFrame,
+    store_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 30,
+) -> DataFrame:
+    """Streaming twin of the incremental exact-substring dedup (x81,
+    ``dedup_text.substring_dedup_against_store``): each arriving
+    document's char windows are extracted in a map-only pass, probed
+    against the STATIC materialized gram store with a stream-static
+    left-semi join (the store never moves; at 100 TB it is bucketed by
+    g so the probe reads matching buckets only), and the per-doc
+    coverage is a streaming aggregation.
+
+    Window functions are unavailable on streams, so the
+    union-of-fixed-length-intervals sum runs as a sequential FOLD over
+    the doc's sorted hit positions — a doc's grams always land in one
+    micro-batch (one input row), so collect_list + sort is exact.
+    Output (complete mode): (batch_id, n_hit_grams, covered_chars).
+    """
+    from ..operators.dedup_text import gram_store
+
+    bg = gram_store(docs, id_col, text_col, gram_len)
+    hits = bg.join(store_grams.select("g").distinct(), "g", "left_semi")
+    cover = F.expr(
+        f"aggregate(ps, struct(CAST(-1 AS BIGINT) AS prev, CAST(0 AS BIGINT) AS acc), "
+        f"(s, p) -> struct(p AS prev, s.acc + CASE WHEN s.prev < 0 THEN {gram_len} "
+        f"ELSE least(CAST({gram_len} AS BIGINT), p - s.prev) END AS acc), "
+        f"s -> s.acc)"
+    )
+    return (
+        hits.groupBy(F.col("id").alias("batch_id"))
+        .agg(
+            # COUNT(DISTINCT) is unsupported in streaming aggregations;
+            # collect_set carries the same information for per-doc gram
+            # cardinalities (bounded by doc length / gram_len)
+            F.size(F.collect_set("g")).cast("long").alias("n_hit_grams"),
+            F.sort_array(F.collect_list("p")).alias("ps"),
+        )
+        .select("batch_id", "n_hit_grams", cover.alias("covered_chars"))
+    )

@@ -853,3 +853,52 @@ def test_conversion_pattern_stream_equals_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert f == b
+
+
+def test_substring_dedup_stream_matches_batch_x81(spark, sf_dir, tmp_path):
+    """The streamed gram-store probe must equal the batch incremental
+    substring dedup over the same landed files: same hit-gram counts
+    and the same union-of-intervals coverage, per batch document."""
+    import os
+    import uuid
+
+    from fintrack_etl_spark.operators.dedup_text import (
+        gram_store,
+        substring_dedup_against_store,
+    )
+    from fintrack_etl_spark.streaming import (
+        file_source_stream,
+        run_available_now,
+        substring_dedup_stream,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    store = gram_store(docs, "doc_id", "text", 30).localCheckpoint()
+    batch = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    land = str(tmp_path / "batch_land")
+    batch.select("doc_id", "text").repartition(3).write.parquet(land)
+
+    stream = file_source_stream(
+        spark, land, _schema(spark, land), max_files_per_trigger=1
+    )
+    name = f"ssdedup_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        substring_dedup_stream(stream, store),
+        os.path.join(str(tmp_path), "ck"),
+        name,
+        output_mode="complete",
+    )
+    got = {
+        r["batch_id"]: (r["n_hit_grams"], r["covered_chars"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["batch_id"]: (r["n_hit_grams"], r["covered_chars"])
+        for r in substring_dedup_against_store(
+            spark.read.parquet(land), store
+        ).collect()
+        if r["n_hit_grams"] > 0  # the stream emits only docs with hits
+    }
+    assert want and got == want
