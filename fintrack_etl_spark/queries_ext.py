@@ -5455,3 +5455,83 @@ def x81_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     )
     store = gram_store(docs, "doc_id", "text", 30)
     return substring_dedup_against_store(batch, store, "doc_id", "text", 30)
+
+
+@register(
+    "x82_winnowing_fingerprints",
+    f"""
+    WITH corpus0 AS ({_RECRAWL_SQL}),
+    corpus AS (SELECT * FROM corpus0 WHERE doc_id % 4 = 0),
+    hs AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 20 THEN
+                   list_transform(range(0, length(text) - 20 + 1), i ->
+                       CAST(('0x' || substring(md5(substring(text, CAST(i AS INT) + 1, 20)), 1, 8))
+                            AS BIGINT))
+               ELSE [] END AS hs
+        FROM corpus
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(0, len(hs) - 8 + 1), j ->
+                   list_min(list_slice(hs, CAST(j AS INT) + 1, CAST(j AS INT) + 8)) * 1024
+                   + CAST(j + (8 + 1
+                        - list_position(list_reverse(list_slice(hs, CAST(j AS INT) + 1, CAST(j AS INT) + 8)),
+                                        list_min(list_slice(hs, CAST(j AS INT) + 1, CAST(j AS INT) + 8))))
+                        - 1 AS BIGINT))) AS sel
+        FROM hs WHERE len(hs) >= 8
+    ),
+    fp AS (
+        SELECT doc_id, unnest(sel) // 1024 AS h FROM sel
+    ),
+    shared AS (
+        SELECT h FROM fp GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT fp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_fp
+    FROM fp LEFT JOIN shared ON fp.h = shared.h
+    GROUP BY fp.doc_id
+    """,
+)
+def x82_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken,
+    SIGMOD 2003 — the MOSS algorithm; ``textops.winnow_fingerprints``):
+    per window of 8 consecutive 20-char-gram hashes pick the rightmost
+    minimum — guaranteed to catch every match of length >= w + k - 1 =
+    27 chars at an expected ~2/(w+1) fingerprint density, the
+    principled alternative to stride sampling (which has no guarantee).
+    The recrawl twins make every selected fingerprint of a twinned doc
+    shared. Hashes are the engine-portable md5-first-8-hex -> BIGINT
+    form because the SELECTION argmin depends on hash values — the
+    oracle replays the identical selection, so the value gate checks
+    the winnowing window logic itself (rightmost ties included), not
+    just the aggregate counts. Map-only until the |selected| shuffle
+    (~2n/(w+1) rows, not n). Reference analog: none (engine extension;
+    completes the dedup family: exact x1, shingle x3/x63, MinHash x4,
+    SimHash x5b, substring x76/x80/x81, winnowing x82)."""
+    # Half the corpus (+ its twins): the gate certifies the SELECTION
+    # LOGIC value-for-value, and the portable md5 hash it requires is
+    # ~3x the production xxhash64 path — scale belongs to the default
+    # hasher, correctness to this entry.
+    docs = _with_recrawl(T(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 4 == 0
+    )
+    fps = TX.winnow_fingerprints(
+        docs, "doc_id", "text", k=20, w=8, portable_hash=True
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    return (
+        fps.join(shared.withColumn("_sh", F.lit(1)), "fp", "left")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum(F.coalesce("_sh", F.lit(0))).cast("long").alias("n_shared_fp"),
+        )
+    )

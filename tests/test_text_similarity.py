@@ -1380,3 +1380,38 @@ def test_substring_dedup_against_store_probe_only_scans_batch(spark):
     assert out[11]["n_hit_grams"] == 1 and out[11]["covered_chars"] == 30
     assert out[12]["n_hit_grams"] == 0 and out[12]["covered_chars"] == 0
     assert out[13]["n_hit_grams"] == 0 and out[13]["n_chars"] == 5
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract (SIGMOD 2003): any shared substring of
+    length >= w + k - 1 produces at least one shared SELECTED
+    fingerprint, at ~2/(w+1) density — checked on the fast xxhash64
+    production path (the gate's md5 path re-checks selection logic
+    value-for-value against DuckDB)."""
+    import random
+    import string
+
+    from fintrack_etl_spark.textops import winnow_fingerprints
+
+    rng = random.Random(3)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    shared = rand_text(27)  # exactly w + k - 1 with k=20, w=8
+    a = rand_text(100) + shared + rand_text(100)
+    b = rand_text(80) + shared + rand_text(120)
+    c = rand_text(260)
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=20, w=8).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # guarantee: docs 1 and 2 share at least one selected fingerprint
+    assert by_doc[1] & by_doc[2], "winnowing guarantee violated"
+    # density: ~2/(w+1) of gram positions selected (loose 3x bounds)
+    n_grams = len(a) - 20 + 1
+    n_sel = sum(1 for r in fps if r["id"] == 1)
+    assert n_grams / 9 / 3 < n_sel < n_grams / 9 * 3
+    # unrelated doc shares nothing with either (random 27-gram clash ~0)
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
