@@ -327,7 +327,7 @@ def _sniff_bytes(b: bytes | None) -> dict:
                 usec, = struct.unpack("<I", b[32:36])
                 total, = struct.unpack("<I", b[48:52])
                 out["width"], out["height"] = struct.unpack("<II", b[64:72])
-                out["duration_ms"] = round(total * usec / 1000.0, 3)
+                out["duration_ms"] = (total * usec) / 1000.0  # exact int / 1000
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             out["format"] = "wav"
             i = 12
@@ -343,7 +343,9 @@ def _sniff_bytes(b: bytes | None) -> dict:
                     data_size = csz
                 i += 8 + csz + (csz % 2)  # chunks are word-aligned
             if byte_rate and data_size is not None:
-                out["duration_ms"] = round(data_size * 1000.0 / byte_rate, 3)
+                # floor-scaled micro→milli from exact ints: Python's
+                # banker's round on a .0005 halfway diverges from SQL
+                out["duration_ms"] = (data_size * 1000000 // byte_rate) / 1000.0
         else:
             out["sniff_error"] = f"unknown container: {b[:4].hex()}"
     except (struct.error, IndexError) as exc:  # truncated header → quarantine

@@ -96,14 +96,42 @@ def describe_stats(df: DataFrame, value: str) -> DataFrame:
 
     Explicit aggregates instead of ``df.describe()`` so the output
     schema is typed (doubles, not strings) and oracle-comparable.
+
+    Assumes a 2-decimal money column (the reference's describe targets
+    are all currency): every statistic is accumulated as EXACT integer
+    cents — n, Σc, Σc² (decimal(38,0) — order-insensitive partials) —
+    with ONE double conversion at the end. ``stddev_samp`` over raw
+    doubles merges partial co-moments in partition order, so its last
+    ulps are run-dependent; the integer path is bit-identical across
+    engines and partitionings (the ``ext_correlation`` discipline).
+    Mean and std are emitted floor-scaled to cents.
     """
-    c = F.col(value)
-    return df.agg(
-        F.count(c).alias("n"),
-        F.round(F.avg(c), 2).alias("mean"),
-        F.round(F.stddev_samp(c), 2).alias("std"),
-        F.round(F.min(c), 2).alias("min"),
-        F.round(F.max(c), 2).alias("max"),
+    cents = F.expr(f"CAST(round({value} * 100) AS BIGINT)")
+    d38 = "decimal(38,0)"
+    s = df.filter(F.col(value).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast(d38) * cents.cast(d38)).alias("ss"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    # var_cents² = (n·Σc² − (Σc)²) / (n·(n−1)), exact integers until the
+    # final double division; floor(√·) of identical doubles is engine-exact
+    var_num = F.expr(
+        "CAST(CAST(n AS decimal(38,0)) * ss"
+        " - CAST(s AS decimal(38,0)) * CAST(s AS decimal(38,0)) AS DOUBLE)"
+    )
+    return s.select(
+        "n",
+        (F.floor(F.col("s").cast("double") / F.col("n")) / 100.0).alias("mean"),
+        (
+            F.floor(
+                F.sqrt(var_num / (F.col("n").cast("double") * (F.col("n") - 1).cast("double")))
+            )
+            / 100.0
+        ).alias("std"),
+        (F.col("mn").cast("double") / 100.0).alias("min"),
+        (F.col("mx").cast("double") / 100.0).alias("max"),
     )
 
 

@@ -33,19 +33,31 @@ def budget_vs_actual(
     post-aggregation category tables (|distinct categories| rows), so
     the sort-merge exchange moves a few hundred bytes at any data
     scale — the heavy lifting already happened in the upstream agg.
+
+    Inputs must be cent-grid doubles (exact multiples of 0.01 — what
+    every upstream money agg emits); the analytics run on the recovered
+    EXACT integer cents, so ``diferenca``/``status`` can never sit on a
+    float rounding boundary and ``pct_esto`` is floor-scaled centi-
+    percent — bit-identical across engines (the ext_correlation
+    discipline; round(diff/orcado·100, 2) can land exactly on .xx5).
     """
     joined = actual.join(budget, key, "full_outer")
-    orcado = F.coalesce(F.col(budget_col), F.lit(0.0))
-    realizado = F.coalesce(F.col(actual_col), F.lit(0.0))
-    diferenca = F.round(realizado - orcado, 2)
+    oc = F.coalesce(F.expr(f"CAST(round({budget_col} * 100) AS BIGINT)"), F.lit(0))
+    rc = F.coalesce(F.expr(f"CAST(round({actual_col} * 100) AS BIGINT)"), F.lit(0))
+    diff_c = rc - oc
     return joined.select(
         F.col(key),
-        F.round(orcado, 2).alias(budget_col),
-        F.round(realizado, 2).alias(actual_col),
+        (oc / 100.0).alias(budget_col),
+        (rc / 100.0).alias(actual_col),
         F.col(budget_col).isNull().alias("sem_orcamento"),
-        diferenca.alias("diferenca"),
-        F.when(diferenca <= 0, "OK").otherwise("ESTOURO").alias("status"),
-        F.round(F.when(orcado > 0, diferenca / orcado * 100.0), 2).alias("pct_esto"),
+        (diff_c / 100.0).alias("diferenca"),
+        F.when(diff_c <= 0, "OK").otherwise("ESTOURO").alias("status"),
+        (
+            F.when(
+                oc > 0,
+                F.floor((diff_c * 10000).cast("double") / oc) / 100.0,
+            )
+        ).alias("pct_esto"),
     )
 
 

@@ -93,13 +93,27 @@ def suffix_ranks(
     # shorter than 4 (suffix tail) compares as the shorter string,
     # exactly like the oracle's substring comparison.
     init_w = 4
+    # bound must be 4·2^n: the loop doubles the compared prefix from 4
+    # and the last round (k = bound/2) compares exactly `bound` chars —
+    # any other bound would silently compare up to 2k > bound chars,
+    # breaking the "truncated to bound" contract (and the oracle).
+    if bound < init_w or bound & (bound - 1):
+        raise ValueError(f"bound must be a power of two >= {init_w}, got {bound}")
     chars = F.expr(f"filter(split({text_col}, ''), c -> c <> '')")
+    # empty-text guard (same trap as gram_store/pcm_fingerprint):
+    # sequence(0, size-1) with size 0 is the DESCENDING [0, -1], and the
+    # p = -1 element evaluates slice(t, 0, ·) → 'array indices start at
+    # 1' — guard INSIDE the expression so Catalyst can't re-derive an
+    # unguarded copy.
     grams = F.transform(
         F.array(chars),  # let-binding: chars evaluated once per row
-        lambda t: F.transform(
-            F.sequence(F.lit(0), F.size(t) - 1),
-            lambda p: F.array_join(F.slice(t, p + 1, init_w), ""),
-        ),
+        lambda t: F.when(
+            F.size(t) >= 1,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 1),
+                lambda p: F.array_join(F.slice(t, p + 1, init_w), ""),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )[0]
     pos = df.select(
         F.col(id_col).alias("id"),

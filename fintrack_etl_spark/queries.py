@@ -64,29 +64,59 @@ def register(name: str, oracle: str | None = None):
 @register(
     "a1_group_sum_flagship",
     """
+    WITH s AS (
+        SELECT l_returnflag, l_linestatus,
+               count(*)                                           AS n,
+               sum(CAST(round(l_quantity * 100) AS BIGINT))       AS qc,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))  AS pc,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * (100 - CAST(round(l_discount * 100) AS HUGEINT))) AS dpc,
+               sum(CAST(round(l_discount * 100) AS BIGINT))       AS dc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                  AS sum_qty,
-           round(sum(l_extendedprice), 2)                             AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
-           round(avg(l_quantity), 2)                                  AS avg_qty,
-           round(avg(l_discount), 4)                                  AS avg_disc,
-           count(*)                                                   AS n_rows
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(qc AS DOUBLE) / 100.0                    AS sum_qty,
+           CAST(pc AS DOUBLE) / 100.0                    AS sum_base_price,
+           CAST(dpc AS DOUBLE) / 10000.0                 AS sum_disc_price,
+           floor(CAST(qc AS DOUBLE) / n) / 100.0         AS avg_qty,
+           floor(CAST(dc * 100 AS DOUBLE) / n) / 10000.0 AS avg_disc,
+           n                                             AS n_rows
+    FROM s
     """,
 )
 def a1_group_sum_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — ``monthly_summary.py:32-38`` re-expressed at scale: one scan,
-    map-side partial agg, shuffle only on the two group keys."""
+    map-side partial agg, shuffle only on the two group keys.
+
+    Money/quantity columns are 2-decimal doubles; all sums accumulate
+    in EXACT integer cents (the ``ext_correlation`` discipline — no
+    float-sum partial-order dependence can reach the driver hash), the
+    discounted sum as an exact cents×percent product in decimal(38,0),
+    and the averages as floor-scaled integer units divided once at the
+    end — bit-identical across engines and partition orders."""
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count(F.lit(1)).alias("n_rows"),
+    qc = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    d38 = "decimal(38,0)"
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("qc"),
+        F.sum(pc).alias("pc"),
+        F.sum(pc.cast(d38) * (F.lit(100) - dc).cast(d38)).alias("dpc"),
+        F.sum(dc).alias("dc"),
+    )
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qc").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("pc").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("dpc").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.floor(F.col("qc").cast("double") / F.col("n")) / 100.0).alias("avg_qty"),
+        (F.floor((F.col("dc") * 100).cast("double") / F.col("n")) / 10000.0).alias("avg_disc"),
+        F.col("n").alias("n_rows"),
     )
 
 
@@ -148,18 +178,29 @@ def a4_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a6_global_sums",
     """
-    SELECT round(sum(value), 2) AS total_value,
-           round(avg(value), 2) AS avg_value,
-           count(*)             AS n
-    FROM events
+    WITH s AS (
+        SELECT count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS vc
+        FROM events
+    )
+    SELECT CAST(vc AS DOUBLE) / 100.0            AS total_value,
+           floor(CAST(vc AS DOUBLE) / n) / 100.0 AS avg_value,
+           n
+    FROM s
     """,
 )
 def a6_global_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 — one-row global totals (``compare_budget.py:101-102``)."""
-    return T(spark, sf_dir, "events").agg(
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
+    """A6 — one-row global totals (``compare_budget.py:101-102``).
+    Exact integer-cent accumulation (see a1): no float-sum order
+    dependence, the average floor-scaled from exact integers."""
+    s = T(spark, sf_dir, "events").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("vc"),
+    )
+    return s.select(
+        (F.col("vc").cast("double") / 100.0).alias("total_value"),
+        (F.floor(F.col("vc").cast("double") / F.col("n")) / 100.0).alias("avg_value"),
+        "n",
     )
 
 
@@ -201,12 +242,23 @@ def a8_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a9_describe_stats",
     """
-    SELECT count(l_extendedprice)                 AS n,
-           round(avg(l_extendedprice), 2)         AS mean,
-           round(stddev_samp(l_extendedprice), 2) AS std,
-           round(min(l_extendedprice), 2)         AS min,
-           round(max(l_extendedprice), 2)         AS max
-    FROM lineitem
+    WITH s AS (
+        SELECT count(*)                                          AS n,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS ss,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mn,
+               max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mx
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT n,
+           floor(CAST(s AS DOUBLE) / n) / 100.0 AS mean,
+           floor(sqrt(CAST(n * ss - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) / 100.0 AS std,
+           CAST(mn AS DOUBLE) / 100.0 AS min,
+           CAST(mx AS DOUBLE) / 100.0 AS max
+    FROM s
     """,
 )
 def a9_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +340,9 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sql_entry_q5",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l_discount * 100) AS HUGEINT))) // 100
+                AS DOUBLE) / 100.0                           AS revenue,
            CAST(count(*) AS BIGINT)                          AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -309,11 +363,15 @@ def ext_sql_entry_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import register_fixture_views
 
     register_fixture_views(spark, sf_dir)
+    # revenue in exact integer cents (Σ price_c·(100−disc_pct) floored
+    # to cent grid) — float sums round-trip through partial-agg order
     return spark.sql(
         """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               count(*)                                          AS n_lines
+               CAST(div(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+                        * (100 - CAST(round(l_discount * 100) AS DECIMAL(38,0)))), 100)
+                    AS DOUBLE) / 100.0                       AS revenue,
+               count(*)                                      AS n_lines
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -493,45 +551,65 @@ def ext_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_budget_vs_actual",
     """
     WITH budget AS (
+        -- 45 % of the order total in EXACT 10⁻⁴-dollar units, floored
+        -- to cent grid (round(sum·0.45, 2) can land exactly on .xx5)
         SELECT o_orderpriority AS categoria,
-               round(sum(o_totalprice) * 0.45, 2) AS orcado
+               (sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 45 // 100) AS oc
         FROM orders
         WHERE o_orderpriority < '4'
         GROUP BY o_orderpriority
     ),
     actual AS (
         SELECT o.o_orderpriority AS categoria,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS realizado
+               (sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))) // 100) AS rc
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
+    ),
+    j AS (
+        SELECT coalesce(a.categoria, b.categoria)  AS categoria,
+               coalesce(b.oc, 0)                   AS oc,
+               coalesce(a.rc, 0)                   AS rc,
+               (b.oc IS NULL)                      AS sem_orcamento
+        FROM actual a FULL OUTER JOIN budget b USING (categoria)
     )
-    SELECT coalesce(a.categoria, b.categoria)            AS categoria,
-           round(coalesce(b.orcado, 0.0), 2)             AS orcado,
-           round(coalesce(a.realizado, 0.0), 2)          AS realizado,
-           (b.orcado IS NULL)                            AS sem_orcamento,
-           round(coalesce(a.realizado, 0.0) - coalesce(b.orcado, 0.0), 2) AS diferenca,
-           CASE WHEN round(coalesce(a.realizado, 0.0) - coalesce(b.orcado, 0.0), 2) <= 0
-                THEN 'OK' ELSE 'ESTOURO' END             AS status,
-           round(CASE WHEN coalesce(b.orcado, 0.0) > 0
-                 THEN (round(coalesce(a.realizado, 0.0) - coalesce(b.orcado, 0.0), 2)
-                       / coalesce(b.orcado, 0.0)) * 100.0 END, 2) AS pct_esto
-    FROM actual a FULL OUTER JOIN budget b USING (categoria)
+    SELECT categoria,
+           CAST(oc AS DOUBLE) / 100.0        AS orcado,
+           CAST(rc AS DOUBLE) / 100.0        AS realizado,
+           sem_orcamento,
+           CAST(rc - oc AS DOUBLE) / 100.0   AS diferenca,
+           CASE WHEN rc - oc <= 0 THEN 'OK' ELSE 'ESTOURO' END AS status,
+           CASE WHEN oc > 0
+                THEN floor(CAST((rc - oc) * 10000 AS DOUBLE) / oc) / 100.0
+           END AS pct_esto
+    FROM j
     """,
 )
 def j1_budget_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — budget ⟗ actuals (``compare_budget.py:66-93``). Budget side
-    broadcast; fact join shuffles once on the orderkey."""
+    broadcast; fact join shuffles once on the orderkey. Both inputs are
+    exact integer cents floored to cent grid before the full-outer
+    analytics (see ``budget_vs_actual``) — sum·0.45 and Σprice·(1−disc)
+    land on the 10⁻⁴ grid where round-to-cents hits exact halfway."""
     orders = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
     budget = (
         orders.filter(F.col("o_orderpriority") < "4")
         .groupBy(F.col("o_orderpriority").alias("categoria"))
-        .agg(F.round(F.sum("o_totalprice") * 0.45, 2).alias("orcado"))
+        .agg(F.expr("div(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 45, 100)").alias("oc"))
+        .select("categoria", (F.col("oc") / 100.0).alias("orcado"))
     )
     actual = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_orderpriority").alias("categoria"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("realizado"))
+        .agg(F.sum(pc.cast(d38) * (F.lit(100) - dc).cast(d38)).alias("m4"))
+        .select(
+            "categoria",
+            (F.expr("CAST(div(m4, 100) AS BIGINT)") / 100.0).alias("realizado"),
+        )
     )
     return join_ops.budget_vs_actual(budget, actual)
 
@@ -828,34 +906,42 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "o1_top_abs",
     """
     SELECT l_orderkey, l_linenumber,
-           round(valor, 2)      AS valor,
-           round(abs(valor), 2) AS valor_abs
+           CAST(valor_c AS DOUBLE) / 100.0      AS valor,
+           CAST(abs(valor_c) AS DOUBLE) / 100.0 AS valor_abs
     FROM (
         SELECT l_orderkey, l_linenumber,
-               CASE WHEN l_returnflag = 'R'
-                    THEN -(l_extendedprice * (1 - l_discount))
-                    ELSE l_extendedprice * (1 - l_discount) END AS valor
-        FROM lineitem
+               CASE WHEN l_returnflag = 'R' THEN -mc ELSE mc END AS valor_c
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   (CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100 AS mc
+            FROM lineitem
+        )
     )
-    ORDER BY abs(valor) DESC, l_orderkey, l_linenumber
+    ORDER BY abs(valor_c) DESC, l_orderkey, l_linenumber
     LIMIT 15
     """,
 )
 def o1_top_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 — top-N by |value| (``monthly_summary.py:62-67``); returns
     (refunds negative) keep sign semantics. Compiles to
-    TakeOrderedAndProject — no global sort at scale."""
-    valor = F.when(
-        F.col("l_returnflag") == "R",
-        -(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-    ).otherwise(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    df = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", valor.alias("valor"))
-    top = df.orderBy(F.abs(F.col("valor")).desc(), "l_orderkey", "l_linenumber").limit(15)
+    TakeOrderedAndProject — no global sort at scale. Row values are
+    exact floor-scaled cents (price·(1−disc) sits on the 10⁻⁴ grid
+    where round-to-cents hits exact halfway; see a1)."""
+    mag_c = F.expr(
+        "div(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT)), 100)"
+    )
+    valor_c = F.when(F.col("l_returnflag") == "R", -mag_c).otherwise(mag_c)
+    df = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", valor_c.alias("valor_c")
+    )
+    top = df.orderBy(F.abs(F.col("valor_c")).desc(), "l_orderkey", "l_linenumber").limit(15)
     return top.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("valor", 2).alias("valor"),
-        F.round(F.abs("valor"), 2).alias("valor_abs"),
+        (F.col("valor_c") / 100.0).alias("valor"),
+        (F.abs("valor_c") / 100.0).alias("valor_abs"),
     )
 
 
@@ -1985,7 +2071,9 @@ def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.l_returnflag,
            CAST(count(*) AS BIGINT)                              AS n,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))) // 100
+                AS DOUBLE) / 100.0 AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY l.l_returnflag
@@ -2010,9 +2098,20 @@ def ext_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^18 bits ≈ 8.7 bits/key at sf0.1's ~30 K urgent keys (~1.6 %
     # fpp, k=5) — sized for the gate scales; size up with the dim.
     joined = bloom_prune_join(li, urgent, "l_orderkey", "o_orderkey", num_bits=1 << 18)
-    return joined.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    d38 = "decimal(38,0)"
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(pc.cast(d38) * (F.lit(100) - dc).cast(d38)).alias("m4"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.expr("CAST(div(m4, 100) AS BIGINT)") / 100.0).alias("revenue"),
+        )
     )
 
 
@@ -2176,7 +2275,9 @@ def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sql_entry_q3",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l_discount * 100) AS HUGEINT))) // 100
+                AS DOUBLE) / 100.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -2204,16 +2305,20 @@ def ext_sql_entry_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
+    d38 = "decimal(38,0)"
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+        .agg(F.sum(pc.cast(d38) * (F.lit(100) - dc).cast(d38)).alias("m4"))
+        .select(
+            "l_orderkey",
+            (F.expr("CAST(div(m4, 100) AS BIGINT)") / 100.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -2223,7 +2328,9 @@ def ext_sql_entry_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sql_entry_q10",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l_discount * 100) AS HUGEINT))) // 100
+                AS DOUBLE) / 100.0 AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -2248,7 +2355,9 @@ def ext_sql_entry_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(div(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+                        * (100 - CAST(round(l_discount * 100) AS DECIMAL(38,0)))), 100)
+                    AS DOUBLE) / 100.0 AS revenue,
                round(c_acctbal, 2) AS c_acctbal, n_name
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -2459,14 +2568,21 @@ def ext_left_join_count_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_promo_share_q14",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 3) AS promo_share_pct,
-           count(*) AS n_rows
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    WITH s AS (
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                             * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+                        ELSE 0 END) AS promo_m4,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * (100 - CAST(round(l_discount * 100) AS HUGEINT))) AS total_m4,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT CAST(promo_m4 * 100000 // total_m4 AS DOUBLE) / 1000.0 AS promo_share_pct,
+           n_rows
+    FROM s
     """,
 )
 def ext_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,17 +2596,25 @@ def ext_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     p = T(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    d38 = "decimal(38,0)"
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    rev_m4 = pc.cast(d38) * (F.lit(100) - dc).cast(d38)
+    # exact integer Σm4 on both sides; share as floor-scaled milli-pct
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                3,
-            ).alias("promo_share_pct"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_m4).otherwise(F.lit(0).cast(d38))).alias(
+                "promo_m4"
+            ),
+            F.sum(rev_m4).alias("total_m4"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            (
+                F.expr("CAST(div(promo_m4 * 100000, total_m4) AS BIGINT)") / 1000.0
+            ).alias("promo_share_pct"),
+            "n_rows",
         )
     )
 
@@ -2499,15 +2623,17 @@ def ext_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_top_supplier_q15",
     """
     WITH rev AS (
-        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * (100 - CAST(round(l_discount * 100) AS HUGEINT))) // 100 AS rev_c
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_rev
+    SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 100.0 AS total_rev
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    WHERE rev_c = (SELECT max(rev_c) FROM rev)
     """,
 )
 def ext_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,17 +2647,22 @@ def ext_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_rev"
-        )
+    d38 = "decimal(38,0)"
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    # the MAX-equality predicate compares EXACT integer cents — a float
+    # total at the max boundary could match on one engine only
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(pc.cast(d38) * (F.lit(100) - dc).cast(d38)).alias("m4"))
+        .select("l_suppkey", F.expr("CAST(div(m4, 100) AS BIGINT)").alias("rev_c"))
     )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
+    mx = rev.agg(F.max("rev_c").alias("mx"))
     s = T(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        rev.join(F.broadcast(mx), rev.rev_c == mx.mx)
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_rev")
+        .select("s_suppkey", "s_name", (F.col("rev_c") / 100.0).alias("total_rev"))
     )
 
 
@@ -2539,15 +2670,20 @@ def ext_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_avg_subquery_q17",
     """
     WITH pa AS (
-        SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        -- exact integer sufficient stats: q < 0.5·avg ⟺ 2·q·n < Σq
+        SELECT l_partkey AS pk,
+               sum(CAST(l_quantity AS BIGINT)) AS sq,
+               count(*) AS nq
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 7 AS DOUBLE)
+               / 100.0 AS avg_yearly,
            count(*) AS n_small
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa   ON pk = l_partkey
-    WHERE p_brand = 'Brand#12' AND l_quantity < 0.5 * pa.avg_qty
+    WHERE p_brand = 'Brand#12'
+      AND 2 * CAST(l_quantity AS BIGINT) * pa.nq < pa.sq
     """,
 )
 def ext_avg_subquery_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2558,17 +2694,25 @@ def ext_avg_subquery_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is visibly one fact groupBy + two broadcasts, never a
     per-row subquery execution."""
     li = T(spark, sf_dir, "lineitem")
+    # exact integer sufficient stats: q < 0.5·avg ⟺ 2·q·n < Σq — the
+    # float-average threshold could flip membership for a quantity
+    # within ulps of half the mean
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
     )
     p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(pa), li.l_partkey == pa.pk)
-        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .filter(F.expr("2 * CAST(l_quantity AS BIGINT) * nq < sq"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("sc"),
             F.count(F.lit(1)).alias("n_small"),
+        )
+        .select(
+            (F.expr("div(sc, 7)") / 100.0).alias("avg_yearly"),
+            "n_small",
         )
     )
 
@@ -2738,7 +2882,7 @@ def ext_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM act GROUP BY 1, 2
     )
     SELECT a.cohort_week, a.week_n, a.n_users,
-           round(a.n_users / c.n0, 4) AS retention
+           CAST(a.n_users * 10000 // c.n0 AS DOUBLE) / 10000.0 AS retention
     FROM agg a
     JOIN (SELECT cohort_week, n_users AS n0 FROM agg WHERE week_n = 0) c
       USING (cohort_week)
@@ -2785,7 +2929,7 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week",
         "week_n",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("n0"), 4).alias("retention"),
+        (F.expr("div(n_users * 10000, n0)") / 10000.0).alias("retention"),
     )
 
 
@@ -2804,13 +2948,14 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pr AS (
         SELECT l_partkey, l_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS cost
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * (100 - CAST(round(l_discount * 100) AS HUGEINT))) // 100 AS cost_c
         FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
-    m AS (SELECT l_partkey, min(cost) AS mincost FROM pr GROUP BY l_partkey)
-    SELECT p_partkey, p_brand, s_name, cost
+    m AS (SELECT l_partkey, min(cost_c) AS mincost FROM pr GROUP BY l_partkey)
+    SELECT p_partkey, p_brand, s_name, CAST(cost_c AS DOUBLE) / 100.0 AS cost
     FROM pr
-    JOIN m ON pr.l_partkey = m.l_partkey AND pr.cost = m.mincost
+    JOIN m ON pr.l_partkey = m.l_partkey AND pr.cost_c = m.mincost
     JOIN part ON p_partkey = pr.l_partkey
     JOIN supplier ON s_suppkey = pr.l_suppkey
     WHERE p_size <= 3
@@ -2827,35 +2972,41 @@ def ext_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     |parts|-sized (too big to broadcast), while the window only
     re-keys the already-aggregated (part, supp) rows. Ties at the min
     are kept on both engines; part/supplier dims broadcast."""
+    d38 = "decimal(38,0)"
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    # EXACT integer cents: the min-equality predicate can never split
+    # on a float ulp (see ext_top_supplier_q15)
     pr = (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("cost")
+        .agg(F.sum(pc.cast(d38) * (F.lit(100) - dc).cast(d38)).alias("m4"))
+        .select(
+            "l_partkey", "l_suppkey", F.expr("CAST(div(m4, 100) AS BIGINT)").alias("cost_c")
         )
     )
     best = pr.withColumn(
-        "__mincost", F.min("cost").over(Window.partitionBy("l_partkey"))
-    ).filter(F.col("cost") == F.col("__mincost"))
+        "__mincost", F.min("cost_c").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost_c") == F.col("__mincost"))
     p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
     s = T(spark, sf_dir, "supplier")
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
-        .select("p_partkey", "p_brand", "s_name", "cost")
+        .select("p_partkey", "p_brand", "s_name", (F.col("cost_c") / 100.0).alias("cost"))
     )
 
 
 @register(
     "ext_volume_shipping_q7",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_m4) // 100 AS DOUBLE) / 100.0 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(round(l_extendedprice * 100) AS HUGEINT)
+                 * (100 - CAST(round(l_discount * 100) AS HUGEINT)) AS volume_m4
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -2900,9 +3051,16 @@ def ext_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))")
+                * F.expr("CAST(100 - round(l_discount * 100) AS DECIMAL(38,0))")
+            ).alias("m4")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("CAST(div(m4, 100) AS BIGINT)") / 100.0).alias("revenue"),
         )
     )
 
@@ -2911,11 +3069,12 @@ def ext_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_market_share_q8",
     """
     SELECT o_year,
-           round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
-                 / round(sum(volume), 2), 4) AS mkt_share
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_m4 ELSE 0 END)
+                * 10000 // sum(volume_m4) AS DOUBLE) / 10000.0 AS mkt_share
     FROM (
         SELECT year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(round(l_extendedprice * 100) AS HUGEINT)
+                 * (100 - CAST(round(l_discount * 100) AS HUGEINT)) AS volume_m4,
                n2.n_name AS supp_nation
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
@@ -2949,7 +3108,10 @@ def ext_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer 10⁻⁴-dollar volumes; share floor-scaled to 4 dp
+    vol_m4 = F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))") * F.expr(
+        "CAST(100 - round(l_discount * 100) AS DECIMAL(38,0))"
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -2960,16 +3122,18 @@ def ext_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.round(
-                    F.sum(
-                        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
-                    ),
-                    2,
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol_m4).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
                 )
-                / F.round(F.sum(vol), 2),
-                4,
-            ).alias("mkt_share")
+            ).alias("num_m4"),
+            F.sum(vol_m4).alias("den_m4"),
+        )
+        .select(
+            "o_year",
+            (
+                F.expr("CAST(div(num_m4 * 10000, den_m4) AS BIGINT)") / 10000.0
+            ).alias("mkt_share"),
         )
     )
 
@@ -2978,12 +3142,14 @@ def ext_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_profit_by_nation_q9",
     """
     SELECT n_name AS nation, o_year,
-           round(sum(amount_cents) / 100.0, 2) AS sum_profit
+           CAST(sum(amount_m4) // 100 AS DOUBLE) / 100.0 AS sum_profit
     FROM (
         SELECT n_name, year(o_orderdate) AS o_year,
-               CAST(round((l_extendedprice * (1 - l_discount)
-                 - p_retailprice * 0.05 * l_quantity) * 100, 0) AS BIGINT)
-                 AS amount_cents
+               CAST(round(l_extendedprice * 100) AS HUGEINT)
+                 * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+                 - CAST(round(p_retailprice * 100) AS HUGEINT)
+                   * 5 * CAST(l_quantity AS HUGEINT)
+                 AS amount_m4
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -3000,29 +3166,34 @@ def ext_profit_by_nation_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``p_retailprice * 0.05 * l_quantity`` — the join/aggregate
     structure (fact × 4 dims, substring part filter, two-level group)
     is Q9's. part is filtered by the LIKE before broadcasting, so the
-    fact join fans out only matching parts. The per-row amount is
-    rounded to integer CENTS before summing — a raw double sum differs
-    between engines in the last ulp when the aggregation association
-    differs, and this query's first gate run landed exactly on a .005
-    boundary; integer sums are association-free."""
+    fact join fans out only matching parts. The per-row amount is an
+    EXACT signed integer in 10⁻⁴-dollar units (cents × percent — no
+    per-row round() that can land on a .5 halfway; r5's x19 red was
+    exactly that class), summed exactly and trunc-divided once at the
+    end (Spark div and DuckDB // both truncate toward zero)."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
     s = T(spark, sf_dir, "supplier")
     p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     n = T(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * 0.05 * F.col("l_quantity")
+    amount_m4 = (
+        F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))")
+        * F.expr("CAST(100 - round(l_discount * 100) AS DECIMAL(38,0))")
+        - F.expr("CAST(round(p_retailprice * 100) AS DECIMAL(38,0))")
+        * F.lit(5).cast("decimal(38,0)")
+        * F.expr("CAST(l_quantity AS DECIMAL(38,0))")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(F.sum(F.round(amount * 100, 0).cast("long")) / 100.0, 2).alias(
-                "sum_profit"
-            )
+        .agg(F.sum(amount_m4).alias("m4"))
+        .select(
+            "nation",
+            "o_year",
+            (F.expr("CAST(div(m4, 100) AS BIGINT)") / 100.0).alias("sum_profit"),
         )
     )
 
@@ -3032,17 +3203,17 @@ def ext_profit_by_nation_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (
         SELECT l_partkey,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                        AS BIGINT)) AS cents
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * (100 - CAST(round(l_discount * 100) AS HUGEINT))) AS m4
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE n_name IN ('NATION_0', 'NATION_1')
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(cents / 100.0, 2) AS value
+    SELECT l_partkey AS partkey, CAST(m4 // 100 AS DOUBLE) / 100.0 AS value
     FROM pv
-    WHERE cents > (SELECT sum(cents) * 0.002 FROM pv)
+    WHERE m4 * 500 > (SELECT sum(m4) FROM pv)
     """,
 )
 def ext_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3062,22 +3233,23 @@ def ext_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_0", "NATION_1")
     )
-    rev_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    rev_m4 = F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))") * F.expr(
+        "CAST(100 - round(l_discount * 100) AS DECIMAL(38,0))"
+    )
     pv = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(rev_cents).alias("cents"))
+        .agg(F.sum(rev_m4).alias("m4"))
     )
-    thr = pv.agg((F.sum("cents") * 0.002).alias("__thr"))
+    thr = pv.agg(F.sum("m4").alias("__total_m4"))
+    # m4 > total·0.002 ⟺ m4·500 > total — exact integer cross-multiply
     return (
         pv.join(F.broadcast(thr))
-        .filter(F.col("cents") > F.col("__thr"))
+        .filter(F.col("m4") * 500 > F.col("__total_m4"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round(F.col("cents") / 100.0, 2).alias("value"),
+            (F.expr("CAST(div(m4, 100) AS BIGINT)") / 100.0).alias("value"),
         )
     )
 
@@ -3362,7 +3534,7 @@ def ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o
     )
     SELECT fk, n_rows, n_orphans,
-           round(n_orphans / n_rows, 6) AS orphan_rate
+           CAST(n_orphans * 1000000 // n_rows AS DOUBLE) / 1000000.0 AS orphan_rate
     FROM checks
     """,
 )
@@ -3407,7 +3579,7 @@ def ext_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fk",
         "n_rows",
         "n_orphans",
-        F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_rate"),
+        (F.expr("div(n_orphans * 1000000, n_rows)") / 1000000.0).alias("orphan_rate"),
     )
 
 
@@ -3455,7 +3627,9 @@ def ext_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_revenue_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * CAST(round(l_discount * 100) AS HUGEINT)) // 100
+                AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -3480,10 +3654,15 @@ def ext_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))")
+                * F.expr("CAST(round(l_discount * 100) AS DECIMAL(38,0))")
+            ).alias("m4"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            (F.expr("CAST(div(m4, 100) AS BIGINT)") / 100.0).alias("revenue"),
+            "n_rows",
         )
     )
 
@@ -3503,7 +3682,7 @@ def ext_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type, next_type
     )
     SELECT event_type, next_type, n,
-           round(n / sum(n) OVER (PARTITION BY event_type), 6) AS p
+           floor(CAST(n * 1000000 AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)) / 1000000.0 AS p
     FROM cnt
     """,
 )
@@ -3527,7 +3706,10 @@ def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+        (
+            F.floor((F.col("n") * 1000000).cast("double") / F.sum("n").over(norm))
+            / 1000000.0
+        ).alias("p"),
     )
 
 

@@ -211,7 +211,7 @@ def x6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*)                     AS n_docs,
            CAST(sum(n_tok) AS BIGINT)   AS total_tokens,
-           round(avg(n_tok), 2)         AS avg_tokens,
+           floor(CAST(sum(n_tok) * 100 AS DOUBLE) / count(*)) / 100.0 AS avg_tokens,
            CAST(min(n_tok) AS BIGINT)   AS min_tokens,
            CAST(max(n_tok) AS BIGINT)   AS max_tokens
     FROM t
@@ -219,13 +219,18 @@ def x6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x7_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace) aggregated per language."""
+    """Token counting (whitespace) aggregated per language. The average
+    is floor-scaled from the exact integer token sum (round(avg) of the
+    same double can disagree across engines' rounding conventions on
+    halfway points; floor of identical doubles cannot)."""
     docs = T(spark, sf_dir, "documents")
     n_tok = TX.token_count("text")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("long").alias("total_tokens"),
-        F.round(F.avg(n_tok), 2).alias("avg_tokens"),
+        (
+            F.floor((F.sum(n_tok) * 100).cast("double") / F.count(F.lit(1))) / 100.0
+        ).alias("avg_tokens"),
         F.min(n_tok).cast("long").alias("min_tokens"),
         F.max(n_tok).cast("long").alias("max_tokens"),
     )
@@ -244,10 +249,10 @@ def x7_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_tokens, n_stopwords,
-           round(n_stopwords / n_tokens, 4) AS stop_ratio,
-           round(n_punct / n_len, 4)        AS punct_ratio,
-           round(n_nospace / n_tokens, 4)   AS avg_token_len,
-           CASE WHEN n_stopwords / n_tokens >= 0.05 AND n_tokens BETWEEN 10 AND 10000
+           CAST(n_stopwords * 10000 // n_tokens AS DOUBLE) / 10000.0 AS stop_ratio,
+           CAST(n_punct * 10000 // n_len AS DOUBLE) / 10000.0        AS punct_ratio,
+           CAST(n_nospace * 10000 // n_tokens AS DOUBLE) / 10000.0   AS avg_token_len,
+           CASE WHEN n_stopwords * 100 >= n_tokens * 5 AND n_tokens BETWEEN 10 AND 10000
                 THEN 'good' ELSE 'low_quality' END AS quality_label
     FROM f
     """,
@@ -404,13 +409,17 @@ def x13_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x14_label_centroids",
     """
     SELECT label, CAST(i AS INT) + 1 AS dim,
-           round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 4) + 0.0 AS centroid
+           floor(CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                                     * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*)) / 1000000.0 + 0.0 AS centroid
     FROM embeddings, range(0, 64) t(i)
     GROUP BY 1, 2
     """,
 )
 def x14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise mean embedding per label (IVF coarse quantizer)."""
+    """Element-wise mean embedding per label (IVF coarse quantizer) —
+    exact integer micro-unit mean on both engines (see
+    ``similarity.label_centroids``)."""
     out = label_centroids(T(spark, sf_dir, "embeddings"))
     return out.withColumn("dim", F.col("dim").cast("int"))
 
@@ -871,22 +880,29 @@ def ext_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grams GROUP BY ALL
     ),
     bg AS (
-        SELECT doc_id, round(max(c) * 1.0 / n_bigrams, 4) AS top_bigram_ratio
+        SELECT doc_id, n_bigrams, max(c) AS top_cnt
         FROM cnt GROUP BY doc_id, n_bigrams
     ),
     per_doc AS (
-        -- total over ALL docs: <2-token docs keep ratio 0.0 (LEFT JOIN),
-        -- matching the engine's explode_outer — no fixture-shape reliance
+        -- total over ALL docs: <2-token docs keep ratio 0 (LEFT JOIN),
+        -- matching the engine's explode_outer — no fixture-shape reliance.
+        -- All stats stay exact integers: thresholds as a*100 > pct*b,
+        -- the ratio in floor-scaled basis points via integer division.
         SELECT toks.doc_id, lang,
-               round(dup_lines * 1.0 / n_lines, 4)   AS dup_line_ratio,
-               COALESCE(bg.top_bigram_ratio, 0.0)    AS top_bigram_ratio
+               dup_lines, n_lines,
+               COALESCE(bg.top_cnt, 0)    AS top_cnt,
+               COALESCE(bg.n_bigrams, 0)  AS n_bigrams,
+               CASE WHEN COALESCE(bg.n_bigrams, 0) > 0
+                    THEN (COALESCE(bg.top_cnt, 0) * 10000) // bg.n_bigrams
+                    ELSE 0 END            AS top_bigram_bp
         FROM toks LEFT JOIN bg ON toks.doc_id = bg.doc_id
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN dup_line_ratio > 0.30 OR top_bigram_ratio > 0.18
-                    THEN 1 ELSE 0 END)          AS n_repetitive,
-           round(avg(top_bigram_ratio), 4)      AS avg_top_bigram_ratio
+           sum(CASE WHEN dup_lines * 100 > n_lines * 30
+                      OR top_cnt * 100 > n_bigrams * 18
+                    THEN 1 ELSE 0 END)                        AS n_repetitive,
+           CAST(sum(top_bigram_bp) // count(*) AS BIGINT)     AS avg_top_bigram_bp
     FROM per_doc
     GROUP BY lang
     """,
@@ -897,9 +913,13 @@ def x19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-frequent-bigram fraction (one shuffle on exploded grams,
     map-side combined) → per-lang rejection counts. The DuckDB twin is
     total over all docs: <2-token docs (no bigrams) enter with
-    top_bigram_ratio 0.0 via LEFT JOIN + COALESCE, exactly like the
+    top_bigram_bp 0 via LEFT JOIN + COALESCE, exactly like the
     engine's explode_outer — regenerated fixture data with degenerate
-    docs cannot desync the oracle."""
+    docs cannot desync the oracle. Every emitted statistic is an exact
+    integer (basis points via integer division, thresholds as cross-
+    multiplied integer compares): Spark's partial-agg summation order
+    vs DuckDB's sequential sum can never flip a driver hash bit —
+    the ext_correlation discipline, applied after r5's x19 red."""
     from .textops import repetition_features
 
     docs = T(spark, sf_dir, "documents")
@@ -908,7 +928,7 @@ def x19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("repetitive"), 1).otherwise(0)).alias("n_repetitive"),
-        F.round(F.avg("top_bigram_ratio"), 4).alias("avg_top_bigram_ratio"),
+        F.expr("div(sum(top_bigram_bp), count(1))").alias("avg_top_bigram_bp"),
     )
 
 
@@ -985,7 +1005,8 @@ def x5b_simhash_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            44100                          AS sample_rate,
            2                              AS channels,
            16                             AS bits_per_sample,
-           round(octet_length(encode(text)) * 1000.0 / 176400, 3) AS duration_ms
+           floor(CAST(octet_length(encode(text)) AS BIGINT) * 1000000 // 176400
+                 ) / 1000.0 AS duration_ms
     FROM documents
     """,
 )
@@ -1480,20 +1501,20 @@ def x28_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT)                AS n_tokens,
-           round(n_distinct / n_tokens, 4)         AS distinct_ratio,
-           round(n_stopwords / n_tokens, 4)        AS stop_ratio,
-           round(n_nospace / n_tokens, 4)          AS avg_token_len,
+           CAST(n_distinct * 10000 // n_tokens AS DOUBLE) / 10000.0  AS distinct_ratio,
+           CAST(n_stopwords * 10000 // n_tokens AS DOUBLE) / 10000.0 AS stop_ratio,
+           CAST(n_nospace * 10000 // n_tokens AS DOUBLE) / 10000.0   AS avg_token_len,
            (n_tokens BETWEEN 10 AND 10000
-            AND n_distinct / n_tokens >= 0.45
-            AND n_stopwords / n_tokens >= 0.02
-            AND n_nospace / n_tokens BETWEEN 2.0 AND 12.0) AS keep,
+            AND n_distinct * 100 >= n_tokens * 45
+            AND n_stopwords * 100 >= n_tokens * 2
+            AND n_nospace >= n_tokens * 2 AND n_nospace <= n_tokens * 12) AS keep,
            concat_ws(',',
                CASE WHEN n_tokens < 10 THEN 'too_short' END,
                CASE WHEN n_tokens > 10000 THEN 'too_long' END,
-               CASE WHEN n_distinct / n_tokens < 0.45 THEN 'repetitive' END,
-               CASE WHEN n_stopwords / n_tokens < 0.02 THEN 'no_stopwords' END,
-               CASE WHEN n_nospace / n_tokens < 2.0 THEN 'tokens_too_short' END,
-               CASE WHEN n_nospace / n_tokens > 12.0 THEN 'tokens_too_long' END
+               CASE WHEN n_distinct * 100 < n_tokens * 45 THEN 'repetitive' END,
+               CASE WHEN n_stopwords * 100 < n_tokens * 2 THEN 'no_stopwords' END,
+               CASE WHEN n_nospace < n_tokens * 2 THEN 'tokens_too_short' END,
+               CASE WHEN n_nospace > n_tokens * 12 THEN 'tokens_too_long' END
            ) AS reasons
     FROM f
     """,
@@ -1523,30 +1544,35 @@ def x30_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_stopwords"),
         F.length(F.regexp_replace("text", r"\s", "")).alias("n_nospace"),
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    dr = d("n_distinct") / d("n_tokens")
-    sr = d("n_stopwords") / d("n_tokens")
-    al = d("n_nospace") / d("n_tokens")
+    # exact integer bp ratios + cross-multiplied thresholds (x19 class)
+    nt, nd, ns, nn = (F.col(c) for c in ("n_tokens", "n_distinct", "n_stopwords", "n_nospace"))
     return f.select(
         "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(dr, 4).alias("distinct_ratio"),
-        F.round(sr, 4).alias("stop_ratio"),
-        F.round(al, 4).alias("avg_token_len"),
+        nt.cast("long").alias("n_tokens"),
+        (F.expr("div(CAST(n_distinct AS BIGINT) * 10000, n_tokens)") / 10000.0).alias(
+            "distinct_ratio"
+        ),
+        (F.expr("div(CAST(n_stopwords AS BIGINT) * 10000, n_tokens)") / 10000.0).alias(
+            "stop_ratio"
+        ),
+        (F.expr("div(CAST(n_nospace AS BIGINT) * 10000, n_tokens)") / 10000.0).alias(
+            "avg_token_len"
+        ),
         (
-            F.col("n_tokens").between(10, 10000)
-            & (dr >= 0.45)
-            & (sr >= 0.02)
-            & al.between(2.0, 12.0)
+            nt.between(10, 10000)
+            & (nd * 100 >= nt * 45)
+            & (ns * 100 >= nt * 2)
+            & (nn >= nt * 2)
+            & (nn <= nt * 12)
         ).alias("keep"),
         F.concat_ws(
             ",",
-            F.when(F.col("n_tokens") < 10, "too_short"),
-            F.when(F.col("n_tokens") > 10000, "too_long"),
-            F.when(dr < 0.45, "repetitive"),
-            F.when(sr < 0.02, "no_stopwords"),
-            F.when(al < 2.0, "tokens_too_short"),
-            F.when(al > 12.0, "tokens_too_long"),
+            F.when(nt < 10, "too_short"),
+            F.when(nt > 10000, "too_long"),
+            F.when(nd * 100 < nt * 45, "repetitive"),
+            F.when(ns * 100 < nt * 2, "no_stopwords"),
+            F.when(nn < nt * 2, "tokens_too_short"),
+            F.when(nn > nt * 12, "tokens_too_long"),
         ).alias("reasons"),
     )
 
@@ -1705,7 +1731,8 @@ def quantize_embeddings_array(emb: DataFrame) -> DataFrame:
     )
     SELECT source_a, source_b, n_shared,
            za.sz + zb.sz - n_shared AS n_union,
-           round(n_shared / (za.sz + zb.sz - n_shared), 4) AS jaccard
+           floor(CAST(n_shared * 10000 AS DOUBLE)
+                 / (za.sz + zb.sz - n_shared)) / 10000.0 AS jaccard
     FROM inter
     JOIN sz za ON source_a = za.source
     JOIN sz zb ON source_b = zb.source
@@ -1761,7 +1788,9 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_b",
             "n_shared",
             uni.alias("n_union"),
-            F.round(F.col("n_shared") / uni, 4).alias("jaccard"),
+            (F.floor((F.col("n_shared") * 10000).cast("double") / uni) / 10000.0).alias(
+                "jaccard"
+            ),
         )
     )
 
@@ -5474,7 +5503,7 @@ def x81_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     sel AS (
         SELECT doc_id,
                list_distinct(list_transform(range(0, len(hs) - 8 + 1), j ->
-                   list_min(list_slice(hs, CAST(j AS INT) + 1, CAST(j AS INT) + 8)) * 1024
+                   list_min(list_slice(hs, CAST(j AS INT) + 1, CAST(j AS INT) + 8)) * 1048576
                    + CAST(j + (8 + 1
                         - list_position(list_reverse(list_slice(hs, CAST(j AS INT) + 1, CAST(j AS INT) + 8)),
                                         list_min(list_slice(hs, CAST(j AS INT) + 1, CAST(j AS INT) + 8))))
@@ -5482,7 +5511,7 @@ def x81_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         FROM hs WHERE len(hs) >= 8
     ),
     fp AS (
-        SELECT doc_id, unnest(sel) // 1024 AS h FROM sel
+        SELECT doc_id, unnest(sel) // 1048576 AS h FROM sel
     ),
     shared AS (
         SELECT h FROM fp GROUP BY h HAVING count(DISTINCT doc_id) >= 2

@@ -241,22 +241,30 @@ def _budget_values_sql() -> str:
 ORACLES["r6_compare_budget"] = f"""
     WITH {_lanc_cte()},
     realizado AS (
-        SELECT categoria, round(sum(valor), 2) AS realizado
+        -- exact integer cents throughout (mirrors budget_vs_actual):
+        -- round(sum) only recovers the cent grid, never decides a tie
+        SELECT categoria,
+               CAST(round(round(sum(valor), 2) * 100) AS BIGINT) AS rc
         FROM lanc WHERE categoria <> 'Financeiro' GROUP BY categoria
     ),
     joined AS (
-        SELECT coalesce(b.categoria, r.categoria)            AS categoria,
-               round(coalesce(b.orcado, 0.0), 2)             AS orcado,
-               round(coalesce(r.realizado, 0.0), 2)          AS realizado,
-               b.orcado IS NULL                              AS sem_orcamento,
-               round(coalesce(r.realizado, 0.0) - coalesce(b.orcado, 0.0), 2) AS diferenca
+        SELECT coalesce(b.categoria, r.categoria)             AS categoria,
+               CAST(round(coalesce(b.orcado, 0.0) * 100) AS BIGINT) AS oc,
+               coalesce(r.rc, 0)                              AS rc,
+               b.orcado IS NULL                               AS sem_orcamento
         FROM {_budget_values_sql()}
         FULL OUTER JOIN realizado r ON b.categoria = r.categoria
     )
-    SELECT categoria, orcado, realizado, sem_orcamento, diferenca,
-           CASE WHEN diferenca <= 0 THEN 'OK' ELSE 'ESTOURO' END AS status,
-           CASE WHEN orcado > 0 THEN round(diferenca / orcado * 100.0, 2) END AS pct_esto,
-           greatest(diferenca, 0.0) AS esto_abs
+    SELECT categoria,
+           CAST(oc AS DOUBLE) / 100.0       AS orcado,
+           CAST(rc AS DOUBLE) / 100.0       AS realizado,
+           sem_orcamento,
+           CAST(rc - oc AS DOUBLE) / 100.0  AS diferenca,
+           CASE WHEN rc - oc <= 0 THEN 'OK' ELSE 'ESTOURO' END AS status,
+           CASE WHEN oc > 0
+                THEN floor(CAST((rc - oc) * 10000 AS DOUBLE) / oc) / 100.0
+           END AS pct_esto,
+           greatest(CAST(rc - oc AS DOUBLE) / 100.0, 0.0) AS esto_abs
     FROM joined
     """
 

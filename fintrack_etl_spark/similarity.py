@@ -168,14 +168,30 @@ def cosine_topk_lsh(
 
 def label_centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Element-wise mean vector per label — the IVF coarse-quantizer
-    building block (posexplode → per-(label, dim) mean)."""
+    building block (posexplode → per-(label, dim) mean).
+
+    Components are quantized to EXACT integer micro-units before the
+    sum (``round(x·1e6)`` of identical doubles is engine-exact), so the
+    mean is a floor division of exact integers — no float-sum partial-
+    order dependence, bit-identical across engines and partitionings
+    (avg-of-doubles merges partials in partition order; its last ulps
+    flipped x19's driver hash in r5). ``+ 0.0`` canonicalizes -0.0.
+    """
     v = _as_double(F.col(vec_col))
     ex = corpus.select(F.col(label_col).alias("label"), F.posexplode(v).alias("dim0", "x"))
-    # `+ 0.0` canonicalizes IEEE -0.0 to +0.0 so value hashes agree
-    # across engines when a mean rounds to zero from below.
     return (
         ex.groupBy("label", (F.col("dim0") + 1).alias("dim"))
-        .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("centroid"))
+        .agg(
+            F.sum(F.expr("CAST(round(x * 1000000) AS BIGINT)")).alias("sm"),
+            F.count(F.lit(1)).alias("cn"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.floor(F.col("sm").cast("double") / F.col("cn")) / 1000000.0 + F.lit(0.0)
+            ).alias("centroid"),
+        )
     )
 
 
@@ -258,10 +274,21 @@ def kmeans_centroids(
     assigned = v.withColumn("cid", (F.col("_id") % k).cast("int"))
     cents = None
     for _ in range(iters):
+        # exact integer micro-unit mean (see label_centroids): Lloyd
+        # stays bit-deterministic under ANY partitioning — avg-of-doubles
+        # partials could flip an assignment ulp run-to-run
         cents = (
             assigned.select("cid", F.posexplode("cv").alias("dim0", "x"))
             .groupBy("cid", "dim0")
-            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("m"))
+            .agg(
+                F.sum(F.expr("CAST(round(x * 1000000) AS BIGINT)")).alias("sm"),
+                F.count(F.lit(1)).alias("cn"),
+            )
+            .select(
+                "cid",
+                "dim0",
+                (F.floor(F.col("sm").cast("double") / F.col("cn")) / 1000000.0 + F.lit(0.0)).alias("m"),
+            )
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("dim0", "m"))).alias("p"))
             .select("cid", F.transform("p", lambda s: s["m"]).alias("ccv"))
@@ -426,10 +453,20 @@ def pq_train(
     assigned = sv.withColumn("code", ((F.col("_id") + F.col("j")) % ksub).cast("int"))
     books = None
     for _ in range(iters):
+        # exact integer micro-unit mean (see label_centroids / kmeans)
         books = (
             assigned.select("j", "code", F.posexplode("sv").alias("dim0", "x"))
             .groupBy("j", "code", "dim0")
-            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mn"))
+            .agg(
+                F.sum(F.expr("CAST(round(x * 1000000) AS BIGINT)")).alias("sm"),
+                F.count(F.lit(1)).alias("cn"),
+            )
+            .select(
+                "j",
+                "code",
+                "dim0",
+                (F.floor(F.col("sm").cast("double") / F.col("cn")) / 1000000.0 + F.lit(0.0)).alias("mn"),
+            )
             .groupBy("j", "code")
             .agg(F.array_sort(F.collect_list(F.struct("dim0", "mn"))).alias("p"))
             .select("j", "code", F.transform("p", lambda s: s["mn"]).alias("ccv"))

@@ -70,20 +70,34 @@ def lang_guess(text: Column | str) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scoring: length / punctuation / stopword
-    ratios — the standard pre-training filter features."""
+    ratios — the standard pre-training filter features.
+
+    Ratios are floor-scaled basis points from exact integer counts and
+    the quality threshold is a cross-multiplied integer compare —
+    ``round(a/b, 4)`` of a small-integer ratio lands exactly on .xxxx5
+    halfway points where engines' rounding conventions disagree (the
+    r5 x19 class)."""
     t = F.col(text_col)
-    n_tok = token_count(t)
-    n_stop = stopword_count(t, "en")
-    n_punct = pattern_count(t, r"[^A-Za-z0-9\s]")
-    n_chars_nospace = F.length(F.regexp_replace(t, r"\s", ""))
-    return df.select(
+    base = df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        F.round(n_stop / n_tok, 4).alias("stop_ratio"),
-        F.round(n_punct / F.length(t), 4).alias("punct_ratio"),
-        F.round(n_chars_nospace / n_tok, 4).alias("avg_token_len"),
-        F.when((n_stop / n_tok >= 0.05) & n_tok.between(10, 10000), "good")
+        token_count(t).cast("long").alias("n_tokens"),
+        stopword_count(t, "en").cast("long").alias("n_stopwords"),
+        pattern_count(t, r"[^A-Za-z0-9\s]").cast("long").alias("n_punct"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("n_nospace"),
+        F.length(t).cast("long").alias("n_len"),
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_stopwords",
+        (F.expr("div(n_stopwords * 10000, n_tokens)") / 10000.0).alias("stop_ratio"),
+        (F.expr("div(n_punct * 10000, n_len)") / 10000.0).alias("punct_ratio"),
+        (F.expr("div(n_nospace * 10000, n_tokens)") / 10000.0).alias("avg_token_len"),
+        F.when(
+            (F.col("n_stopwords") * 100 >= F.col("n_tokens") * 5)
+            & F.col("n_tokens").between(10, 10000),
+            "good",
+        )
         .otherwise("low_quality")
         .alias("quality_label"),
     )
@@ -202,21 +216,26 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
       web docs run to 10⁵ grams).
 
     Thresholds (0.30 dup lines, 0.18 top bigram) follow the Gopher
-    paper's rejection rules; callers tune per corpus.
+    paper's rejection rules; callers tune per corpus. Both thresholds
+    and the basis-point outputs are evaluated on EXACT integer
+    statistics (``a*100 > pct*b`` instead of ``a/b > pct/100``,
+    ``div(a*10000, b)`` instead of ``floor(a/b*1e4)``) so results are
+    bit-identical across engines and partition orders — the same
+    discipline as ``queries.ext_correlation``. The ``*_ratio`` doubles
+    are convenience views of those exact integers, never re-aggregated.
     """
     t = F.col(text_col)
     lines = F.split(t, r"\n")
-    dup_line_ratio = F.round(
-        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines), 4
-    )
+    n_lines = F.size(lines)
+    dup_lines = F.size(lines) - F.size(F.array_distinct(lines))
 
     toks = tokens(t)
     n_bigrams = F.greatest(F.size(toks) - 1, F.lit(0))
     base = df.select(
         F.col(id_col),
-        dup_line_ratio.alias("dup_line_ratio"),
-        n_bigrams.alias("n_bigrams"),
-        shingles(toks, 2).alias("__grams_distinct"),
+        n_lines.cast("long").alias("n_lines"),
+        dup_lines.cast("long").alias("dup_lines"),
+        n_bigrams.cast("long").alias("n_bigrams"),
         toks.alias("__toks"),
     )
     # count occurrences of each DISTINCT gram once per doc: explode the
@@ -224,8 +243,9 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     # shuffle at |distinct grams per doc|, not |grams|
     grams = base.select(
         id_col,
+        "n_lines",
+        "dup_lines",
         "n_bigrams",
-        "dup_line_ratio",
         F.explode_outer(
             F.when(
                 F.size("__toks") >= 2,
@@ -240,26 +260,31 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
-    counts = grams.groupBy(id_col, "n_bigrams", "dup_line_ratio", "gram").agg(
+    counts = grams.groupBy(id_col, "n_lines", "dup_lines", "n_bigrams", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    per_doc = counts.groupBy(id_col, "n_bigrams", "dup_line_ratio").agg(
-        F.max(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)).alias("top_cnt")
+    per_doc = counts.groupBy(id_col, "n_lines", "dup_lines", "n_bigrams").agg(
+        F.max(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("top_cnt")
     )
+    top_bp = F.when(
+        F.col("n_bigrams") > 0,
+        F.expr("div(top_cnt * 10000, n_bigrams)"),
+    ).otherwise(F.lit(0)).cast("long")
+    dup_bp = F.when(
+        F.col("n_lines") > 0,
+        F.expr("div(dup_lines * 10000, n_lines)"),
+    ).otherwise(F.lit(0)).cast("long")
     return per_doc.select(
         id_col,
-        "dup_line_ratio",
-        F.when(F.col("n_bigrams") > 0, F.round(F.col("top_cnt") / F.col("n_bigrams"), 4))
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_ratio"),
+        dup_bp.alias("dup_line_bp"),
+        top_bp.alias("top_bigram_bp"),
+        (dup_bp / 10000.0).alias("dup_line_ratio"),
+        (top_bp / 10000.0).alias("top_bigram_ratio"),
         (
-            (F.col("dup_line_ratio") > 0.30)
-            | (
-                F.when(
-                    F.col("n_bigrams") > 0, F.col("top_cnt") / F.col("n_bigrams")
-                ).otherwise(F.lit(0.0))
-                > 0.18
-            )
+            (F.col("dup_lines") * 100 > F.col("n_lines") * 30)
+            | (F.col("top_cnt") * 100 > F.col("n_bigrams") * 18)
         ).alias("repetitive"),
     )
 
@@ -695,6 +720,12 @@ def phrase_search(
     )
 
 
+#: position radix for the packed (hash, pos) winnowing fingerprint:
+#: hash (< 2^32) in the high bits, gram position (< 2^20) in the low —
+#: mirrored by the x82 oracle SQL.
+_WINNOW_RADIX = 1 << 20
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -735,8 +766,8 @@ def winnow_fingerprints(
             # oracle needs because the SELECTION argmin depends on hash
             # values. ~3x the cost of xxhash64 — gate currency only.
             return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        # production path: xxhash64 masked to 32 bits so the (h*1024+p)
-        # pack below stays within BIGINT
+        # production path: xxhash64 masked to 32 bits so the packed
+        # (h·RADIX + p) form below stays within BIGINT
         return F.pmod(F.xxhash64(g), F.lit(2**32)).cast("long")
 
     def hashes(t: Column) -> Column:
@@ -754,18 +785,25 @@ def winnow_fingerprints(
         # (list_min/list_reverse/list_position), sidestepping DuckDB's
         # struct-accumulator fold quirk entirely
         def pick(j: Column) -> Column:
-            # (pos, hash) packed into ONE bigint (h*1024 + p): DuckDB's
+            # (pos, hash) packed into ONE bigint (h·RADIX + p): DuckDB's
             # list_distinct cannot dedup struct arrays, and the packed
             # form gives both engines identical distinct semantics.
-            # p < 1024 holds for any document under 1 Ki chars (fixture
-            # max 600); h < 2^32 (md5 first 8 hex), so the pack fits.
+            # RADIX = 2^20 covers documents up to ~1 Mi grams; h < 2^32
+            # (masked / md5 first 8 hex), so h·2^20 + p < 2^52 < BIGINT.
             win = F.slice(hs, (j + 1).cast("int"), w)
             m = F.array_min(win)
             rpos = F.lit(w) + 1 - F.array_position(F.reverse(win), m)
-            return m * 1024 + (j + rpos - 1).cast("long")
+            return m * _WINNOW_RADIX + (j + rpos - 1).cast("long")
 
+        # fail fast instead of silently corrupting the pack when a
+        # document exceeds the position radix (the old 1024 radix
+        # wrapped pos into the hash field at ~1 Ki chars)
+        ok = F.assert_true(
+            F.size(hs) <= F.lit(_WINNOW_RADIX),
+            F.lit(f"winnow_fingerprints: document exceeds {_WINNOW_RADIX} grams"),
+        )
         return F.when(
-            F.size(hs) >= w,
+            ok.isNull() & (F.size(hs) >= w),
             F.array_distinct(
                 F.transform(F.sequence(F.lit(0), F.size(hs) - w), pick)
             ),
@@ -779,6 +817,6 @@ def winnow_fingerprints(
         F.col(id_col).alias("id"), F.explode(sel).alias("s")
     ).select(
         "id",
-        F.expr("s % 1024").cast("long").alias("pos"),
-        F.expr("s DIV 1024").cast("long").alias("fp"),
+        F.expr(f"s % {_WINNOW_RADIX}").cast("long").alias("pos"),
+        F.expr(f"s DIV {_WINNOW_RADIX}").cast("long").alias("fp"),
     )

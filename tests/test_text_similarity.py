@@ -1415,3 +1415,41 @@ def test_winnowing_guarantee_and_density(spark):
     assert n_grams / 9 / 3 < n_sel < n_grams / 9 * 3
     # unrelated doc shares nothing with either (random 27-gram clash ~0)
     assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+
+
+def test_suffix_ranks_empty_and_degenerate_docs(spark):
+    """ADVICE r5: an empty text made sequence(0, size-1) descend to
+    [0, -1] and the p = -1 element raised inside slice() — the guard
+    must keep empty/whitespace docs from failing the whole query."""
+    from fintrack_etl_spark.operators.suffix import suffix_ranks
+
+    df = spark.createDataFrame(
+        [(1, "banana"), (2, ""), (3, "a")], ["doc_id", "text"]
+    )
+    rows = suffix_ranks(df, bound=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # empty doc contributes no positions, no error
+    assert len(by_doc[1]) == 6 and len(by_doc[3]) == 1
+    # the non-4*2^n bound contract is now explicit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power of two"):
+        suffix_ranks(df, bound=48)
+
+
+def test_winnow_fingerprints_long_document_radix(spark):
+    """ADVICE r5: the packed (hash, pos) form used radix 1024, so any
+    document past ~1 Ki grams silently wrapped pos into the hash field.
+    The 2^20 radix must keep positions exact for long documents."""
+    from fintrack_etl_spark.textops import winnow_fingerprints
+
+    text = ("abcdefghij" * 300) + "qzqzqzqzqzqzqzqzqzqzqzqzqzq"  # 3027 chars
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = winnow_fingerprints(df, k=20, w=8).collect()
+    n_grams = len(text) - 20 + 1
+    assert rows, "no fingerprints selected"
+    # every selected position must be a REAL gram index (> 1024 exists)
+    assert all(0 <= r["pos"] < n_grams for r in rows)
+    assert max(r["pos"] for r in rows) > 1024
