@@ -226,8 +226,14 @@ def main() -> None:
     # record the sentinel instead of hanging the whole round (round 4:
     # ONE stuck query ⇒ rc=124 ⇒ no official numbers at all).
     q_timeout = float(os.environ.get("BENCH_QUERY_TIMEOUT", "120"))
+    #: failures are recorded HERE, never folded into summed metrics: a
+    #: query that errors instantly must not inflate the official total
+    #: by the 120 s cap, and a real hang must not be silently capped —
+    #: totals stay comparable round-over-round, failures stay visible.
+    errors: dict[str, str] = {}
+    timeouts: list[str] = []
 
-    def run(name: str, warm: bool) -> float:
+    def run(name: str, warm: bool) -> float | None:
         box: dict[str, object] = {}
 
         def work() -> None:
@@ -250,23 +256,25 @@ def main() -> None:
         if th.is_alive():
             spark.sparkContext.cancelAllJobs()
             th.join(30)
+            timeouts.append(name)
             print(
                 json.dumps({"metric": "bench_query_timeout", "query": name}),
                 file=sys.stderr,
             )
-            return round(q_timeout, 3)
+            return None
         if "err" in box:
+            errors[name] = str(box["err"])
             print(
                 json.dumps(
                     {"metric": "bench_query_error", "query": name, "err": box["err"]}
                 ),
                 file=sys.stderr,
             )
-            return round(q_timeout, 3)
+            return None
         return box["t"]  # type: ignore[return-value]
 
     timings = {name: run(name, warmup) for name in names}
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
 
     out: dict[str, object] = {
         "metric": "headline_queries_total_sec",
@@ -275,6 +283,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = dict(errors)
+    if timeouts:
+        out["timeouts"] = list(timeouts)
     # Print the headline line IMMEDIATELY (and again last): if anything
     # later in the run stalls or the runner is killed, the round still
     # has its official number in the tail written so far.
@@ -285,7 +297,9 @@ def main() -> None:
         # round-over-round comparable number — registry growth adds
         # planning overhead to the FULL pass but cannot move this one.
         core = {name: run(name, warm=warmup) for name in CORE50 if name in qs}
-        out["core50_total_sec"] = round(sum(core.values()), 3)
+        out["core50_total_sec"] = round(
+            sum(t for t in core.values() if t is not None), 3
+        )
         out["core50_n_queries"] = len(core)
         print(json.dumps({"metric": "core50_queries_sec", "queries": core}), flush=True)
 
@@ -307,7 +321,9 @@ def main() -> None:
                 skipped.append(name)
                 continue
             full[name] = run(name, warm=False)
-        out["full_total_sec"] = round(sum(full.values()), 3)
+        out["full_total_sec"] = round(
+            sum(t for t in full.values() if t is not None), 3
+        )
         out["full_wall_sec"] = round(time.time() - t0, 3)  # incl. planning
         out["full_n_queries"] = len(full)
         if skipped:
@@ -315,6 +331,17 @@ def main() -> None:
             print(
                 json.dumps({"metric": "full_budget_exhausted", "skipped": skipped}),
                 flush=True,
+            )
+        # bench honesty (VERDICT r5 #8): every registry entry must have
+        # a row in the full pass — a new entry landing after the final
+        # bench (r5's x82) or a budget skip is loudly visible, so
+        # "slowest entry never benched" cannot recur silently.
+        missing = [n for n in qs if n not in full]
+        if missing:
+            out["full_missing"] = missing
+            print(
+                json.dumps({"metric": "full_registry_incomplete", "missing": missing}),
+                file=sys.stderr,
             )
         # Per-query detail goes on its OWN line, before the headline line:
         # the driver keeps only the last 2,000 bytes of output, and this

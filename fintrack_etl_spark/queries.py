@@ -4036,11 +4036,19 @@ def ext_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_entity_resolution",
     """
-    WITH RECURSIVE b AS (
+    WITH RECURSIVE b0 AS (
         SELECT p_partkey, p_name, p_type,
                regexp_extract(lower(p_name), '^[a-z0-9]+') AS fst,
                regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
         FROM part
+    ),
+    -- hard block-size quarantine (mirrors fuzzy_self_pairs
+    -- max_block_size=1000): an oversize block emits NO pairs
+    b AS (
+        SELECT * FROM (
+            SELECT b0.*, count(*) OVER (PARTITION BY blk, fst, p_type) AS __bn
+            FROM b0
+        ) WHERE __bn <= 1000
     ),
     pairs AS (
         SELECT a.p_partkey AS src, c.p_partkey AS dst
@@ -4061,7 +4069,7 @@ def ext_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels AS (
         SELECT p.p_partkey, p.p_name,
                CAST(coalesce(cc.cid, p.p_partkey) AS BIGINT) AS canonical_id
-        FROM b p LEFT JOIN cc ON p.p_partkey = cc.node
+        FROM b0 p LEFT JOIN cc ON p.p_partkey = cc.node
     )
     SELECT p_partkey, p_name, canonical_id,
            CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
@@ -4092,8 +4100,15 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 3-key blocking (see ext_fuzzy_join): the 2-key similarity graph
     # was ~1.8M edges at sf0.1 and CC over it dominated build time.
+    # max_block_size=1000 is the hard quadratic quarantine (VERDICT r5
+    # #5): ~13x the fixture's largest block (78 at sf0.1), so it fires
+    # only on pathology — one degenerate key (empty regex match, a
+    # fixture regen artifact) can otherwise own the stage O(n²).
+    # Quarantined rows keep their singleton label in the output; the
+    # oracle applies the identical window-count filter before pairing.
     pairs = fuzzy_self_pairs(
-        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3
+        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3,
+        max_block_size=1000,
     )
     comps = connected_components(
         pairs.select(F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b")),

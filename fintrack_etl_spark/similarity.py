@@ -243,6 +243,34 @@ def ivf_topk(
     )
 
 
+#: Session-scoped training memo (VERDICT r5 #4): x18/x20/x21 each
+#: retrained identical Lloyd models from scratch in one bench run —
+#: the coarse quantizer and the PQ codebooks are MODEL ARTIFACTS, and
+#: a production pipeline trains them once per corpus version, not once
+#: per query. Keyed on (applicationId, canonicalized analyzed plan of
+#: the corpus, params) — exact plan equality, no hash collisions —
+#: and bounded FIFO so a long-lived session cannot leak checkpoints.
+_TRAIN_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_TRAIN_CACHE_MAX = 16
+
+
+def _train_cache_key(corpus: DataFrame, params: tuple) -> tuple | None:
+    try:
+        plan = str(corpus._jdf.queryExecution().analyzed().canonicalized())  # noqa: SLF001
+        app = corpus.sparkSession.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        return None
+    return (app, plan, params)
+
+
+def _train_cache_put(key: tuple | None, value: tuple) -> None:
+    if key is None:
+        return
+    if len(_TRAIN_CACHE) >= _TRAIN_CACHE_MAX:
+        _TRAIN_CACHE.pop(next(iter(_TRAIN_CACHE)))
+    _TRAIN_CACHE[key] = value
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
@@ -265,6 +293,10 @@ def kmeans_centroids(
 
     Returns ``(assignments (id, cid), centroids (cid, ccv))``.
     """
+    ckey = _train_cache_key(corpus, ("kmeans", k, iters, id_col, vec_col, dims))
+    cached = _TRAIN_CACHE.get(ckey) if ckey is not None else None
+    if cached is not None:
+        return cached
     # Pin the vector table: every Lloyd round joins it, and re-deriving
     # the scan+cast lineage per round is plan-compile overhead (same
     # rationale as pq_train's sv checkpoint).
@@ -314,7 +346,14 @@ def kmeans_centroids(
             )
             .select("_id", F.col("b.cv").alias("cv"), F.col("b.cid").alias("cid"))
         )
-    return assigned.select(F.col("_id").alias(id_col), "cid"), cents
+    # pin the final assignment: cached consumers re-join it repeatedly,
+    # and recomputation would replay the full iterated lineage
+    result = (
+        assigned.select(F.col("_id").alias(id_col), "cid").localCheckpoint(eager=False),
+        cents,
+    )
+    _train_cache_put(ckey, result)
+    return result
 
 
 def ivf_topk_kmeans(
@@ -444,6 +483,10 @@ def pq_train(
     (64-D float32 → 8 codes ≈ 32× smaller), which at 100 TB is the
     difference between scanning embeddings and scanning bytes.
     """
+    ckey = _train_cache_key(corpus, ("pq", m, ksub, iters, id_col, vec_col, dims))
+    cached = _TRAIN_CACHE.get(ckey) if ckey is not None else None
+    if cached is not None:
+        return cached
     # Pin the subvector table once: every Lloyd round (and the final
     # encode) joins against it, and without the cut each round's plan
     # re-derives the scan + normalize + slice lineage — at gate scale
@@ -491,8 +534,12 @@ def pq_train(
             )
             .select("_id", "j", F.col("b.sv").alias("sv"), F.col("b.code").alias("code"))
         )
-    codes = assigned.select(F.col("_id").alias(id_col), "j", "code")
-    return codes, books
+    codes = assigned.select(F.col("_id").alias(id_col), "j", "code").localCheckpoint(
+        eager=False
+    )
+    result = (codes, books)
+    _train_cache_put(ckey, result)
+    return result
 
 
 def pq_topk(
@@ -782,3 +829,88 @@ def mmr_rerank(
             )
             items = [t for t in items if t[0] != best[1]]
     return out
+
+
+def mmr_rerank_batch(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed MMR re-rank — the BATCH face of :func:`mmr_rerank`
+    (VERDICT r5 #7): the serving face collects the shortlist to the
+    driver, which is right for one query but a driver OOM for batch
+    re-rank of millions of queries × k' candidates. Here each query's
+    candidate group is re-ranked inside an ``applyInPandas`` worker:
+    the shortlist joins its candidate vectors once (one corpus
+    semi-join scan, exactly like the serving face), shuffles on
+    query_id, and the greedy k-loop — inherently sequential in k but
+    embarrassingly parallel ACROSS queries — runs per group in Arrow
+    batches. Value-equivalence to the driver loop is pytest-pinned.
+
+    Returns a DataFrame (query_id, neighbor_id, rank, relevance,
+    mmr_score) — same rows as the serving face, unordered (downstream
+    sorts on (query_id, rank) when order matters).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cand = shortlist.select("query_id", "neighbor_id", "cosine").join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        ),
+        "neighbor_id",
+    )
+    qt = cand.schema["query_id"].dataType
+    nt = cand.schema["neighbor_id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", qt, False),
+            T.StructField("neighbor_id", nt, False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("relevance", T.DoubleType(), False),
+            T.StructField("mmr_score", T.DoubleType(), False),
+        ]
+    )
+
+    def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        items = sorted(
+            (
+                (r.neighbor_id, float(r.cosine), [float(x) for x in r.v])
+                for r in pdf.itertuples()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        qid = pdf["query_id"].iloc[0]
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            return num / den if den else 0.0
+
+        picked: list = []
+        rows = []
+        while items and len(picked) < k:
+            best = None
+            for nid, rel, v in items:
+                div = max((cos(v, pv) for _, _, pv in picked), default=0.0)
+                score = lam * rel - (1.0 - lam) * div
+                if best is None or score > best[0] + 1e-12 or (
+                    abs(score - best[0]) <= 1e-12 and str(nid) < str(best[1])
+                ):
+                    best = (score, nid, rel, v)
+            picked.append((best[1], best[2], best[3]))
+            rows.append(
+                (qid, best[1], len(picked), round(best[2], 6), round(best[0], 6))
+            )
+            items = [t for t in items if t[0] != best[1]]
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "rank", "relevance", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(_rerank, schema)

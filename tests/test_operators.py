@@ -704,3 +704,30 @@ def test_bitemporal_state_late_arrival_revises_history(spark):
         ).collect()
     }
     assert before == {1: "a", 2: "x"}
+
+
+def test_fuzzy_block_quarantine_caps_hot_block(spark):
+    """VERDICT r5 #5: a pathological hot block (degenerate blocking
+    key) must emit NO pairs and surface in the audit ledger, while
+    normal blocks keep their exact pair sets."""
+    from fintrack_etl_spark.operators.joins import (
+        fuzzy_block_audit,
+        fuzzy_self_pairs,
+    )
+
+    rows = [(i, f"hot name {i}", "HOT") for i in range(10)]
+    rows += [(100, "cold name a", "C1"), (101, "cold name b", "C1")]
+    df = spark.createDataFrame(rows, ["rid", "name", "blk"])
+
+    capped = fuzzy_self_pairs(df, "rid", "name", ["blk"], max_dist=3, max_block_size=5)
+    got = {(r["id_l"], r["id_r"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot block quarantined, cold block intact
+
+    audit = fuzzy_block_audit(df, ["blk"], max_block_size=5).collect()
+    assert len(audit) == 1
+    assert audit[0]["blk"] == "HOT"
+    assert audit[0]["n_rows"] == 10 and audit[0]["n_pairs_skipped"] == 45
+
+    # default (no cap) unchanged: hot block pairs fully enumerated
+    uncapped = fuzzy_self_pairs(df, "rid", "name", ["blk"], max_dist=3)
+    assert uncapped.count() == 45 + 1
