@@ -113,8 +113,16 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter_rare"))
     )
-    inter = F.col("inter_rare") + F.size(F.array_intersect("hot_a", "hot_b"))
-    jac = inter / (F.col("sza") + F.col("szb") - inter)
+    inter = (F.col("inter_rare") + F.size(F.array_intersect("hot_a", "hot_b"))).cast("long")
+    uni = F.col("sza") + F.col("szb") - inter
+    jac = inter / uni
+    # emission is floor-scaled basis points from exact integers:
+    # round(inter/union, 4) lands exactly on .xxxx5 for power-of-two
+    # unions (1/32 = 0.03125...) where Spark's HALF_UP and DuckDB's
+    # banker-ish double rounding disagree — the r5 x19 class. The
+    # threshold FILTER stays a float compare: both engines divide the
+    # same exact ints (correctly-rounded IEEE -> identical doubles).
+    jac_bp = F.floor((inter * 10000).cast("double") / uni) / 10000.0
     return (
         pairs.join(
             sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sza"), F.col("hot").alias("hot_a")),
@@ -125,7 +133,7 @@ def ngram_jaccard_pairs(
             "doc_b",
         )
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac_bp.alias("jaccard"))
     )
 
 
@@ -208,14 +216,17 @@ def verify_pairs_exact_jaccard(
     sh = (_shingled(df, id_col, text_col, n) if shingled is None else shingled).select(
         "id", "sh", F.size("sh").alias("sz")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.col("sza") + F.col("szb") - inter)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = F.col("sza") + F.col("szb") - inter
+    jac = inter / uni
+    # floor-scaled bp emission — see ngram_jaccard_pairs
+    jac_bp = F.floor((inter * 10000).cast("double") / uni) / 10000.0
     return (
         pairs.select("doc_a", "doc_b")
         .join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sza")), "doc_a")
         .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("szb")), "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac_bp.alias("jaccard"))
     )
 
 
@@ -653,11 +664,18 @@ def prefix_filter_pairs(
     verified = (
         cand.join(full.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(full.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") / F.col("uni") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    # floor-scaled bp emission — see ngram_jaccard_pairs
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        (F.floor((F.col("inter") * 10000).cast("double") / F.col("uni")) / 10000.0).alias(
+            "jaccard"
+        ),
+    )
 
 
 def gram_store(

@@ -106,7 +106,8 @@ def x2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(inter / (za.sz + zb.sz - inter), 4) AS jaccard
+           floor(CAST(inter * 10000 AS DOUBLE)
+                 / (za.sz + zb.sz - inter)) / 10000.0 AS jaccard
     FROM pairs
     JOIN sz za ON doc_a = za.doc_id
     JOIN sz zb ON doc_b = zb.doc_id
@@ -1856,7 +1857,8 @@ def x32_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT batch_id, dup_of,
-           round(inter / (za.sz + zb.sz - inter), 4) AS jaccard
+           floor(CAST(inter * 10000 AS DOUBLE)
+                 / (za.sz + zb.sz - inter)) / 10000.0 AS jaccard
     FROM pairs
     JOIN sz za ON dup_of = za.doc_id
     JOIN sz zb ON batch_id = zb.doc_id
@@ -4303,7 +4305,8 @@ def x62_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(inter / (za.sz + zb.sz - inter), 4) AS jaccard
+           floor(CAST(inter * 10000 AS DOUBLE)
+                 / (za.sz + zb.sz - inter)) / 10000.0 AS jaccard
     FROM pairs
     JOIN sz za ON doc_a = za.doc_id
     JOIN sz zb ON doc_b = zb.doc_id
