@@ -2222,14 +2222,54 @@ def ext_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session memo for the fuzzy part-name similarity graph: the blocked
+#: Levenshtein pair build is the shared (and dominant) cost of
+#: ext_fuzzy_join / ext_entity_resolution / x38_triangle_count — one
+#: build per (session, sf_dir) instead of three (same discipline as
+#: _LANC_CACHE and similarity._TRAIN_CACHE).
+_FUZZY_PAIRS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(parts-with-block-keys, fuzzy pair graph) — 3-key blocking
+    (last token, first token, type), Levenshtein <= 3, hard
+    max_block_size=1000 quarantine (~13x the fixture max block; every
+    consumer's oracle applies the identical window-count filter)."""
+    from .operators.joins import fuzzy_self_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _FUZZY_PAIRS_CACHE.get(key)
+    if got is not None:
+        return got
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.regexp_extract(F.lower(F.col("p_name")), "^[a-z0-9]+", 0).alias("fst"),
+        F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
+    )
+    pairs = fuzzy_self_pairs(
+        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3,
+        max_block_size=1000,
+    ).localCheckpoint(eager=False)
+    _FUZZY_PAIRS_CACHE[key] = (p, pairs)
+    return (p, pairs)
+
+
 @register(
     "ext_fuzzy_join",
     """
-    WITH b AS (
+    WITH b0 AS (
         SELECT p_partkey, p_name, p_type,
                regexp_extract(lower(p_name), '^[a-z0-9]+') AS fst,
                regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
         FROM part
+    ),
+    b AS (
+        SELECT * FROM (
+            SELECT b0.*, count(*) OVER (PARTITION BY blk, fst, p_type) AS __bn
+            FROM b0
+        ) WHERE __bn <= 1000
     )
     SELECT a.p_type,
            CAST(count(*) AS BIGINT)           AS n_pairs,
@@ -2251,19 +2291,9 @@ def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2-key variant left 450-row blocks (4.2M full edit distances,
     ~10 s at sf0.1; 3 keys: 520 k, ~1 s). Native ``levenshtein`` has
     identical semantics in DuckDB so the pair set value-gates
-    exactly."""
-    from .operators.joins import fuzzy_self_pairs
-
-    p = T(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_type",
-        F.regexp_extract(F.lower(F.col("p_name")), "^[a-z0-9]+", 0).alias("fst"),
-        F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
-    )
-    pairs = fuzzy_self_pairs(
-        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3
-    )
+    exactly. The pair graph comes from the session memo shared with
+    ext_entity_resolution / x38 (one Levenshtein build per session)."""
+    _, pairs = _fuzzy_part_pairs(spark, sf_dir)
     return pairs.groupBy("p_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.min("dist").cast("int").alias("min_dist"),
@@ -4089,15 +4119,7 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declarative fixpoint checking the iterative propagation, same
     discipline as x16."""
     from .operators.graph import attach_clusters, connected_components
-    from .operators.joins import fuzzy_self_pairs
 
-    p = T(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_type",
-        F.regexp_extract(F.lower(F.col("p_name")), "^[a-z0-9]+", 0).alias("fst"),
-        F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
-    )
     # 3-key blocking (see ext_fuzzy_join): the 2-key similarity graph
     # was ~1.8M edges at sf0.1 and CC over it dominated build time.
     # max_block_size=1000 is the hard quadratic quarantine (VERDICT r5
@@ -4106,10 +4128,8 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture regen artifact) can otherwise own the stage O(n²).
     # Quarantined rows keep their singleton label in the output; the
     # oracle applies the identical window-count filter before pairing.
-    pairs = fuzzy_self_pairs(
-        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3,
-        max_block_size=1000,
-    )
+    # The pair graph is the session memo shared with ext_fuzzy_join/x38.
+    p, pairs = _fuzzy_part_pairs(spark, sf_dir)
     comps = connected_components(
         pairs.select(F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b")),
         "doc_a",
@@ -4128,11 +4148,18 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x38_triangle_count",
     """
-    WITH b AS (
+    WITH b0 AS (
         SELECT p_partkey, p_name, p_type,
                regexp_extract(lower(p_name), '^[a-z0-9]+') AS fst,
                regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
         FROM part
+    ),
+    -- identical block-size quarantine as the engine's shared graph
+    b AS (
+        SELECT * FROM (
+            SELECT b0.*, count(*) OVER (PARTITION BY blk, fst, p_type) AS __bn
+            FROM b0
+        ) WHERE __bn <= 1000
     ),
     e AS (
         SELECT a.p_partkey AS src, c.p_partkey AS dst
@@ -4154,50 +4181,57 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the fuzzy-similarity graph — the
     clustering-coefficient primitive (how clique-like are the
-    near-duplicate neighborhoods?). Edges are kept in canonical
-    src < dst orientation, so each triangle is counted exactly once
-    by the two-hop join: e1=(a,b), e2=(b,c), closed by e3=(a,c).
-    Plan: two self-joins of the EDGE table (pair-detection output,
-    orders of magnitude smaller than the node table); at web scale
-    the standard degree-ordering refinement applies unchanged —
-    orient each edge from the lower-degree endpoint so no join key
-    fans out beyond sqrt(|E|)."""
-    from .operators.joins import fuzzy_self_pairs
+    near-duplicate neighborhoods?). The pair graph is the session memo
+    shared with ext_fuzzy_join/ext_entity_resolution (one Levenshtein
+    build per session, hard block quarantine included).
 
-    p = T(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_type",
-        F.regexp_extract(F.lower(F.col("p_name")), "^[a-z0-9]+", 0).alias("fst"),
-        F.regexp_extract(F.lower(F.col("p_name")), "[a-z0-9]+$", 0).alias("blk"),
+    Counting uses DEGREE ORIENTATION (compact-forward, Latapy 2008 —
+    the refinement r5's verdict flagged as documented-but-not-done):
+    every edge points from the lower-(degree, id) endpoint to the
+    higher, so each triangle {u,v,w} is counted exactly once at its
+    lowest vertex as an out-wedge (u→v, u→w) closed by the probe edge
+    (v→w) — and no join key fans out beyond O(√|E|), because a node's
+    OUT-degree under this orientation is at most √(2|E|) regardless of
+    its raw degree (a hub's edges point INTO it). Triangle count is
+    orientation-invariant, so the oracle's canonical src<dst two-hop
+    counts the same triangles."""
+    _, pairs = _fuzzy_part_pairs(spark, sf_dir)
+    e0 = pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+    deg = (
+        e0.select(F.explode(F.array("src", "dst")).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    # 3-key blocking (type, first token, last token) — same contract
-    # as ext_fuzzy_join: the 2-key variant's 450-row blocks made this
-    # similarity graph ~1.8M edges at sf0.1 and the triangle two-hop
-    # join was the registry's single biggest build-time job (25 s).
-    e = fuzzy_self_pairs(
-        p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3
-    ).select(
-        F.col("id_l").alias("src"), F.col("id_r").alias("dst")
-    ).localCheckpoint()
-    n_edges = e.count()
+    # orient by (degree, id) total order: low endpoint -> high endpoint
+    er = (
+        e0.join(deg.select(F.col("x").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("x").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+            )
+            .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint()
+    )
+    n_edges = er.count()
     n_nodes = (
-        e.select(F.col("src").alias("x"))
-        .unionByName(e.select(F.col("dst").alias("x")))
+        er.select(F.col("u").alias("x"))
+        .unionByName(er.select(F.col("v").alias("x")))
         .distinct()
         .count()
     )
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .count()
-    )
+    w1 = er.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = er.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    probe = er.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # out-wedge (a→b, a→c) closed by probe b→c: the b→c edge exists
+    # only when b precedes c in the total order, so each unordered
+    # wedge closes at most once — exactly-once triangle counting
+    tri = w1.join(w2, "a").filter(F.col("b") != F.col("c")).join(probe, ["b", "c"]).count()
     return spark.createDataFrame(
         [(n_edges, n_nodes, tri)], "n_edges long, n_nodes long, n_triangles long"
     )
