@@ -157,10 +157,15 @@ _RECHECK = frozenset({
 
 
 # Round-6 rotation (VERDICT r5 "Next round" #2): the 24 never-driver-
-# checked entries + the x19 red re-pin fill half the 50-slot window;
-# the other half re-checks the float-determinism sweep (_RECHECK).
+# checked entries + the x19 red re-pin + the two NEW entries (x83
+# large-star CC, x84 temperature mixture) fill the 50-slot window; the
+# rest re-checks the float-determinism sweep (_RECHECK; cohort
+# retention + referential integrity yielded their slots to the new
+# entries — both remain locally gate-green and tier-0 for r7).
 _WINDOW_FIRST = (
     # never driver-checked (13 judge-replica-verified in r5, 11 local)
+    "x83_cc_largestar",
+    "x84_temperature_mixture",
     "x19_repetition_filter",
     "x68_fd_discovery",
     "x69_bitemporal_revision",
@@ -210,8 +215,6 @@ _WINDOW_FIRST = (
     "ext_profit_by_nation_q9",
     "ext_important_stock_q11",
     "ext_revenue_q6",
-    "ext_cohort_retention",
-    "ext_referential_integrity",
 )
 
 

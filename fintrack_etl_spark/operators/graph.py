@@ -82,6 +82,83 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the web-scale alternative to min-label
+    propagation (:func:`connected_components`): propagation needs
+    O(diameter) rounds, star contraction converges in O(log² n) and in
+    practice ~4-5 rounds on real graphs, because each round HALVES
+    chain depth instead of walking it.
+
+    Both half-rounds are one groupBy + one join over the edge table —
+    per-node MIN then a per-edge re-target; no collected neighbor
+    lists (a hub's Γ(u) never materializes as an array, only as join
+    fan-out), no driver state, nothing proportional to component size
+    in any single task:
+
+    * large-star(u): every neighbor v > u re-targets to
+      m = min(Γ(u) ∪ {u});
+    * small-star(u): every neighbor v < u (and u itself) re-targets
+      to the same m.
+
+    Returns ``(node, cluster_id)`` with cluster_id = min node id of
+    the component — value-identical to :func:`connected_components`
+    (both are oracle-checked against a recursive-CTE closure).
+    Convergence probe: labels only DECREASE, so an unchanged
+    (count, sum) pair across a full round is the fixpoint — two cheap
+    scalar aggregates per round, no EXCEPT shuffle.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # canonical u > v: every node's edge list already contains
+        .distinct()  # its smaller neighbors — halves the first rounds
+        .localCheckpoint()
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = sym.join(mins, "u")
+        side = F.col("v") > F.col("u") if large else F.col("v") < F.col("u")
+        out = joined.filter(side).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            out = out.union(mins.select(F.col("u"), F.col("m").alias("v")))
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+    probe = e.agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")).first()
+    state = (probe["n"], probe["s"])
+    for _ in range(max_iter):
+        e = star(star(e, large=True), large=False)
+        probe = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
+        ).first()
+        new_state = (probe["n"], probe["s"])
+        if new_state == state:
+            # fixpoint: every edge is (node, component-min) — a star
+            roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+                "cluster_id", F.col("node")
+            )
+            return e.select(
+                F.col("u").alias("node"), F.col("v").alias("cluster_id")
+            ).unionByName(roots)
+        state = new_state
+    raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+
+
 def attach_clusters(
     nodes: DataFrame,
     components: DataFrame,

@@ -4238,6 +4238,76 @@ def x38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x83_cc_largestar",
+    """
+    WITH RECURSIVE b0 AS (
+        SELECT p_partkey, p_name, p_type,
+               regexp_extract(lower(p_name), '^[a-z0-9]+') AS fst,
+               regexp_extract(lower(p_name), '[a-z0-9]+$') AS blk
+        FROM part
+    ),
+    b AS (
+        SELECT * FROM (
+            SELECT b0.*, count(*) OVER (PARTITION BY blk, fst, p_type) AS __bn
+            FROM b0
+        ) WHERE __bn <= 1000
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS src, c.p_partkey AS dst
+        FROM b a JOIN b c
+          ON a.blk = c.blk AND a.fst = c.fst AND a.p_type = c.p_type
+         AND a.p_partkey < c.p_partkey
+        WHERE levenshtein(a.p_name, c.p_name) <= 3
+    ),
+    edges(a, e_b) AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.e_b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    cc AS (SELECT node, min(lab) AS cid FROM walk GROUP BY node)
+    SELECT p.p_partkey,
+           CAST(coalesce(cc.cid, p.p_partkey) AS BIGINT) AS canonical_id,
+           CAST(count(*) OVER (PARTITION BY coalesce(cc.cid, p.p_partkey))
+                AS BIGINT) AS cluster_size
+    FROM b0 p LEFT JOIN cc ON p.p_partkey = cc.node
+    """,
+)
+def x83_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via LARGE-STAR/SMALL-STAR contraction
+    (Kiveris et al., SoCC 2014; ``graph.connected_components_star``) —
+    the web-scale CC algorithm, on the same fuzzy similarity graph as
+    ext_entity_resolution. Min-label propagation (x16/ER) walks the
+    component diameter, one round per hop; star contraction HALVES
+    chain depth per round (O(log² n) worst case, ~4-5 rounds in
+    practice) — at 100 TB, where a near-dup chain can thread thousands
+    of documents, that is the difference between 5 shuffles and 5 000.
+    Each half-round is one per-node MIN + one per-edge re-target; no
+    neighbor lists are ever collected (hub fan-out stays join-shaped),
+    nothing in any task scales with component size. The oracle's
+    recursive-CTE closure — and ER's propagation output — pin the
+    exact same (node → min id) labeling, so the driver gate checks the
+    algorithm, not just the shapes."""
+    from .operators.graph import attach_clusters, connected_components_star
+
+    p, pairs = _fuzzy_part_pairs(spark, sf_dir)
+    comps = connected_components_star(
+        pairs.select(F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b")),
+        "doc_a",
+        "doc_b",
+    )
+    labeled = attach_clusters(p.select("p_partkey"), comps, "p_partkey")
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "p_partkey",
+        F.col("cluster_id").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+@register(
     "ext_session_paths",
     """
     WITH ordered AS (

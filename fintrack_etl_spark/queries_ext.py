@@ -3531,6 +3531,61 @@ def ext_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x84_temperature_mixture",
+    """
+    WITH s AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    q AS (
+        -- exact integer sqrt: floor(correctly-rounded sqrt) is
+        -- bit-identical across engines for x < 2^52
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS w
+        FROM s
+    ),
+    t AS (SELECT sum(w) AS sw FROM q)
+    SELECT source,
+           CAST(n_docs AS BIGINT)                 AS n_docs,
+           w                                      AS weight_milli,
+           CAST(w * 1000000 // t.sw AS BIGINT)    AS mix_ppm,
+           CAST(w * 1000000 // t.sw * 100 AS BIGINT) AS budget_docs
+    FROM q, t
+    """,
+)
+def x84_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights (the multilingual
+    pre-training mix of mT5/XLM-R: q_i ∝ p_i^α with α < 1 upweighting
+    low-resource sources so the head never drowns the tail). α = 1/2
+    is computed in EXACT scaled-integer arithmetic — isqrt(n·10⁶) via
+    floor(sqrt(x)), bit-identical across engines below 2^52, then all
+    shares/budgets as integer division of exact integers (a float
+    pow()/normalize pipeline differs in last ulps between libm
+    implementations, the x19 class; general α stays available off the
+    gate path via pow). Output: per-source weight, mix share in ppm,
+    and a document budget for a 100 M-doc target epoch (scaled here to
+    10⁸·ppm ≡ ppm·100). One |sources|-row aggregate — at 100 TB this
+    is a metadata query that steers the sampler, never a data scan
+    beyond the grouped count."""
+    docs = T(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = s.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(F.sqrt((F.col("n_docs") * 1000000).cast("double")))
+        .cast("long")
+        .alias("weight_milli"),
+    )
+    t = q.agg(F.sum("weight_milli").alias("sw"))
+    return q.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "weight_milli",
+        F.expr("div(weight_milli * 1000000, sw)").alias("mix_ppm"),
+        (F.expr("div(weight_milli * 1000000, sw)") * 100).alias("budget_docs"),
+    )
+
+
 _X52_IDX = [
     r2 * 2 * 9 + (c2 * 9) // 4 + 1 for r2 in range(4) for c2 in range(4)
 ]  # nearest-neighbor source index, 1-based into the 72-char raster

@@ -291,3 +291,51 @@ def test_random_walks_multi_walks_per_start_differ(spark):
     assert len(paths) == 4 and all(len(v) == 7 for v in paths.values())
     # the walk_id feeds the hash, so sibling walks diverge
     assert len({tuple(sorted(v)) for v in paths.values()}) > 1
+
+
+def test_cc_star_matches_propagation_on_adversarial_shapes(spark):
+    """Large-star/small-star CC (Kiveris 2014) must produce the exact
+    min-label clusters of the propagation operator on the shapes that
+    stress each: long chains (propagation's worst case), cliques,
+    stars, singleton edges, and a random union."""
+    import random
+
+    from fintrack_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # chain 0-1-...-20 (propagation needs O(diameter) rounds and its
+    # cap is 25; star contraction needs O(log) — see the solo check)
+    edges += [(i, i + 1) for i in range(20)]
+    # clique on 100..107
+    edges += [(a, b) for a in range(100, 108) for b in range(a + 1, 108)]
+    # star centered at 200
+    edges += [(200, 200 + i) for i in range(1, 12)]
+    # random blobs
+    for base in (300, 400, 500):
+        nodes = list(range(base, base + 20))
+        for _ in range(25):
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    prop = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert star == prop
+    assert all(star[i] == 0 for i in range(21))
+    # the scale claim itself: a diameter-80 chain (propagation's cap
+    # is 25 rounds) collapses for star CC within its default budget
+    chain = spark.createDataFrame([(i, i + 1) for i in range(80)], ["src", "dst"])
+    deep = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(chain).collect()
+    }
+    assert deep == {i: 0 for i in range(81)}
