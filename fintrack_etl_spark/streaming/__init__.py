@@ -31,6 +31,7 @@ from .pipelines import (
     substring_dedup_stream,
     upsert_sink_stream,
     windowed_agg_stream,
+    winnow_fingerprint_stream,
 )
 
 __all__ = [
@@ -46,4 +47,5 @@ __all__ = [
     "substring_dedup_stream",
     "upsert_sink_stream",
     "windowed_agg_stream",
+    "winnow_fingerprint_stream",
 ]

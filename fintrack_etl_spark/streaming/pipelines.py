@@ -790,3 +790,44 @@ def substring_dedup_stream(
         )
         .select("batch_id", "n_hit_grams", cover.alias("covered_chars"))
     )
+
+
+def winnow_fingerprint_stream(
+    docs: DataFrame,
+    reference_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Streaming twin of the winnowing fingerprint dedup (x82,
+    ``textops.winnow_fingerprints``) — the 13th streaming pipeline:
+    each arriving document's winnowed fingerprints are selected in a
+    pure map pass (the SIGMOD-2003 rightmost-window-min is an array
+    expression over the single input row, so it is streaming-legal as
+    a narrow transformation), probed against the STATIC reference
+    fingerprint set with a stream-static left join, and the per-doc
+    selected/shared counts come out of one streaming aggregation.
+
+    At 100 TB the reference set is the already-ingested corpus's
+    fingerprint table bucketed by fp: the probe reads matching buckets
+    only, and each micro-batch touches work proportional to ITS
+    documents' selected fingerprints (~2/(w+1) of gram positions),
+    never the corpus. Output (complete mode):
+    (batch_id, n_selected, n_shared_fp) — the same counts as the
+    batch x82 face, which the equivalence test pins.
+    """
+    from ..textops import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
+    ref = reference_fps.select(F.col("fp"), F.lit(True).alias("__hit")).distinct()
+    probed = fps.join(ref, "fp", "left")
+    return (
+        probed.groupBy(F.col("id").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("long").alias(
+                "n_shared_fp"
+            ),
+        )
+    )

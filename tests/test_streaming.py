@@ -902,3 +902,75 @@ def test_substring_dedup_stream_matches_batch_x81(spark, sf_dir, tmp_path):
         if r["n_hit_grams"] > 0  # the stream emits only docs with hits
     }
     assert want and got == want
+
+
+def test_winnow_fingerprint_stream_matches_batch_x82(spark, sf_dir, tmp_path):
+    """The 13th streaming pipeline: streamed winnowing fingerprint
+    selection + stream-static reference probe must equal the batch
+    winnow/count face per landed document."""
+    import os
+    import uuid
+
+    from fintrack_etl_spark.streaming import (
+        file_source_stream,
+        run_available_now,
+        winnow_fingerprint_stream,
+    )
+    from fintrack_etl_spark.textops import winnow_fingerprints
+
+    docs = table(spark, "documents", sf_dir)
+    ref = (
+        winnow_fingerprints(docs, "doc_id", "text", k=20, w=8)
+        .select("fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    # arriving batch: half re-crawls (every fingerprint shared), half
+    # reversed text (fresh content, incidental collisions only)
+    arriving = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1)
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.reverse("text"))
+        )
+    )
+    land = str(tmp_path / "winnow_land")
+    arriving.select("doc_id", "text").repartition(3).write.parquet(land)
+
+    stream = file_source_stream(
+        spark, land, _schema(spark, land), max_files_per_trigger=1
+    )
+    name = f"swinnow_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        winnow_fingerprint_stream(stream, ref),
+        os.path.join(str(tmp_path), "ck"),
+        name,
+        output_mode="complete",
+    )
+    got = {
+        r["batch_id"]: (r["n_selected"], r["n_shared_fp"])
+        for r in spark.table(name).collect()
+    }
+    landed = spark.read.parquet(land)
+    fps = winnow_fingerprints(landed, "doc_id", "text", k=20, w=8)
+    want = {
+        r["id"]: (r["n_selected"], r["n_shared_fp"])
+        for r in fps.join(
+            ref.select("fp", F.lit(True).alias("__hit")), "fp", "left"
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_fp"),
+        )
+        .collect()
+    }
+    assert want and got == want
+    # re-crawls share EVERY selected fingerprint; fresh docs share none
+    # of their own (reversal destroys every 27-char window)
+    recrawl = [b for b in got if 100000 <= b < 200000]
+    assert recrawl and all(got[b][0] == got[b][1] for b in recrawl)
