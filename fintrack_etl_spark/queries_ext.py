@@ -617,14 +617,21 @@ ORACLES["ext_stratified_sample"] = _stratified_oracle()
 @register(
     "ext_incremental_agg_merge",
     """
-    SELECT event_type,
-           count(*)                                     AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_v,
-           CAST(round(min(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS min_v,
-           CAST(round(max(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS max_v
-    FROM events
-    GROUP BY event_type
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(value * 1000000 AS BIGINT))  AS micro,
+               min(CAST(value * 1000000 AS BIGINT))  AS mn,
+               max(CAST(value * 1000000 AS BIGINT))  AS mx
+        FROM (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS value FROM events)
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(micro // 10000 AS DOUBLE) / 100.0        AS total,
+           CAST(micro // (n * 10000) AS DOUBLE) / 100.0  AS avg_v,
+           CAST(mn // 10000 AS DOUBLE) / 100.0           AS min_v,
+           CAST(mx // 10000 AS DOUBLE) / 100.0           AS max_v
+    FROM s
     """,
 )
 def ext_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,10 +642,12 @@ def ext_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan of history. The DuckDB oracle aggregates everything from
     scratch: merged state must equal the from-scratch answer exactly —
     the algebraic property that makes incremental view maintenance
-    sound. Values aggregate as DECIMAL(18,6) on BOTH sides so the sum
-    is exact and association-invariant: history-partial + delta-partial
-    cannot round differently from the oracle's single sum near a .005
-    boundary, whatever the regenerated fixture holds."""
+    sound. Values aggregate as DECIMAL(18,6) on BOTH sides (exact,
+    association-invariant sums) and every output is trunc-scaled from
+    exact integer micro-units — round(sum/n, 2) of a rational could
+    land exactly on .xx5 where the engines' rounding conventions
+    disagree (the r5 x19 class), whatever the regenerated fixture
+    holds."""
     from .operators.incremental import merge_aggregate_state, partial_aggregate
 
     ev = T(spark, sf_dir, "events").withColumn(
@@ -651,10 +660,10 @@ def ext_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_state.select(
         "event_type",
         "n",
-        F.round("total", 2).cast("double").alias("total"),
-        F.round(F.col("total").cast("double") / F.col("n"), 2).alias("avg_v"),
-        F.round("min_v", 2).cast("double").alias("min_v"),
-        F.round("max_v", 2).cast("double").alias("max_v"),
+        (F.expr("div(CAST(total * 1000000 AS BIGINT), 10000)") / 100.0).alias("total"),
+        (F.expr("div(CAST(total * 1000000 AS BIGINT), n * 10000)") / 100.0).alias("avg_v"),
+        (F.expr("div(CAST(min_v * 1000000 AS BIGINT), 10000)") / 100.0).alias("min_v"),
+        (F.expr("div(CAST(max_v * 1000000 AS BIGINT), 10000)") / 100.0).alias("max_v"),
     )
 
 
@@ -1440,8 +1449,8 @@ def x27_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_tokens,
            CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS oov_tokens,
-           round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
-                 / count(*), 4) AS oov_rate
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000
+                // count(*) AS DOUBLE) / 10000.0 AS oov_rate
     FROM toks LEFT JOIN vocab v USING (tok)
     GROUP BY lang
     """,
@@ -1478,10 +1487,15 @@ def x28_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("oov_tokens"),
-            F.round(
-                F.sum(F.when(F.col("__in_vocab").isNull(), 1.0).otherwise(0.0))
-                / F.count(F.lit(1)),
-                4,
+            (
+                F.floor(
+                    (
+                        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+                        * 10000
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 10000.0
             ).alias("oov_rate"),
         )
     )
@@ -1809,8 +1823,8 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(floor(sum(CAST(floor(x * 1e9) AS BIGINT)) / count(*)) AS BIGINT)
              AS mean_nano,
-           round(min(x), 6) AS min_x,
-           round(max(x), 6) AS max_x
+           floor(min(x) * 1000000) / 1000000.0 AS min_x,
+           floor(max(x) * 1000000) / 1000000.0 AS max_x
     FROM ex GROUP BY dim
     """,
 )
@@ -1830,8 +1844,8 @@ def x32_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.floor(F.sum("x_nano") / F.count(F.lit(1))).cast("long").alias("mean_nano"),
-        F.round(F.min("x"), 6).alias("min_x"),
-        F.round(F.max("x"), 6).alias("max_x"),
+        (F.floor(F.min("x") * 1000000) / 1000000.0).alias("min_x"),
+        (F.floor(F.max("x") * 1000000) / 1000000.0).alias("max_x"),
     )
 
 
@@ -1904,7 +1918,7 @@ def x33_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rights AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY b),
     tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM pairs)
     SELECT a, b, n_ab,
-           round(n_ab * n / (n_a * CAST(n_b AS DOUBLE)), 6) AS lift
+           CAST(n_ab * n * 1000000 // (n_a * n_b) AS DOUBLE) / 1000000.0 AS lift
     FROM pairs
     JOIN lefts USING (a) JOIN rights USING (b)
     CROSS JOIN tot
@@ -1947,8 +1961,10 @@ def x34_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lefts = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     rights = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
     tot = pairs.agg(F.sum("n_ab").alias("n"))
-    lift = F.round(
-        F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b").cast("double")), 6
+    # trunc-scaled micro-lift from exact integer counts: round() of the
+    # rational n_ab·n/(n_a·n_b) can land exactly on a .xxxxxx5 halfway
+    lift = (
+        F.expr("div(n_ab * n * 1000000, n_a * n_b)") / 1000000.0
     )
     return (
         pairs.filter(F.col("n_ab") >= 5)
@@ -2268,9 +2284,9 @@ def ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hashed WHERE in_sample
     )
     SELECT n_docs, n_dups,
-           round(n_dups * 1.0 / n_docs, 4) AS exact_rate,
+           CAST(n_dups * 10000 // n_docs AS DOUBLE) / 10000.0 AS exact_rate,
            s_docs, s_dups,
-           round(s_dups * 1.0 / s_docs, 4) AS sampled_rate,
+           CAST(s_dups * 10000 // s_docs AS DOUBLE) / 10000.0 AS sampled_rate,
            abs(s_dups * 1.0 / s_docs - n_dups * 1.0 / n_docs) < 0.1
              AS estimate_within_bound
     FROM exact, sample
@@ -2309,10 +2325,10 @@ def x39_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.crossJoin(sa).select(
         "n_docs",
         "n_dups",
-        F.round(er, 4).alias("exact_rate"),
+        (F.expr("div(n_dups * 10000, n_docs)") / 10000.0).alias("exact_rate"),
         "s_docs",
         "s_dups",
-        F.round(sr, 4).alias("sampled_rate"),
+        (F.expr("div(s_dups * 10000, s_docs)") / 10000.0).alias("sampled_rate"),
         (F.abs(sr - er) < 0.1).alias("estimate_within_bound"),
     )
 
