@@ -86,8 +86,10 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "media_type": pdf["media_type"],
                     "n_bytes": content.map(lambda b: len(b) if b is not None else None),
                     "head_hex": content.map(lambda b: b[:4].hex() if b else None),
+                    # floor-scaled bp from exact ints: Python round() is
+                    # BANKER'S — diverges from both engines on halfway
                     "byte_mean": content.map(
-                        lambda b: round(sum(b) / len(b), 4) if b else None
+                        lambda b: (sum(b) * 10000 // len(b)) / 10000.0 if b else None
                     ),
                 }
             )
