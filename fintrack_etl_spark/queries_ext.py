@@ -3592,13 +3592,22 @@ def x84_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_milli"),
     )
-    t = q.agg(F.sum("weight_milli").alias("sw"))
-    return q.crossJoin(F.broadcast(t)).select(
+    # the normalizer is a window over the |sources|-row AGGREGATE (a
+    # scalar-subquery crossJoin re-scans the corpus for a second
+    # single-column pass; the window keeps it one scan — plan-pinned)
+    sw = F.sum("weight_milli").over(Window.partitionBy())
+    return q.select(
         "source",
         "n_docs",
         "weight_milli",
-        F.expr("div(weight_milli * 1000000, sw)").alias("mix_ppm"),
-        (F.expr("div(weight_milli * 1000000, sw)") * 100).alias("budget_docs"),
+        F.expr("weight_milli * 1000000").alias("__num"),
+        sw.alias("__sw"),
+    ).select(
+        "source",
+        "n_docs",
+        "weight_milli",
+        F.expr("div(__num, __sw)").alias("mix_ppm"),
+        (F.expr("div(__num, __sw)") * 100).alias("budget_docs"),
     )
 
 

@@ -565,3 +565,26 @@ def test_no_exponential_alias_inlining_in_expression_heavy_plans(spark, sf_dir):
             f"inlining has re-exploded (see session.py excludedRules and "
             f"the _let/shingles let-binding pattern)"
         )
+
+
+def test_star_cc_plans_are_join_shaped_not_collected(spark, sf_dir):
+    """x83's star contraction must stay join-shaped: the per-node MIN
+    is a hash aggregate and the re-target is a shuffled/broadcast join —
+    never a collect_list of neighbors (a hub's adjacency must not
+    materialize as one array in one task)."""
+    from fintrack_etl_spark.queries import x83_cc_largestar
+
+    plan = _opt(x83_cc_largestar(spark, sf_dir))
+    assert "collect_list" not in plan and "collect_set" not in plan, plan
+
+
+def test_temperature_mixture_is_metadata_sized(spark, sf_dir):
+    """x84 is a |sources|-row metadata query: one grouped count of the
+    corpus, everything after on the tiny aggregate (broadcast for the
+    scalar total, no second scan of documents)."""
+    from fintrack_etl_spark.queries_ext import QUERIES
+
+    plan = _phys(QUERIES["x84_temperature_mixture"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "source" in rs and "text" not in rs, rs  # column-pruned scan
