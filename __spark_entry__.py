@@ -166,6 +166,7 @@ _WINDOW_FIRST = (
     # never driver-checked (13 judge-replica-verified in r5, 11 local)
     "x83_cc_largestar",
     "x84_temperature_mixture",
+    "x85_ngram_novelty",
     "x19_repetition_filter",
     "x68_fd_discovery",
     "x69_bitemporal_revision",
@@ -214,7 +215,6 @@ _WINDOW_FIRST = (
     "ext_market_share_q8",
     "ext_profit_by_nation_q9",
     "ext_important_stock_q11",
-    "ext_revenue_q6",
 )
 
 

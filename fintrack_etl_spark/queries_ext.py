@@ -3611,6 +3611,86 @@ def x84_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x85_ngram_novelty",
+    f"""
+    WITH corpus AS ({_RECRAWL_SQL}),
+    tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        FROM tok WHERE len(t) >= 3
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT grams.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN f.first_doc = grams.doc_id THEN 1 ELSE 0 END)
+                 AS n_novel
+        FROM grams JOIN firsts f USING (g)
+        GROUP BY grams.doc_id
+    )
+    SELECT (doc_id // 1000) * 1000 AS doc_bucket,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           CAST(sum(n_grams) AS BIGINT)   AS total_grams,
+           CAST(sum(n_novel) AS BIGINT)   AS novel_grams,
+           CAST(sum(n_novel) * 10000 // sum(n_grams) AS DOUBLE) / 10000.0
+               AS novelty_ratio
+    FROM per_doc
+    GROUP BY 1
+    """,
+)
+def x85_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY CURVE — per ingestion bucket, the fraction of a
+    document's distinct 3-gram shingles never seen in any earlier
+    document (first occurrence attributed by min doc_id). The standard
+    diminishing-returns diagnostic for data curation (Lee et al. 2022
+    measure exactly this to justify dedup: novelty decays as a corpus
+    saturates, and re-crawled content — the planted +100000 twins —
+    contributes ~zero new grams).
+
+    Fully distributed with NO ordered scan: "seen before" is a
+    per-gram ``min(doc_id)`` (one groupBy over exploded shingles,
+    map-side combined), joined back to attribute each gram to its
+    first document — the monotone-id trick that turns a sequential
+    definition into two shuffles. Novelty ratios are floor-scaled
+    basis points of exact integer counts (the r6 determinism rule).
+    At 100 TB: shingles travel hashed in production (the gate keeps
+    strings so the oracle join is portable); the firsts table is
+    |vocab|-sized and the bucket rollup is |corpus|/1000 rows."""
+    docs = _with_recrawl(T(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(toks, 3)).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy((F.expr("div(doc_id, 1000)") * 1000).alias("doc_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_novel").cast("long").alias("novel_grams"),
+            (
+                F.expr("div(sum(n_novel) * 10000, sum(n_grams))") / 10000.0
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
 _X52_IDX = [
     r2 * 2 * 9 + (c2 * 9) // 4 + 1 for r2 in range(4) for c2 in range(4)
 ]  # nearest-neighbor source index, 1-based into the 72-char raster
