@@ -28,13 +28,47 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str, normalized: bool
     )
 
 
+#: Session memo for the shingled corpus: x3/x4/x63/x16/x33 each shingle
+#: the same recrawl corpus per run (tokenize + n-gram transform is the
+#: shared front of every dedup pipeline, ~2-3 s at sf0.1). Keyed on the
+#: corpus's canonicalized analyzed plan — exact plan equality — and
+#: bounded FIFO (same discipline as similarity._TRAIN_CACHE).
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_SHINGLE_CACHE_MAX = 16
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Identity = canonicalized plan (expr-ids normalized, literals kept)
+    # PLUS the scan's file list: canonicalization alone omits BOTH the
+    # parquet path and LocalRelation data, so sf0.01/sf0.1 — or two
+    # different createDataFrame corpora — would collide. Plans with no
+    # input files (test-local relations) are never memoized.
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            str(df._jdf.queryExecution().analyzed().canonicalized()),  # noqa: SLF001
+            files,
+            id_col,
+            text_col,
+            n,
+        ) if files else None
+    except Exception:  # noqa: BLE001 — memo is best-effort
+        key = None
+    if key is not None and key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
     toks = tokens(F.col(text_col))
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .filter(F.size("toks") >= n)
         .select("id", shingles(F.col("toks"), n).alias("sh"))
+        .localCheckpoint(eager=False)
     )
+    if key is not None:
+        if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
+        _SHINGLE_CACHE[key] = out
+    return out
 
 
 def stop_shingles(ex: DataFrame, max_df: int) -> DataFrame:

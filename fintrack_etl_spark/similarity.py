@@ -256,11 +256,18 @@ _TRAIN_CACHE_MAX = 16
 
 def _train_cache_key(corpus: DataFrame, params: tuple) -> tuple | None:
     try:
+        # canonicalization normalizes expr-ids and KEEPS literals, but
+        # omits both parquet paths and LocalRelation data — the file
+        # list disambiguates scale factors, and plans with no input
+        # files (test-local corpora) are never memoized at all.
+        files = tuple(sorted(corpus.inputFiles()))
+        if not files:
+            return None
         plan = str(corpus._jdf.queryExecution().analyzed().canonicalized())  # noqa: SLF001
         app = corpus.sparkSession.sparkContext.applicationId
     except Exception:  # noqa: BLE001 — cache is best-effort
         return None
-    return (app, plan, params)
+    return (app, plan, files, params)
 
 
 def _train_cache_put(key: tuple | None, value: tuple) -> None:
