@@ -156,6 +156,13 @@ _RECHECK = frozenset({
 })
 
 
+# ROUND-7 ROTATION NOTE: pin whatever r6's CORRECTNESS leaves without a
+# driver-green row, then backfill with (a) ext_cohort_retention and
+# ext_referential_integrity (values changed in r6's float sweep; they
+# yielded their r6 slots to x83/x84/x85), and (b) the r6-changed entries
+# that never got a window slot: x3/x4/x33/x63 (jaccard now floor-bp),
+# x28/x32/x34/x39 (ratio/minmax sweep), x15 (byte_mean path). All are
+# local-gate green; the window just confirms the new values driver-side.
 # Round-6 rotation (VERDICT r5 "Next round" #2): the 24 never-driver-
 # checked entries + the x19 red re-pin + the two NEW entries (x83
 # large-star CC, x84 temperature mixture) fill the 50-slot window; the
