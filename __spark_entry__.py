@@ -174,6 +174,7 @@ _WINDOW_FIRST = (
     "x83_cc_largestar",
     "x84_temperature_mixture",
     "x85_ngram_novelty",
+    "x86_token_frequency_spectrum",
     "x19_repetition_filter",
     "x68_fd_discovery",
     "x69_bitemporal_revision",
@@ -221,7 +222,6 @@ _WINDOW_FIRST = (
     "ext_volume_shipping_q7",
     "ext_market_share_q8",
     "ext_profit_by_nation_q9",
-    "ext_important_stock_q11",
 )
 
 

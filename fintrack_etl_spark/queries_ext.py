@@ -3691,6 +3691,74 @@ def x85_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x86_token_frequency_spectrum",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT lang, w, count(*) AS f FROM tok GROUP BY 1, 2),
+    spec AS (
+        SELECT lang, CAST(floor(log2(f)) AS BIGINT) AS log2_freq_bucket,
+               count(*)  AS n_types,
+               sum(f)    AS n_tokens
+        FROM tf GROUP BY 1, 2
+    )
+    SELECT lang, log2_freq_bucket,
+           CAST(n_types  AS BIGINT) AS n_types,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens * 10000
+                // sum(n_tokens) OVER (PARTITION BY lang) AS DOUBLE) / 10000.0
+               AS mass_share
+    FROM spec
+    """,
+)
+def x86_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies SPECTRUM (Zipf diagnostics): how
+    many distinct token types — and how much corpus mass — sit in each
+    power-of-two frequency band, per language. The standard pre-tokenizer audit: the
+    singleton band sizes the hapax tail a vocab will never cover, the
+    top bands show how much mass a few stopwords own (what temperature
+    sampling / subword merges must absorb).
+
+    Exactness: ``floor(log2(f))`` of an exact integer is engine-safe —
+    log2 of identical longs is the correctly-rounded double on both
+    engines and floor can only disagree within ulp of an integer, i.e.
+    when f is within rounding distance of 2^k; log2 IS exact at powers
+    of two and monotone elsewhere with gap ≫ ulp for f < 2^53, so the
+    bucket is exact. Mass shares are floor-scaled bp of exact sums.
+    Plan: one explode → |vocab| groupBy (map-side combined) → ~30-row
+    spectrum; at 100 TB the only data-sized exchange is the token
+    count itself — the same aggregate any BPE trainer already runs."""
+    docs = T(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    spec = tf.groupBy(
+        "lang", F.floor(F.log2("f")).cast("long").alias("log2_freq_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy("lang"))
+    return spec.select(
+        "lang",
+        "log2_freq_bucket",
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        total.alias("__t"),
+    ).select(
+        "lang",
+        "log2_freq_bucket",
+        "n_types",
+        "n_tokens",
+        (F.expr("div(n_tokens * 10000, __t)") / 10000.0).alias("mass_share"),
+    )
+
+
 _X52_IDX = [
     r2 * 2 * 9 + (c2 * 9) // 4 + 1 for r2 in range(4) for c2 in range(4)
 ]  # nearest-neighbor source index, 1-based into the 72-char raster
