@@ -39,22 +39,16 @@ _SHINGLE_CACHE_MAX = 16
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # Identity = canonicalized plan (expr-ids normalized, literals kept)
-    # PLUS the scan's file list: canonicalization alone omits BOTH the
-    # parquet path and LocalRelation data, so sf0.01/sf0.1 — or two
-    # different createDataFrame corpora — would collide. Plans with no
-    # input files (test-local relations) are never memoized.
-    try:
-        files = tuple(sorted(df.inputFiles()))
-        key = (
-            df.sparkSession.sparkContext.applicationId,
-            str(df._jdf.queryExecution().analyzed().canonicalized()),  # noqa: SLF001
-            files,
-            id_col,
-            text_col,
-            n,
-        ) if files else None
-    except Exception:  # noqa: BLE001 — memo is best-effort
-        key = None
+    # PLUS the scan's file signature (path + mtime + size, ADVICE r6):
+    # canonicalization alone omits BOTH the parquet path and
+    # LocalRelation data, so sf0.01/sf0.1 — or two different
+    # createDataFrame corpora — would collide, and a fixture path
+    # overwritten in-session must not hit the stale entry. Plans with
+    # no input files (test-local relations) are never memoized, and
+    # FIFO eviction unpersists the evicted checkpoint blocks.
+    from .memo import df_memo_key, evicting_put
+
+    key = df_memo_key(df, (id_col, text_col, n))
     if key is not None and key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
     toks = tokens(F.col(text_col))
@@ -64,10 +58,7 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         .select("id", shingles(F.col("toks"), n).alias("sh"))
         .localCheckpoint(eager=False)
     )
-    if key is not None:
-        if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-            _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
-        _SHINGLE_CACHE[key] = out
+    evicting_put(_SHINGLE_CACHE, _SHINGLE_CACHE_MAX, key, out)
     return out
 
 

@@ -109,14 +109,24 @@ def connected_components_star(
 
     Returns ``(node, cluster_id)`` with cluster_id = min node id of
     the component — value-identical to :func:`connected_components`
-    (both are oracle-checked against a recursive-CTE closure).
-    Convergence probe: labels only DECREASE, so an unchanged
-    (count, sum) pair across a full round is the fixpoint — two cheap
-    scalar aggregates per round, no EXCEPT shuffle.
+    (both are oracle-checked against a recursive-CTE closure),
+    including nodes whose only incident edges are self-loops (they
+    re-enter as singleton clusters at the end — the star rounds drop
+    self-loops up front).
+    Convergence probe: an unchanged (count, sum, xxhash64-checksum)
+    triple across a full round is the fixpoint — three cheap scalar
+    aggregates per round, no EXCEPT shuffle. The order-independent
+    hash checksum makes the probe collision-proof: two DISTINCT edge
+    sets with a coincidentally equal (count, sum) pair cannot also
+    share the 64-bit per-edge hash sum (decimal-summed so ANSI mode
+    never overflows).
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    self_loop_nodes = (
+        raw.filter(F.col("u") == F.col("v")).select(F.col("u").alias("node")).distinct()
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )  # canonical u > v: every node's edge list already contains
@@ -139,22 +149,31 @@ def connected_components_star(
             .localCheckpoint()
         )
 
-    probe = e.agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")).first()
-    state = (probe["n"], probe["s"])
+    def _probe(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u") + F.col("v")).alias("s"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["s"], r["h"])
+
+    state = _probe(e)
     for _ in range(max_iter):
         e = star(star(e, large=True), large=False)
-        probe = e.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
-        ).first()
-        new_state = (probe["n"], probe["s"])
+        new_state = _probe(e)
         if new_state == state:
             # fixpoint: every edge is (node, component-min) — a star
             roots = e.select(F.col("v").alias("node")).distinct().withColumn(
                 "cluster_id", F.col("node")
             )
-            return e.select(
+            labels = e.select(
                 F.col("u").alias("node"), F.col("v").alias("cluster_id")
             ).unionByName(roots)
+            singletons = (
+                self_loop_nodes.join(labels.select("node"), "node", "left_anti")
+                .withColumn("cluster_id", F.col("node"))
+            )
+            return labels.unionByName(singletons)
         state = new_state
     raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
 

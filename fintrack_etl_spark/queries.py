@@ -1767,7 +1767,8 @@ def ext_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_array_agg",
     """
     SELECT o_orderpriority,
-           (array_agg(o_orderkey ORDER BY o_orderkey))[1:5] AS first_orders,
+           array_to_string((array_agg(o_orderkey ORDER BY o_orderkey))[1:5], ',')
+               AS first_orders,
            count(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -1779,12 +1780,17 @@ def ext_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic form sorts INSIDE the aggregate result
     (``array_sort`` post-agg) — the only ordering guarantee that
     survives distributed execution. Slice keeps the payload bounded.
+    The driver-hashed emission is the csv string form (x29/q8_csv
+    precedent): raw array columns crash the driver's pandas
+    canonicalizer (unhashable list), so both sides ``array_join``.
     """
     return (
         T(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first_orders"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5), ","
+            ).alias("first_orders"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -2227,7 +2233,7 @@ def ext_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ext_fuzzy_join / ext_entity_resolution / x38_triangle_count — one
 #: build per (session, sf_dir) instead of three (same discipline as
 #: _LANC_CACHE and similarity._TRAIN_CACHE).
-_FUZZY_PAIRS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_FUZZY_PAIRS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -2236,8 +2242,15 @@ def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     max_block_size=1000 quarantine (~13x the fixture max block; every
     consumer's oracle applies the identical window-count filter)."""
     from .operators.joins import fuzzy_self_pairs
+    from .operators.memo import file_signature
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # key carries the fixture file signature (mtime+size) so an
+    # in-session overwrite of sf_dir misses instead of reading stale
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        file_signature([os.path.join(sf_dir, "part.parquet")]),
+    )
     got = _FUZZY_PAIRS_CACHE.get(key)
     if got is not None:
         return got

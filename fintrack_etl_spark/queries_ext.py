@@ -604,7 +604,7 @@ def _stratified_oracle() -> str:
 
     pred = stratified_sample_sql_predicate("lang", "doc_id", _SAMPLE_RATES, _SAMPLE_DEFAULT)
     return f"""
-    SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE {pred}
     GROUP BY lang
@@ -711,14 +711,17 @@ def ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_data_quality",
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN value IS NOT NULL AND value >= 0
+           CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0
                      AND event_type IN ('view','click','purchase','signup')
                      AND user_id IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_clean,
-           sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)  AS viol_value_nonneg,
-           sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup')
-                     OR event_type IS NULL THEN 1 ELSE 0 END)           AS viol_known_type,
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)             AS viol_user_present
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+                AS BIGINT)  AS viol_value_nonneg,
+           CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup')
+                     OR event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)           AS viol_known_type,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)             AS viol_user_present
     FROM events
     """,
 )
@@ -792,7 +795,7 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                     AS n,
            round(sum(value), 2)                         AS total,
-           sum(CASE WHEN quality_tier IS NULL THEN 1 ELSE 0 END) AS n_pre_evolution
+           CAST(sum(CASE WHEN quality_tier IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution
     FROM merged
     GROUP BY event_type
     """,
@@ -909,9 +912,9 @@ def ext_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN dup_lines * 100 > n_lines * 30
+           CAST(sum(CASE WHEN dup_lines * 100 > n_lines * 30
                       OR top_cnt * 100 > n_bigrams * 18
-                    THEN 1 ELSE 0 END)                        AS n_repetitive,
+                    THEN 1 ELSE 0 END) AS BIGINT)             AS n_repetitive,
            CAST(sum(top_bigram_bp) // count(*) AS BIGINT)     AS avg_top_bigram_bp
     FROM per_doc
     GROUP BY lang
@@ -1962,9 +1965,16 @@ def x34_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rights = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
     tot = pairs.agg(F.sum("n_ab").alias("n"))
     # trunc-scaled micro-lift from exact integer counts: round() of the
-    # rational n_ab·n/(n_a·n_b) can land exactly on a .xxxxxx5 halfway
+    # rational n_ab·n/(n_a·n_b) can land exactly on a .xxxxxx5 halfway.
+    # Numerator in DECIMAL(38,0): at corpus scale (n ~ 1e10 bigrams)
+    # n_ab·n·1e6 exceeds 2^63 and a BIGINT multiply would wrap silently
+    # with ANSI off while the DuckDB twin (HUGEINT) stays exact.
     lift = (
-        F.expr("div(n_ab * n * 1000000, n_a * n_b)") / 1000000.0
+        F.expr(
+            "div(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000,"
+            "    CAST(n_a AS DECIMAL(38,0)) * n_b)"
+        )
+        / 1000000.0
     )
     return (
         pairs.filter(F.col("n_ab") >= 5)

@@ -8,6 +8,7 @@ compute every expected report from the same fixture rows.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,7 +62,7 @@ _DESC_SQL = """
 #: each report paying the 3-8 s janino compile of the 25-rule chain
 #: again (the dominant cost of a sequential report sweep — the data
 #: itself executes in ~0.1 s at sf0.1).
-_LANC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LANC_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +78,15 @@ def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
     same dictionary shape is what a 100 TB pipeline needs anyway —
     regex once per merchant, zero shuffle on the fact side.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from .operators.memo import file_signature
+
+    # fixture file signature in the key (ADVICE r6): an in-session
+    # overwrite of orders.parquet must miss, not serve stale rows
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        file_signature([os.path.join(sf_dir, "orders.parquet")]),
+    )
     cached = _LANC_CACHE.get(key)
     if cached is not None:
         return cached

@@ -255,27 +255,20 @@ _TRAIN_CACHE_MAX = 16
 
 
 def _train_cache_key(corpus: DataFrame, params: tuple) -> tuple | None:
-    try:
-        # canonicalization normalizes expr-ids and KEEPS literals, but
-        # omits both parquet paths and LocalRelation data — the file
-        # list disambiguates scale factors, and plans with no input
-        # files (test-local corpora) are never memoized at all.
-        files = tuple(sorted(corpus.inputFiles()))
-        if not files:
-            return None
-        plan = str(corpus._jdf.queryExecution().analyzed().canonicalized())  # noqa: SLF001
-        app = corpus.sparkSession.sparkContext.applicationId
-    except Exception:  # noqa: BLE001 — cache is best-effort
-        return None
-    return (app, plan, files, params)
+    # canonicalization normalizes expr-ids and KEEPS literals, but
+    # omits both parquet paths and LocalRelation data — the file
+    # signature (path + mtime + size, ADVICE r6) disambiguates scale
+    # factors AND in-session fixture overwrites; plans with no input
+    # files (test-local corpora) are never memoized at all.
+    from .operators.memo import df_memo_key
+
+    return df_memo_key(corpus, params)
 
 
 def _train_cache_put(key: tuple | None, value: tuple) -> None:
-    if key is None:
-        return
-    if len(_TRAIN_CACHE) >= _TRAIN_CACHE_MAX:
-        _TRAIN_CACHE.pop(next(iter(_TRAIN_CACHE)))
-    _TRAIN_CACHE[key] = value
+    from .operators.memo import evicting_put
+
+    evicting_put(_TRAIN_CACHE, _TRAIN_CACHE_MAX, key, value)
 
 
 def kmeans_centroids(
