@@ -165,12 +165,13 @@ def skew_bench(spark, sf_dir: str, run) -> dict[str, float]:
             else:
                 spark.conf.set(k, v)
         # release the 12 M-row checkpointed blocks so the query sets
-        # that follow run unpressured
-        for df in (fact, dim):
-            try:
-                df.rdd.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        # that follow run unpressured — via the LogicalRDD handle
+        # (``df.rdd.unpersist()`` detaches a DERIVED python RDD and
+        # leaves the checkpoint blocks resident; that leak was a prime
+        # suspect in the r6 core-50 drift)
+        from fintrack_etl_spark.operators.memo import unpersist_checkpointed
+
+        unpersist_checkpointed((fact, dim))
     return res
 
 
@@ -273,6 +274,29 @@ def main() -> None:
             return None
         return box["t"]  # type: ignore[return-value]
 
+    # Pressure-sensitive entries run FIRST, on the near-fresh session
+    # (right after the skew bench, before 200+ plans warm the block
+    # manager): x22's AVI/codec pass oscillated 2.1–8.8 s when executed
+    # late in the full pass (VERDICT r6 — a 4× variance band corrupts
+    # round-over-round comparison). The full pass reuses this pinned
+    # fresh-session measurement instead of re-running the entry under
+    # pressure; the entry is still executed exactly once per bench.
+    pinned_early: dict[str, float | None] = {}
+    if not extra:
+        # Spin up the Python worker pool + Arrow lane once (a no-op
+        # mapInPandas): x22 is the first Python-UDF plan in the file
+        # when pinned early, and the pool startup is ~10 s of
+        # infrastructure cost that must not land in its number.
+        try:
+            spark.range(32).repartition(4).mapInPandas(
+                lambda it: it, "id long"
+            ).count()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
+        for name in ("x22_media_metadata",):
+            if name in qs:
+                pinned_early[name] = run(name, warm=False)
+
     timings = {name: run(name, warmup) for name in names}
     total = round(sum(t for t in timings.values() if t is not None), 3)
 
@@ -317,6 +341,9 @@ def main() -> None:
         full: dict[str, float] = {}
         skipped: list[str] = []
         for name in qs:
+            if name in pinned_early:
+                full[name] = pinned_early[name]
+                continue
             if time.time() - t0 > budget:
                 skipped.append(name)
                 continue

@@ -657,11 +657,28 @@ def prefix_filter_pairs(
     # prefix theorem holds for ANY global total order, and Jaccard on
     # hashed sets equals Jaccard on string sets absent 64-bit
     # collisions (the unfiltered-oracle gate would surface one).
-    sh = (
+    sh_all = (
         _shingled(df, id_col, text_col, n)
         .select("id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh"))
-        .cache()
     )
+    # EXACT-SET COLLAPSE: docs with identical shingle SETS (recrawl
+    # copies, boilerplate twins) are one vertex — the standard
+    # exact-dedup-before-near-dup production step. Jaccard is a set
+    # function, so every member of a group has the SAME similarity to
+    # everything else; run the join on one representative per set and
+    # expand pairs back at the end (intra-group pairs are J = 1 by
+    # construction). On a dup-heavy corpus this shrinks the candidate
+    # join quadratically; at 100 TB the groupBy is one cheap shuffle
+    # on an 8-byte set hash. Shingle arrays are DISTINCT by
+    # construction (textops.shingles), so sort_array is set identity.
+    groups = (
+        sh_all.groupBy(F.sort_array("sh").alias("sh"))
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .localCheckpoint(eager=False)
+    )
+    sh = groups.select(
+        F.element_at("members", 1).alias("id"), "sh"
+    ).cache()
     ex = sh.select("id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     arr = (
@@ -674,33 +691,131 @@ def prefix_filter_pairs(
             F.transform("arr", lambda x: x.getField("s")).alias("ordered"),
         )
     )
-    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
-    pref = arr.select(
-        "id", F.explode(F.slice("ordered", 1, prefix_len)).alias("s")
+    # Prefix lengths (keep-side ceil slack 1e-9: float rounding may
+    # only LENGTHEN a prefix, never shorten it — shortening loses
+    # recall). Probing prefix |X|-ceil(t|X|)+1 for every doc; the
+    # PPJoin asymmetry (Xiao et al. WWW'08 §3.2) lets the SMALLER doc
+    # of a pair be matched on its shorter INDEX prefix
+    # |X|-ceil(2t/(1+t)|X|)+1: if J(A,B)>=t and |A|<=|B|, the overlap
+    # >= t/(1+t)(|A|+|B|) >= 2t/(1+t)|A| forces a shared token inside
+    # A's index prefix and B's probing prefix. Join = mid-prefix
+    # (smaller side) x full-prefix (larger side) — ~40% less fan-out
+    # than full x full at t=0.6.
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1
+    ).cast("int")
+    mid_frac = 2.0 * threshold / (1.0 + threshold)
+    mid_len = (F.col("sz") - F.ceil(F.col("sz") * mid_frac - 1e-9) + 1).cast("int")
+    pref_full = arr.select(
+        "id", "sz", F.posexplode(F.slice("ordered", 1, prefix_len)).alias("pos", "s")
+    )
+    pref_mid = arr.select(
+        "id", "sz", F.posexplode(F.slice("ordered", 1, mid_len)).alias("pos", "s")
+    )
+    # Candidate pruning BEFORE the array fetch (keep-side slack 1e-9 so
+    # a borderline true pair can never be dropped, only a false
+    # candidate kept):
+    #   length: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
+    #   positional (tight, first-match form): both prefixes follow the
+    #     SAME global order, so the shared token with minimal (pa, pb)
+    #     has NO common tokens before it in either doc (an earlier
+    #     common token would sit inside both prefixes and be an
+    #     earlier match). Hence overlap <= 1 + min(|A|-pa-1, |B|-pb-1)
+    #     at the first match, and J >= t needs overlap >=
+    #     t/(1+t) * (|A|+|B|).
+    # Output pairs re-orient to doc_a < doc_b by id (the size order
+    # used for the asymmetric join is an internal detail).
+    need = F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+    smaller_first = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.id") < F.col("b.id"))
     )
     cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "s")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
+        pref_mid.alias("a")
+        .join(pref_full.alias("b"), "s")
+        .filter(smaller_first)
+        .filter(F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - 1e-9)
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.sz"))
+            .otherwise(F.col("b.sz"))
+            .alias("sz_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.sz"))
+            .otherwise(F.col("a.sz"))
+            .alias("sz_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.pos"))
+            .otherwise(F.col("b.pos"))
+            .alias("pa"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.pos"))
+            .otherwise(F.col("a.pos"))
+            .alias("pb"),
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.min(F.struct("pa", "pb")).alias("fm"))
+        .withColumn(
+            "ub",
+            1
+            + F.least(
+                F.col("sz_a") - F.col("fm.pa") - 1,
+                F.col("sz_b") - F.col("fm.pb") - 1,
+            ),
+        )
+        .filter(F.col("ub") >= need - 1e-9)
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
     )
-    full = sh.select(F.col("id"), F.col("sh"), F.size("sh").alias("sz"))
+    full = sh.select(F.col("id"), F.col("sh"))
     verified = (
-        cand.join(full.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(full.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")), "doc_b")
+        cand.join(full.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(full.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(F.col("inter") / F.col("uni") >= threshold)
     )
     # floor-scaled bp emission — see ngram_jaccard_pairs
-    return verified.select(
+    rep_pairs = verified.select(
         "doc_a",
         "doc_b",
         (F.floor((F.col("inter") * 10000).cast("double") / F.col("uni")) / 10000.0).alias(
             "jaccard"
         ),
     )
+    # EXPANSION: every member of rep A's set-group has rep A's exact
+    # shingle set, so each rep pair fans out to members_a x members_b
+    # with the SAME jaccard, and each multi-member group contributes
+    # its intra-group pairs at J = 1 (members sorted, so the nested
+    # slice enumerates each unordered pair once, already id-ordered).
+    mem = groups.select(F.element_at("members", 1).alias("rid"), "members")
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rid").alias("doc_a"), F.col("members").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            mem.select(F.col("rid").alias("doc_b"), F.col("members").alias("mb")),
+            "doc_b",
+        )
+        .select(F.explode("ma").alias("ia"), "mb", "jaccard")
+        .select("ia", F.explode("mb").alias("ib"), "jaccard")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 def gram_store(

@@ -5805,3 +5805,166 @@ def x82_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("_sh", F.lit(0))).cast("long").alias("n_shared_fp"),
         )
     )
+
+
+@register(
+    "x87_hopping_window",
+    """
+    WITH h AS (
+        SELECT CAST(to_timestamp(((epoch_us(ts) // 21600000000) - k.k) * 21600)
+                    AS TIMESTAMP)  AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+    )
+    SELECT window_start, event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM h
+    GROUP BY 1, 2
+    """,
+)
+def x87_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog — HOPPING (sliding) event-time window: size
+    1 day, hop 6 h, so every event lands in exactly 4 overlapping
+    windows (``F.window(ts, size, hop)`` explodes the assignment
+    map-side; the readStream twin is the same expression under
+    ``withWatermark``). Completes the window family next to
+    ext_tumbling_window / ext_session_window. Plan: one Expand (4
+    rows/event) into a map-side-combined aggregate — one shuffle on
+    (window, type), no self-joins. The DuckDB twin builds the same
+    epoch-aligned 6 h grid arithmetically: the k-th preceding 6 h
+    bucket for k = 0..3 (windows of a 1-day/6-h hop containing ts are
+    exactly those 4 — epoch-aligned like Spark's window origin)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "6 hours").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "x88_poisson_bootstrap",
+    """
+    WITH reps AS (SELECT unnest(range(16)) AS b),
+    weighted AS (
+        SELECT d.lang, d.b, d.n_chars,
+               CASE
+                   WHEN h <  385749 THEN 0
+                   WHEN h <  771499 THEN 1
+                   WHEN h <  964373 THEN 2
+                   WHEN h < 1028665 THEN 3
+                   WHEN h < 1044738 THEN 4
+                   WHEN h < 1047952 THEN 5
+                   WHEN h < 1048488 THEN 6
+                   WHEN h < 1048565 THEN 7
+                   ELSE 8
+               END AS w
+        FROM (
+            SELECT lang, n_chars, doc_id, b,
+                   ('0x' || substr(md5(doc_id || ':' || b), 1, 5))::BIGINT AS h
+            FROM documents CROSS JOIN reps
+        ) d
+    ),
+    rep_means AS (
+        SELECT lang, b,
+               CAST((CAST(sum(w * n_chars) AS HUGEINT) * 1000000)
+                    // sum(w) AS BIGINT) AS mean_micro
+        FROM weighted
+        GROUP BY 1, 2
+        HAVING sum(w) > 0
+    ),
+    pt AS (
+        SELECT lang,
+               CAST((CAST(sum(n_chars) AS HUGEINT) * 1000000)
+                    // count(*) AS BIGINT) AS point_micro
+        FROM documents
+        GROUP BY 1
+    )
+    SELECT pt.lang, pt.point_micro,
+           CAST(min(mean_micro) AS BIGINT) AS boot_lo_micro,
+           CAST(max(mean_micro) AS BIGINT) AS boot_hi_micro,
+           CAST(count(*) AS BIGINT)        AS n_replicas
+    FROM rep_means JOIN pt USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def x88_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-PASS Poisson bootstrap (the online-bootstrap trick:
+    resampling-with-replacement ~ per-row Poisson(1) replicate
+    weights, so B bootstrap replicas cost ONE scan + one map-side
+    explode instead of B shuffled resamples — the only bootstrap that
+    works at 100 TB). Weights are DETERMINISTIC cross-engine: the
+    20-bit md5 prefix of ``doc_id:b`` (portable-hash convention of
+    operators/sampling.py) inverted through Poisson(1)'s cumulative
+    thresholds pre-scaled to integers (floor(CDF_k * 2^20), truncated
+    at w = 8 where the CDF is 1 - 1e-6 — identical CASE chain both
+    engines, zero float comparisons). Emits per-lang point mean of
+    n_chars plus the min/max envelope of B = 16 replicate means, all
+    in exact integer micro-units (the 1e6-scaled product runs in
+    DECIMAL(38,0)/HUGEINT so corpus-scale sums cannot wrap a BIGINT).
+    Plan: explode x16 map-side -> one shuffle on (lang, b) -> |langs|
+    rows; the point-estimate CTE is a second map-side-combined pass.
+    """
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wexp = docs.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("b"))), 1, 5),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(h < 385749, 0)
+        .when(h < 771499, 1)
+        .when(h < 964373, 2)
+        .when(h < 1028665, 3)
+        .when(h < 1044738, 4)
+        .when(h < 1047952, 5)
+        .when(h < 1048488, 6)
+        .when(h < 1048565, 7)
+        .otherwise(8)
+    )
+    rep = (
+        wexp.withColumn("w", w.cast("long"))
+        .groupBy("lang", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "lang",
+            F.expr(
+                "CAST(div(CAST(swc AS DECIMAL(38,0)) * 1000000, sw) AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+    )
+    pt = docs.groupBy("lang").agg(
+        F.expr(
+            "CAST(div(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000, count(*)) AS BIGINT)"
+        ).alias("point_micro")
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.min("mean_micro").alias("boot_lo_micro"),
+            F.max("mean_micro").alias("boot_hi_micro"),
+            F.count(F.lit(1)).alias("n_replicas"),
+        )
+        .join(pt, "lang")
+        .select(
+            "lang", "point_micro", "boot_lo_micro", "boot_hi_micro", "n_replicas"
+        )
+    )
