@@ -288,9 +288,9 @@ def main() -> None:
         # when pinned early, and the pool startup is ~10 s of
         # infrastructure cost that must not land in its number.
         try:
-            spark.range(32).repartition(4).mapInPandas(
-                lambda it: it, "id long"
-            ).count()
+            spark.range(1024).repartition(
+                spark.sparkContext.defaultParallelism  # one worker per slot
+            ).mapInPandas(lambda it: it, "id long").count()
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
         for name in ("x22_media_metadata",):

@@ -56,15 +56,20 @@ def windowed_agg_stream(
     watermark: str = "1 day",
     group_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    hop: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window aggregate with late-data watermark —
-    the streaming twin of ``ext_tumbling_window``. Watermark bounds
-    state; partial aggregation happens map-side before the keyed
-    shuffle, exactly like the batch plan."""
+    """Tumbling — or, with ``hop``, HOPPING/sliding — event-time window
+    aggregate with late-data watermark: the streaming twin of
+    ``ext_tumbling_window`` / ``x87_hopping_window``. Watermark bounds
+    state; each event expands map-side into its (size/hop) overlapping
+    windows before the keyed shuffle, exactly like the batch plan."""
+    win = (
+        F.window(ts_col, window, hop) if hop else F.window(ts_col, window)
+    )
     return (
         _with_event_time(events, ts_col)
         .withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .groupBy(win.alias("w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value_col), 2).alias("total"))
         .select(F.col("w.start").alias("window_start"), *group_cols, "n", "total")
     )

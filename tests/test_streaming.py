@@ -52,6 +52,28 @@ def test_windowed_agg_stream_matches_batch(spark, events_dir, tmp_path):
     assert _rows(got, "window_start", "event_type") == _rows(batch, "window_start", "event_type")
 
 
+def test_hopping_window_stream_matches_batch(spark, events_dir, tmp_path):
+    # the hopping (overlapping) variant — streaming twin of
+    # x87_hopping_window: every event lands in size/hop windows on
+    # both engines, and the stream must reproduce the batch expansion
+    schema = _schema(spark, events_dir)
+    stream = file_source_stream(spark, events_dir, schema, max_files_per_trigger=2)
+    agg = windowed_agg_stream(stream, window="1 day", hop="6 hours")
+    name = f"hop_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, os.path.join(str(tmp_path), "ck"), name, output_mode="complete")
+    got = spark.table(name)
+
+    batch = windowed_agg_stream(
+        spark.read.parquet(events_dir), window="1 day", hop="6 hours"
+    )
+    assert _rows(got, "window_start", "event_type") == _rows(
+        batch, "window_start", "event_type"
+    )
+    # 4x the tumbling row count: each event is in exactly 4 windows
+    tumb = windowed_agg_stream(spark.read.parquet(events_dir))
+    assert batch.count() > tumb.count()
+
+
 def test_stream_dedup_matches_batch(spark, events_dir, tmp_path):
     schema = _schema(spark, events_dir)
     stream = file_source_stream(spark, events_dir, schema)

@@ -113,6 +113,14 @@ SUPPLEMENT = [
     "x57_skyline_parts",
     "x59_readability",
     "x60_conversion_pattern",
+    # rounds 5-7 additions (NOT x83_cc_largestar: iterative builder
+    # returns a localCheckpoint scan — nothing to pin)
+    "x63_ppjoin_pairs",
+    "x84_temperature_mixture",
+    "x85_ngram_novelty",
+    "x86_token_frequency_spectrum",
+    "x87_hopping_window",
+    "x88_poisson_bootstrap",
 ]
 
 
