@@ -293,9 +293,14 @@ def main() -> None:
             ).mapInPandas(lambda it: it, "id long").count()
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
+        # warm=True (exec twice, time the second) — the one documented
+        # exception to the full pass's cold timing: x22's cold number
+        # mixes plan compile + Python codec JIT and still swung
+        # 1.97-3.96 s run-to-run; the steady-state number is the
+        # comparable one (same discipline as headline/core-50).
         for name in ("x22_media_metadata",):
             if name in qs:
-                pinned_early[name] = run(name, warm=False)
+                pinned_early[name] = run(name, warm=True)
 
     timings = {name: run(name, warmup) for name in names}
     total = round(sum(t for t in timings.values() if t is not None), 3)

@@ -339,3 +339,40 @@ def test_cc_star_matches_propagation_on_adversarial_shapes(spark):
         for r in connected_components_star(chain).collect()
     }
     assert deep == {i: 0 for i in range(81)}
+
+
+def test_cc_star_self_loop_only_nodes_are_singletons(spark):
+    """ADVICE r6: a node whose only incident edges are self-loops must
+    not vanish from the star-CC output — it re-enters as a singleton
+    cluster, matching the propagation operator's labeling."""
+    from fintrack_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 7), (8, 8), (0, 0)], ["src", "dst"]
+    )
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(df).collect()
+    }
+    prop = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert star == prop
+    assert star[7] == 7 and star[8] == 8  # self-loop-only singletons
+    assert star[0] == star[1] == star[2] == 0  # 0's self-loop is inert
+
+
+def test_cc_star_all_self_loops(spark):
+    """Degenerate input: every edge is a self-loop — the star rounds
+    see an empty edge set and the output is pure singletons."""
+    from fintrack_etl_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame([(3, 3), (5, 5)], ["src", "dst"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == {3: 3, 5: 5}
