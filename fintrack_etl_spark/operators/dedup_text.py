@@ -671,8 +671,14 @@ def prefix_filter_pairs(
     # join quadratically; at 100 TB the groupBy is one cheap shuffle
     # on an 8-byte set hash. Shingle arrays are DISTINCT by
     # construction (textops.shingles), so sort_array is set identity.
+    # sub-n-token docs have EMPTY shingle arrays (textops.shingles is
+    # total); they can never satisfy J >= t against anything and the
+    # old unconditional-explode path dropped them implicitly — filter
+    # them out BEFORE the collapse or every pair of short docs would
+    # surface as a bogus intra-group J=1 row.
     groups = (
-        sh_all.groupBy(F.sort_array("sh").alias("sh"))
+        sh_all.filter(F.size("sh") > 0)
+        .groupBy(F.sort_array("sh").alias("sh"))
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .localCheckpoint(eager=False)
     )

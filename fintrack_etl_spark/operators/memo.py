@@ -76,7 +76,16 @@ def unpersist_checkpointed(value) -> None:
 
 
 def evicting_put(cache: dict, max_size: int, key, value) -> None:
-    """FIFO insert; the evicted entry's checkpointed blocks are freed."""
+    """FIFO insert; the evicted entry's checkpointed blocks are freed.
+
+    OWNERSHIP CONTRACT: cached DataFrames belong to the cache. A
+    caller must consume the returned handle promptly (build its plan,
+    run its action) — holding one across ``max_size`` subsequent
+    inserts is unsupported, because eviction unpersists the
+    localCheckpoint blocks and a truncated-lineage RDD cannot
+    recompute (the alternative — never unpersisting — is the
+    unbounded block leak ADVICE r6 flagged). Every in-repo consumer
+    uses its cache hit within the same query build."""
     if key is None:
         return
     while cache and len(cache) >= max_size:

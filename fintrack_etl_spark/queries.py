@@ -2265,7 +2265,12 @@ def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         p, "p_partkey", "p_name", ["blk", "fst", "p_type"], max_dist=3,
         max_block_size=1000,
     ).localCheckpoint(eager=False)
-    _FUZZY_PAIRS_CACHE[key] = (p, pairs)
+    # bounded + eviction-unpersisting insert: with the file signature
+    # in the key, an overwrite-in-a-loop workload would otherwise
+    # strand one checkpointed pair graph per rewrite
+    from .operators.memo import evicting_put
+
+    evicting_put(_FUZZY_PAIRS_CACHE, 4, key, (p, pairs))
     return (p, pairs)
 
 

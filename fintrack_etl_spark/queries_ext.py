@@ -5811,14 +5811,15 @@ def x82_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x87_hopping_window",
     """
     WITH h AS (
-        SELECT CAST(to_timestamp(((epoch_us(ts) // 21600000000) - k.k) * 21600)
-                    AS TIMESTAMP)  AS window_start,
+        SELECT make_timestamp(((epoch_us(ts) // 21600000000) - k.k)
+                              * 21600000000)  AS window_start,
                event_type, value
         FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
     )
     SELECT window_start, event_type,
-           count(*)             AS n,
-           round(sum(value), 2) AS total
+           count(*)                                              AS n,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                                                                 AS total_micro
     FROM h
     GROUP BY 1, 2
     """,
@@ -5834,18 +5835,29 @@ def x87_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, type), no self-joins. The DuckDB twin builds the same
     epoch-aligned 6 h grid arithmetically: the k-th preceding 6 h
     bucket for k = 0..3 (windows of a 1-day/6-h hop containing ts are
-    exactly those 4 — epoch-aligned like Spark's window origin)."""
+    exactly those 4 — epoch-aligned like Spark's window origin;
+    ``make_timestamp`` keeps the twin timezone-free, where a
+    ``to_timestamp``/CAST chain would detour through the oracle
+    host's session zone). The summed value travels as floor-scaled
+    integer micro-units (float-determinism convention: both engines
+    floor the identical IEEE product, so partial-agg order cannot
+    flip a rounding)."""
     ev = T(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.window("ts", "1 day", "6 hours").alias("w"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "total_micro"
+            ),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n",
-            "total",
+            "total_micro",
         )
     )
 

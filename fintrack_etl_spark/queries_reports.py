@@ -111,7 +111,11 @@ def _lancamentos(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recorrente_suspeita",
         "parcelado_suspeito",
     )
-    _LANC_CACHE[key] = out
+    from .operators.memo import evicting_put
+
+    # bounded + eviction-unpersisting insert (file-signature keys mean
+    # fixture overwrites mint new keys — cap the stale tail)
+    evicting_put(_LANC_CACHE, 4, key, out)
     return out
 
 

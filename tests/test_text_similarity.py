@@ -1486,3 +1486,23 @@ def test_winnow_fingerprints_long_document_radix(spark):
     # every selected position must be a REAL gram index (> 1024 exists)
     assert all(0 <= r["pos"] < n_grams for r in rows)
     assert max(r["pos"] for r in rows) > 1024
+
+
+def test_prefix_filter_short_docs_emit_no_pairs(spark):
+    """Sub-n-token docs have EMPTY shingle sets (textops.shingles is
+    total) and must not pair with anything — in particular the
+    exact-set collapse must not group two short docs into a bogus
+    intra-group J=1 pair (round-7 review finding)."""
+    rows = [
+        (1, "tiny doc"),                      # 2 tokens -> no 3-grams
+        (2, "also small"),                    # 2 tokens -> no 3-grams
+        (3, "one two three four five six"),
+        (4, "one two three four five six"),   # true exact dup of 3
+        (5, ""),                              # empty text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.prefix_filter_pairs(df, "doc_id", "text", 3, 0.6).collect()
+    }
+    assert got == {(3, 4): 1.0}

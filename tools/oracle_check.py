@@ -49,8 +49,13 @@ def _canon_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         k = pdf[c].dtype.kind
         if k == "M":  # datetime64[us] vs [ns] hash differently; str form doesn't
+            if getattr(pdf[c].dtype, "tz", None) is not None:
+                # tz-aware (DatetimeTZDtype also has kind 'M'): a bare
+                # astype to a naive unit raises in pandas 2 — go
+                # through UTC so the wall-clock value is canonical
+                pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
             pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
-        elif str(pdf[c].dtype).startswith("datetime64") or k == "m":
+        elif k == "m":
             pdf[c] = pdf[c].astype(str)
         elif k == "O":
             # date / Decimal objects are hashable and deterministic; leave
