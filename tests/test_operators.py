@@ -731,3 +731,77 @@ def test_fuzzy_block_quarantine_caps_hot_block(spark):
     # default (no cap) unchanged: hot block pairs fully enumerated
     uncapped = fuzzy_self_pairs(df, "rid", "name", ["blk"], max_dist=3)
     assert uncapped.count() == 45 + 1
+
+
+def test_hopping_window_every_event_in_exactly_four_windows(spark, sf_dir):
+    """x87: a 1-day window hopping every 6 h assigns each event to
+    exactly size/hop = 4 windows, starts 6 h apart, each containing
+    the event's timestamp."""
+    import __spark_entry__ as entry
+    from fintrack_etl_spark.io import table
+
+    out = entry.queries()["x87_hopping_window"](spark, sf_dir)
+    n_events = table(spark, "events", sf_dir).count()
+    assert out.agg(F.sum("n")).first()[0] == 4 * n_events
+    # window starts sit on the 6h epoch grid
+    bad = out.filter(
+        F.col("window_start").cast("timestamp_ltz").cast("long") % 21600 != 0
+    )
+    assert bad.count() == 0
+
+
+def test_poisson_bootstrap_weights_and_envelope(spark, sf_dir):
+    """x88: the integer-threshold Poisson(1) inverse CDF must produce
+    mean weight ~= 1 (single-pass bootstrap validity) and the replica
+    envelope must bracket the point estimate."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["x88_poisson_bootstrap"](spark, sf_dir)
+    rows = {r["lang"]: r for r in out.collect()}
+    assert rows, "at least one lang stratum"
+    for r in rows.values():
+        assert r["n_replicas"] == 16
+        assert r["boot_lo_micro"] <= r["point_micro"] <= r["boot_hi_micro"], (
+            "bootstrap envelope must bracket the point mean"
+        )
+        assert r["boot_lo_micro"] > 0
+
+    # threshold table sanity: the scaled CDF is what math.exp says
+    import math
+
+    cum, ts = 0.0, []
+    for k in range(8):
+        cum += math.exp(-1) / math.factorial(k)
+        ts.append(math.floor(cum * 1048576))
+    assert ts == [385749, 771499, 964373, 1028665, 1044738, 1047952, 1048488, 1048565]
+
+
+def test_poisson_bootstrap_weights_mean_near_one(spark):
+    """The hash-driven weights over a large key set must average ~1
+    with the Poisson(1) distribution's shape (p0 ~= 0.368)."""
+    df = spark.range(20000).select(F.col("id").cast("string").alias("key"))
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", "key", F.lit(0))), 1, 5), 16, 10).cast(
+        "long"
+    )
+    w = (
+        F.when(h < 385749, 0)
+        .when(h < 771499, 1)
+        .when(h < 964373, 2)
+        .when(h < 1028665, 3)
+        .when(h < 1044738, 4)
+        .when(h < 1047952, 5)
+        .when(h < 1048488, 6)
+        .when(h < 1048565, 7)
+        .otherwise(8)
+    )
+    stats = df.select(w.alias("w")).agg(
+        F.avg("w").alias("m"), F.avg((F.col("w") == 0).cast("int")).alias("p0")
+    ).first()
+    assert abs(stats["m"] - 1.0) < 0.03
+    assert abs(stats["p0"] - math_exp_neg1()) < 0.02
+
+
+def math_exp_neg1() -> float:
+    import math
+
+    return math.exp(-1)
