@@ -305,3 +305,44 @@ def test_sessionize_matches_reference_gap_rule(spark, rows):
     assert set(map(frozenset, got_groups.values())) == set(
         map(frozenset, want_groups.values())
     )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(  # corpora
+        st.lists(  # docs: token lists over a tiny vocab (high overlap)
+            st.sampled_from([f"t{i}" for i in range(6)]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=4,
+        max_size=10,
+    ),
+    st.sampled_from([0.34, 0.5, 0.6, 0.75]),
+)
+def test_prefix_filter_equals_unfiltered_on_random_corpora(spark, docs, threshold):
+    """PPJoin completeness property (round-7 path: exact-set collapse +
+    length/positional filters + asymmetric prefixes): on ANY corpus —
+    including empty docs, sub-n docs, exact duplicates and heavy
+    overlap from a 6-token vocabulary — the filtered join equals the
+    unfiltered exact join at the same threshold, pair for pair and
+    jaccard for jaccard."""
+    from fintrack_etl_spark.operators import dedup_text as DD
+
+    rows = [
+        (i, " ".join(toks)) for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, threshold
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.prefix_filter_pairs(
+            df, "doc_id", "text", 3, threshold
+        ).collect()
+    }
+    assert got == want
