@@ -616,6 +616,58 @@ def dedup_against_store(
     )
 
 
+#: Session memo for the exact-set collapse (threshold-independent, so
+#: every prefix_filter_pairs threshold over the same corpus shares one
+#: build). Bounded + eviction-unpersisting — the per-call cache()/
+#: checkpoint alternative leaks one block set per invocation.
+_COLLAPSE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_COLLAPSE_CACHE_MAX = 8
+
+
+def _collapsed_rep_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT-SET COLLAPSE: docs with identical shingle SETS (recrawl
+    copies, boilerplate twins) are one vertex — the standard
+    exact-dedup-before-near-dup production step. Jaccard is a set
+    function, so every member of a group has the SAME similarity to
+    everything else; the caller joins one representative per set and
+    expands pairs back at the end (intra-group pairs are J = 1 by
+    construction). On a dup-heavy corpus this shrinks the candidate
+    join quadratically; at 100 TB the groupBy is one cheap shuffle on
+    an 8-byte set hash. Shingle arrays are DISTINCT by construction
+    (textops.shingles), so sort_array is set identity. Sub-n-token
+    docs have EMPTY shingle arrays (shingles is total); they can never
+    satisfy J >= t against anything and the old unconditional-explode
+    path dropped them implicitly — filtered out BEFORE the collapse or
+    every pair of short docs would surface as a bogus intra J=1 row.
+
+    Returns ``(groups (sh, members), reps (id, sh))``. File-backed
+    corpora are memoized (checkpointed, bounded, eviction-unpersisted);
+    file-less plans (test-local corpora) are returned UNcached so a
+    looped caller cannot strand blocks."""
+    from .memo import df_memo_key, evicting_put
+
+    key = df_memo_key(df, ("ppjoin-collapse", id_col, text_col, n))
+    if key is not None and key in _COLLAPSE_CACHE:
+        return _COLLAPSE_CACHE[key]
+    sh_all = _shingled(df, id_col, text_col, n).select(
+        "id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh")
+    )
+    groups = (
+        sh_all.filter(F.size("sh") > 0)
+        .groupBy(F.sort_array("sh").alias("sh"))
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+    )
+    if key is not None:
+        groups = groups.localCheckpoint(eager=False)
+    sh = groups.select(F.element_at("members", 1).alias("id"), "sh")
+    if key is not None:
+        sh = sh.localCheckpoint(eager=False)
+        evicting_put(_COLLAPSE_CACHE, _COLLAPSE_CACHE_MAX, key, (groups, sh))
+    return groups, sh
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,
@@ -657,34 +709,7 @@ def prefix_filter_pairs(
     # prefix theorem holds for ANY global total order, and Jaccard on
     # hashed sets equals Jaccard on string sets absent 64-bit
     # collisions (the unfiltered-oracle gate would surface one).
-    sh_all = (
-        _shingled(df, id_col, text_col, n)
-        .select("id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh"))
-    )
-    # EXACT-SET COLLAPSE: docs with identical shingle SETS (recrawl
-    # copies, boilerplate twins) are one vertex — the standard
-    # exact-dedup-before-near-dup production step. Jaccard is a set
-    # function, so every member of a group has the SAME similarity to
-    # everything else; run the join on one representative per set and
-    # expand pairs back at the end (intra-group pairs are J = 1 by
-    # construction). On a dup-heavy corpus this shrinks the candidate
-    # join quadratically; at 100 TB the groupBy is one cheap shuffle
-    # on an 8-byte set hash. Shingle arrays are DISTINCT by
-    # construction (textops.shingles), so sort_array is set identity.
-    # sub-n-token docs have EMPTY shingle arrays (textops.shingles is
-    # total); they can never satisfy J >= t against anything and the
-    # old unconditional-explode path dropped them implicitly — filter
-    # them out BEFORE the collapse or every pair of short docs would
-    # surface as a bogus intra-group J=1 row.
-    groups = (
-        sh_all.filter(F.size("sh") > 0)
-        .groupBy(F.sort_array("sh").alias("sh"))
-        .agg(F.sort_array(F.collect_list("id")).alias("members"))
-        .localCheckpoint(eager=False)
-    )
-    sh = groups.select(
-        F.element_at("members", 1).alias("id"), "sh"
-    ).cache()
+    groups, sh = _collapsed_rep_sets(df, id_col, text_col, n)
     ex = sh.select("id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     arr = (

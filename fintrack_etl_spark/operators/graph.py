@@ -122,8 +122,14 @@ def connected_components_star(
     never overflows).
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # lazy-checkpointed: the result plan embeds this scan, and without
+    # the pin every downstream action would re-read the raw edge input
+    # just to re-find the self-loops
     self_loop_nodes = (
-        raw.filter(F.col("u") == F.col("v")).select(F.col("u").alias("node")).distinct()
+        raw.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))

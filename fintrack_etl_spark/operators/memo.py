@@ -88,6 +88,12 @@ def evicting_put(cache: dict, max_size: int, key, value) -> None:
     uses its cache hit within the same query build."""
     if key is None:
         return
+    if key in cache:
+        # re-insert: free the displaced value (unless identical) and
+        # do NOT evict an unrelated entry — the dict is not growing
+        old = cache.pop(key)
+        if old is not value:
+            unpersist_checkpointed(old)
     while cache and len(cache) >= max_size:
         old = cache.pop(next(iter(cache)))  # oldest insert (dicts are ordered)
         unpersist_checkpointed(old)

@@ -5815,6 +5815,7 @@ def x82_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * 21600000000)  AS window_start,
                event_type, value
         FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+        WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type,
            count(*)                                              AS n,
@@ -5841,7 +5842,10 @@ def x87_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     host's session zone). The summed value travels as floor-scaled
     integer micro-units (float-determinism convention: both engines
     floor the identical IEEE product, so partial-agg order cannot
-    flip a rounding)."""
+    flip a rounding). NULL-ts rows: Spark's TimeWindowing rule injects
+    an ``IS NOT NULL`` filter on the window column, so the oracle pins
+    the same semantics explicitly (the fixture has no NULL ts today —
+    the WHERE keeps a regenerated fixture from flipping the gate)."""
     ev = T(spark, sf_dir, "events")
     return (
         ev.groupBy(

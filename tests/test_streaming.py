@@ -69,9 +69,11 @@ def test_hopping_window_stream_matches_batch(spark, events_dir, tmp_path):
     assert _rows(got, "window_start", "event_type") == _rows(
         batch, "window_start", "event_type"
     )
-    # 4x the tumbling row count: each event is in exactly 4 windows
-    tumb = windowed_agg_stream(spark.read.parquet(events_dir))
-    assert batch.count() > tumb.count()
+    # each event is in exactly size/hop = 4 windows
+    n_events = spark.read.parquet(events_dir).count()
+    from pyspark.sql import functions as F
+
+    assert batch.agg(F.sum("n")).first()[0] == 4 * n_events
 
 
 def test_stream_dedup_matches_batch(spark, events_dir, tmp_path):

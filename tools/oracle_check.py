@@ -91,6 +91,10 @@ def dtype_parity_problems(spdf: pd.DataFrame, dpdf: pd.DataFrame):
     """The standing lint: int-vs-float kind mismatch on NULL-free columns,
     and any unhashable (array/map/struct) cell emission, on either side."""
     problems = []
+    if len(spdf) == 0 and len(dpdf) == 0:
+        # driver-faithful: the row-hash multiset of two empty frames
+        # compares equal regardless of dtypes — don't out-red the gate
+        return problems
     for c in sorted(set(spdf.columns) & set(dpdf.columns)):
         sk, dk = _kind(spdf[c].dtype), _kind(dpdf[c].dtype)
         if {sk, dk} == {"int", "float"}:
