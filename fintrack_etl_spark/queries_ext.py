@@ -3929,7 +3929,11 @@ def _x53_oracle(rounds: int = 3) -> str:
         SELECT d.w,
                len({split}) AS n_tok
         FROM dict{rounds} d
-    )
+    )"""
+
+
+def _x53_final() -> str:
+    return """
     SELECT words.doc_id,
            CAST(sum(enc.n_tok) AS BIGINT) AS bpe_tokens,
            CAST(count(*) AS BIGINT)       AS n_words
@@ -3938,20 +3942,31 @@ def _x53_oracle(rounds: int = 3) -> str:
     """
 
 
-@register("x53_bpe_encode", _x53_oracle())
-def x53_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The INFERENCE half of tokenization at corpus scale: train 3 BPE
-    merges on the word-frequency dictionary (x46's trainer, boundary-
-    anchored symbols) and ENCODE every document — per-doc token count
-    after the merges, the number a token-budget pipeline actually
-    consumes. The scalable shape is the point: merges are applied to
-    the |distinct words| dictionary ONCE (not to every occurrence),
-    then documents join their words back to the encoded dictionary —
-    corpus text is tokenized by a dictionary join, never re-scanned
-    per merge. 100 TB: dictionary fits comfortably in a broadcast or
-    one small shuffle; the per-round replace touches only the
-    dictionary; the final join is the only corpus-sized exchange.
-    Value-gated: the oracle replays the identical trainer + join."""
+#: Session memo for the trained BPE dictionary (x53 + x89 share one
+#: build per (session, fixture) — the trainer is a model artifact,
+#: same discipline as similarity._TRAIN_CACHE).
+_BPE_ENC_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _bpe_words_enc(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared x53/x89 build: train 3 BPE merges on the word-frequency
+    dictionary (x46's trainer, boundary-anchored symbols) and return
+    ``(words (doc_id, w), enc (w, n_tok))`` — the encoded dictionary a
+    tokenization pipeline joins against."""
+    import os as _os
+
+    from .operators.memo import evicting_put, file_signature
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        file_signature([_os.path.join(sf_dir, "documents.parquet")]),
+    )
+    got = _BPE_ENC_CACHE.get(key)
+    if got is not None:
+        return got
     docs = T(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
@@ -4014,7 +4029,26 @@ def x53_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "\x03\x02")
         ).alias("n_tok"),
-    )
+    ).localCheckpoint(eager=False)
+    evicting_put(_BPE_ENC_CACHE, 4, key, (words, enc))
+    return words, enc
+
+
+@register("x53_bpe_encode", _x53_oracle() + _x53_final())
+def x53_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of tokenization at corpus scale: train 3 BPE
+    merges on the word-frequency dictionary (x46's trainer, boundary-
+    anchored symbols) and ENCODE every document — per-doc token count
+    after the merges, the number a token-budget pipeline actually
+    consumes. The scalable shape is the point: merges are applied to
+    the |distinct words| dictionary ONCE (not to every occurrence),
+    then documents join their words back to the encoded dictionary —
+    corpus text is tokenized by a dictionary join, never re-scanned
+    per merge. 100 TB: dictionary fits comfortably in a broadcast or
+    one small shuffle; the per-round replace touches only the
+    dictionary; the final join is the only corpus-sized exchange.
+    Value-gated: the oracle replays the identical trainer + join."""
+    words, enc = _bpe_words_enc(spark, sf_dir)
     return (
         words.join(enc, "w")
         .groupBy("doc_id")
@@ -5982,5 +6016,64 @@ def x88_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pt, "lang")
         .select(
             "lang", "point_micro", "boot_lo_micro", "boot_hi_micro", "n_replicas"
+        )
+    )
+
+
+@register(
+    "x89_tokenizer_fertility",
+    _x53_oracle()
+    + """
+    SELECT d2.lang,
+           CAST(count(*) AS BIGINT)                      AS n_words,
+           CAST(sum(enc.n_tok) AS BIGINT)                AS n_tokens,
+           CAST(sum(strlen(words.w)) AS BIGINT)    AS n_bytes,
+           CAST((CAST(sum(enc.n_tok) AS HUGEINT) * 1000000)
+                // count(*) AS BIGINT)                   AS tokens_per_word_micro,
+           CAST((CAST(sum(strlen(words.w)) AS HUGEINT) * 1000000)
+                // sum(enc.n_tok) AS BIGINT)             AS bytes_per_token_micro
+    FROM words
+    JOIN enc ON words.w = enc.w
+    JOIN documents d2 ON words.doc_id = d2.doc_id
+    GROUP BY 1
+    """,
+)
+def x89_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the multilingual-pipeline
+    diagnostic (mT5/XLM-R style): tokens-per-word and bytes-per-token
+    under the corpus-trained BPE (x53's encoded dictionary, shared
+    builder ``_bpe_words_enc``). High fertility for a language means
+    the tokenizer fragments it — the signal that drives vocab
+    reallocation or per-language sampling temperature (x84). Ratios
+    travel as exact integer micro-units (DECIMAL/HUGEINT product, one
+    truncating division — no float summation anywhere). Plan: the
+    merge training touches only the |distinct words| dictionary; the
+    corpus-sized work is one join of words to the encoded dictionary
+    plus one (lang) aggregate — the lang column rides a slim
+    broadcast-able join with documents."""
+    words, enc = _bpe_words_enc(spark, sf_dir)
+    langs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        words.join(enc, "w")
+        .join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.octet_length("w")).cast("long").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_bytes",
+            F.expr(
+                "CAST(div(CAST(n_tokens AS DECIMAL(38,0)) * 1000000, n_words)"
+                " AS BIGINT)"
+            ).alias("tokens_per_word_micro"),
+            F.expr(
+                "CAST(div(CAST(n_bytes AS DECIMAL(38,0)) * 1000000, n_tokens)"
+                " AS BIGINT)"
+            ).alias("bytes_per_token_micro"),
         )
     )
