@@ -121,6 +121,7 @@ SUPPLEMENT = [
     "x86_token_frequency_spectrum",
     "x87_hopping_window",
     "x88_poisson_bootstrap",
+    "x89_tokenizer_fertility",
 ]
 
 
