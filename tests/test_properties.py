@@ -346,3 +346,51 @@ def test_prefix_filter_equals_unfiltered_on_random_corpora(spark, docs, threshol
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Both CC operators against an independent pure-Python union-find
+    ground truth on random multigraphs WITH self-loops and parallel
+    edges — label-equality between the two Spark implementations alone
+    could not catch both being wrong the same way (the star operator's
+    convergence probe and self-loop handling are the risk surface)."""
+    from fintrack_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # min-label normalization: find() path above always roots at min
+    want = {n: find(n) for n in parent}  # second pass after compressions
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    prop = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+    star = {
+        r["node"]: r["cluster_id"] for r in connected_components_star(df).collect()
+    }
+    assert prop == want
+    assert star == want
