@@ -599,7 +599,14 @@ def j1_budget_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = (
         orders.filter(F.col("o_orderpriority") < "4")
         .groupBy(F.col("o_orderpriority").alias("categoria"))
-        .agg(F.expr("div(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 45, 100)").alias("oc"))
+        # cents summed in DECIMAL(38,0): a BIGINT sum wraps (ANSI:
+        # errors) near 1e12 rows x 1e6 cents, and the x45 product
+        # sooner — same scale guard as the m4 aggregates below
+        .agg(
+            F.expr(
+                "div(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) * 45, 100)"
+            ).alias("oc")
+        )
         .select("categoria", (F.col("oc") / 100.0).alias("orcado"))
     )
     actual = (
