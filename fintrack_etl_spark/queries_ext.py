@@ -6077,3 +6077,77 @@ def x89_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bytes_per_token_micro"),
         )
     )
+
+
+@register(
+    "x90_char_collision",
+    """
+    WITH cs AS (
+        SELECT doc_id,
+               list_transform(range(1, len(text) + 1), i -> text[i]) AS chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(chars) AS BIGINT)                AS n_chars_counted,
+           CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+           CASE WHEN len(chars) > 0 THEN
+               CAST((CAST(list_sum(list_transform(list_distinct(chars),
+                         c -> CAST(len(list_filter(chars, x -> x = c)) AS BIGINT)
+                              * len(list_filter(chars, x -> x = c)))) AS HUGEINT)
+                     * 1000000)
+                    // (CAST(len(chars) AS HUGEINT) * len(chars)) AS BIGINT)
+           ELSE 1000000 END                          AS collision_ppm
+    FROM cs
+    """,
+)
+def x90_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc CHARACTER COLLISION probability (Simpson index,
+    sum(c_i^2)/n^2 in exact ppm) — the compression-proxy quality
+    signal: near-uniform random bytes score ~1/alphabet (garbled or
+    adversarial text), heavy repetition scores toward 1 (boilerplate,
+    keyboard mashing). It is the Renyi-2 twin of Shannon entropy kept
+    deliberately LOG-FREE (x26's convention: ln() differs in the last
+    ulp across libm implementations and would flake a hash oracle) —
+    pure integer counts, one truncating HUGEINT/DECIMAL division.
+    Completes the quality family next to x8 (surface ratios), x19
+    (repetition), x26 (LM score), x59 (readability).
+
+    Plan: MAP-ONLY — per-doc distinct-char counting runs inside array
+    HOFs (O(alphabet x len) per row, alphabet <= ~100 for text), so
+    the corpus streams once with NO shuffle at any scale; the
+    empty-doc guard lives INSIDE the expression (CASE, not a filter —
+    the Catalyst re-derivation trap)."""
+    from .similarity import _let
+
+    chars = F.expr("filter(split(text, ''), c -> c <> '')")
+
+    def body(t):
+        counts = F.transform(
+            F.array_distinct(t),
+            lambda c: F.size(F.filter(t, lambda x: x == c)).cast("long"),
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("n_chars_counted"),
+            F.size(F.array_distinct(t)).cast("long").alias("n_distinct_chars"),
+            F.aggregate(
+                counts, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).alias("sq"),
+        )
+
+    docs = T(spark, sf_dir, "documents")
+    st = docs.select("doc_id", _let(chars, body).alias("s"))
+    return st.select(
+        "doc_id",
+        F.col("s.n_chars_counted").alias("n_chars_counted"),
+        F.col("s.n_distinct_chars").alias("n_distinct_chars"),
+        F.when(
+            F.col("s.n_chars_counted") > 0,
+            F.expr(
+                "CAST(div(CAST(s.sq AS DECIMAL(38,0)) * 1000000, "
+                "CAST(s.n_chars_counted AS DECIMAL(38,0)) * s.n_chars_counted) "
+                "AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(1000000))
+        .alias("collision_ppm"),
+    )

@@ -122,6 +122,7 @@ SUPPLEMENT = [
     "x87_hopping_window",
     "x88_poisson_bootstrap",
     "x89_tokenizer_fertility",
+    "x90_char_collision",
 ]
 
 
