@@ -112,7 +112,7 @@ _DRIVER_CHECKED = frozenset({
     "w3_per_group_head",
     # round 6 greens (CORRECTNESS_r06.json — 45 of the 50-slot window;
     # the 5 reds went green-eligible again via the r7 dtype fixes and
-    # sit in _RECHECK below)
+    # re-greened in r7)
     "x83_cc_largestar", "x84_temperature_mixture", "x85_ngram_novelty",
     "x86_token_frequency_spectrum", "x68_fd_discovery",
     "x69_bitemporal_revision", "x70_dsir_select", "x71_phrase_search",
@@ -122,6 +122,13 @@ _DRIVER_CHECKED = frozenset({
     "x82_winnowing_fingerprints", "ext_gap_fill", "ext_min_max_by",
     "ext_session_window", "ext_incremental_agg_merge", "ext_zorder_skipping",
     "ext_heavy_hitters", "ext_incremental_distinct",
+    # round 7 greens (CORRECTNESS_r07.json — all 50 of the window: the
+    # five r6 dtype reds re-greened, the r6 value-sweep stragglers, the
+    # NULL-coercion boundary confirmations, the four new entries
+    # x87–x90, and the tier-2 auto-fill re-confirmations)
+    "x19_repetition_filter", "ext_array_agg", "ext_stratified_sample",
+    "ext_data_quality", "ext_merge_evolving", "x87_hopping_window",
+    "x88_poisson_bootstrap", "x89_tokenizer_fertility", "x90_char_collision",
 })
 
 
@@ -149,67 +156,80 @@ _JUDGE_VERIFIED = frozenset({
 })
 
 
-# Entries needing a FRESH driver row in round 7 even though they hold
-# (stale) green rows: (a) the five r6 reds, now dtype-fixed oracle-side
-# (VERDICT r6 #1 — values were already exact; the CAST/array_join makes
-# the driver's pandas hash see it); (b) entries whose EMITTED VALUES
-# changed in the r6 float-determinism sweep but whose last driver row
-# predates it (x3/x4/x33/x63 jaccard floor-bp; x28/x32/x34/x39
-# ratio/minmax; x15 byte_mean; cohort/referential yielded their r6
-# slots); (c) NULL-coercion boundary confirmations (x74,
-# ext_profile_table — int-with-NULLs coerces float64 on BOTH sides and
-# must stay green UNfixed); (d) r7 code-touch confirmations (x83
-# collision-proof convergence probe, x16 graph module neighbor,
-# x34 decimal-lift overflow guard).
+# Entries needing a FRESH driver row this round even though they hold
+# green rows — round 8: the two code-touch confirmations. Values are
+# expected IDENTICAL; the fresh row is the evidence. (a) x3 gains the
+# x63 exact-set collapse (VERDICT r7 #3 — output contract unchanged:
+# row-identical to the unfiltered oracle); (b) x87's micro-unit sum
+# moved to a DECIMAL(38,0) accumulator (ADVICE r7 — emitted BIGINT
+# values unchanged, engine-side plan touched).
 _RECHECK = frozenset({
-    "x19_repetition_filter", "ext_array_agg", "ext_stratified_sample",
-    "ext_data_quality", "ext_merge_evolving",
-    "ext_cohort_retention", "ext_referential_integrity",
-    "x3_ngram_jaccard", "x4_minhash_lsh", "x33_incremental_corpus_dedup",
-    "x63_ppjoin_pairs", "x28_vocab_oov", "x32_feature_stats",
-    "x34_bigram_pmi", "x39_dup_rate_estimate", "x15_multimodal_features",
-    "x74_rrf_fusion", "ext_profile_table",
-    "x83_cc_largestar", "x16_dedup_clusters",
+    "x3_ngram_jaccard",
+    "x87_hopping_window",
 })
 
 
-# ROUND-7 ROTATION (VERDICT r6 "Next round" #3): the five dtype-fixed
-# reds FIRST (their oracles now CAST integer sums to BIGINT /
-# array_join the array column — values were judge-verified exact all
-# along), then the r6-value-sweep entries whose last driver row
-# predates the sweep (x3/x4/x33/x63 jaccard floor-bp; x28/x32/x34/x39
-# ratio/minmax; x15 byte_mean; cohort/referential yielded their r6
-# slots), then the NULL-coercion boundary confirmations
-# (x74/ext_profile_table must stay green WITHOUT casts) and the r7
-# code-touch confirmations (x83 probe, x16, x34). The remaining ~30
-# slots auto-fill with tier-2 re-confirmations in registry order
-# (oldest r1/r2 greens first by construction). Target: 228/228
-# currently-green cumulative.
+# ROUND-8 ROTATION (VERDICT r7 "Next round" #2): all 232 entries are
+# cumulatively driver-green, so the 50-slot window spends entirely on
+# STALENESS — the code-touch confirmations first, then every entry
+# whose newest driver row is r1/r2 (25 of them: they predate the r6
+# float-determinism sweep AND the r7 dtype-faithful replica), then the
+# oldest r3 rows in registry order (23 of 43 fit; the rest rotate in
+# r9). Target: CORRECTNESS_r08 50/50 green, 232/232 cumulative holds.
 _WINDOW_FIRST = (
-    # the five r6 reds, oracle-dtype-fixed this round
-    "x19_repetition_filter",
-    "ext_array_agg",
-    "ext_stratified_sample",
-    "ext_data_quality",
-    "ext_merge_evolving",
-    # r6 value-sweep entries without a post-sweep driver row
-    "ext_cohort_retention",
-    "ext_referential_integrity",
+    # r8 code-touch confirmations (x3 collapse retrofit; x87 DECIMAL sum)
     "x3_ngram_jaccard",
-    "x4_minhash_lsh",
-    "x33_incremental_corpus_dedup",
-    "x63_ppjoin_pairs",
-    "x28_vocab_oov",
-    "x32_feature_stats",
-    "x34_bigram_pmi",
-    "x39_dup_rate_estimate",
-    "x15_multimodal_features",
-    # NULL-coercion boundary: int-with-NULLs coerces float64 BOTH sides
-    "x74_rrf_fusion",
-    "ext_profile_table",
-    # r7 code-touch confirmations (collision-proof CC probe; graph kin)
-    "x83_cc_largestar",
-    "x16_dedup_clusters",
+    "x87_hopping_window",
+    # newest driver row is r1/r2 (25 entries)
+    "d2_replace_by_key",
+    "d4_incremental_watermark",
+    "ext_alter_table_evolution",
+    "ext_asof_join",
+    "ext_count_distinct",
+    "ext_exists_subquery",
+    "ext_grouping_sets",
+    "ext_having_join_q18",
+    "ext_json_extract",
+    "ext_range_frame",
+    "ext_range_join",
+    "ext_rank_family",
+    "ext_scalar_subquery",
+    "ext_schema_evolution",
+    "ext_sessionize",
+    "ext_time_bucket_rollup",
+    "ext_tumbling_window",
+    "ext_unpivot",
+    "f11_normalize_cpf",
+    "f12_categorize",
+    "f18_brl_format",
+    "f1_brl_roundtrip",
+    "f4_slugify",
+    "f7_multi_format_dates",
+    "o2_filtered_topn",
+    # newest driver row is r3 — first 23 in registry order
+    "ext_interval_join",
+    "ext_running_totals_state",
+    "ext_versioned_merge",
+    "ext_table_changes",
+    "ext_ewma",
+    "ext_scd2_build",
+    "ext_cdc_apply",
+    "ext_pit_join",
+    "ext_entity_resolution",
+    "ext_cusum_changepoint",
+    "ext_incremental_cusum",
+    "ext_time_travel_read",
+    "x51_countmin_sketch",
+    "x21_knn_ivfpq",
+    "x5b_simhash_planted_dups",
+    "x23_decontaminate",
+    "ext_token_budget_sample",
+    "ext_pack_documents",
+    "x24_tfidf_topk",
+    "x25_pii_redaction",
+    "x26_unigram_lm_score",
+    "x27_chunk_documents",
+    "x31_semdedup",
 )
 
 
@@ -231,13 +251,12 @@ def _merge_registry(attr: str) -> dict:
         return 0  # never driver-green: no slot to waste
 
     ordered: dict = {}
-    # The pinned rotation outranks the tier sort: judge-verified-only
-    # names (tier 1) still need their first driver row, and round 5's
-    # window is deliberately built from them (p1–p7, r1–r8, x1–x20).
-    # Only a name that already has a driver-green row is ineligible.
-    ordered.update(
-        {k: merged[k] for k in _WINDOW_FIRST if k in merged and tier(k) < 2}
-    )
+    # The pinned rotation outranks the tier sort UNCONDITIONALLY: with
+    # all 232 entries cumulatively driver-green (r7), the window's job
+    # is re-confirming the STALEST rows — tier-2 names are exactly the
+    # ones being rotated back in, so the old `tier(k) < 2` eligibility
+    # filter would empty the window.
+    ordered.update({k: merged[k] for k in _WINDOW_FIRST if k in merged})
     ordered.update(
         {k: v for k, v in merged.items() if tier(k) == 0 and k not in ordered}
     )

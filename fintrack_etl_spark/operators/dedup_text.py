@@ -660,10 +660,18 @@ def _collapsed_rep_sets(
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
     )
     if key is not None:
-        groups = groups.localCheckpoint(eager=False)
+        # EAGER (ADVICE r7): a lazily-checkpointed collapse entry's
+        # recompute depends on a _SHINGLE_CACHE entry's checkpoint
+        # blocks, and the two caches evict independently — evicting the
+        # shingle entry would turn a later, never-materialized collapse
+        # hit into a "checkpoint block not found" job failure. Eager
+        # materialization truncates the lineage NOW (the blocks are
+        # self-contained), at the cost of a job that the first consumer
+        # was about to run anyway.
+        groups = groups.localCheckpoint(eager=True)
     sh = groups.select(F.element_at("members", 1).alias("id"), "sh")
     if key is not None:
-        sh = sh.localCheckpoint(eager=False)
+        sh = sh.localCheckpoint(eager=True)
         evicting_put(_COLLAPSE_CACHE, _COLLAPSE_CACHE_MAX, key, (groups, sh))
     return groups, sh
 

@@ -5887,9 +5887,17 @@ def x87_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
-                "total_micro"
-            ),
+            # DECIMAL(38,0) accumulator (ADVICE r7): a plain BIGINT sum
+            # of 1e6-scale micro-units wraps near 1e12 rows with ANSI
+            # off — same 100 TB headroom convention as j1/x34/x88. The
+            # DuckDB twin already sums BIGINT into HUGEINT natively.
+            F.sum(
+                F.expr("CAST(floor(value * 1000000) AS BIGINT)").cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("total_micro"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -109,7 +109,13 @@ def dtype_parity_problems(spdf: pd.DataFrame, dpdf: pd.DataFrame):
         for side, frame in (("spark", spdf), ("oracle", dpdf)):
             col = frame[c]
             if col.dtype.kind == "O" and len(col):
-                v = col.iloc[0]
+                # probe the first NON-NULL cell (ADVICE r7): a column
+                # whose first row is None but whose later cells hold
+                # lists would escape the lint (the gate still reds via
+                # the row-hash TypeError, but the standalone lint and
+                # the tests built on it would report clean)
+                nn = col.dropna()
+                v = nn.iloc[0] if len(nn) else None
                 if isinstance(v, (list, dict, set, np.ndarray)):
                     problems.append(
                         f"array/struct emission on {side} column {c!r} "
