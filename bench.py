@@ -276,34 +276,47 @@ def main() -> None:
 
     # Pressure-sensitive entries run FIRST, on the near-fresh session
     # (right after the skew bench, before 200+ plans warm the block
-    # manager): x22's AVI/codec pass oscillated 2.1–8.8 s when executed
-    # late in the full pass (VERDICT r6 — a 4× variance band corrupts
-    # round-over-round comparison). The full pass reuses this pinned
-    # fresh-session measurement instead of re-running the entry under
-    # pressure; the entry is still executed exactly once per bench.
+    # manager): the codec-bound mapInPandas family oscillated when
+    # executed late in the full pass — x22 2.1–8.8 s (VERDICT r6),
+    # p8/p9/x75 1.8–2× their fresh-session numbers (VERDICT r7 "What's
+    # wrong" #1: late-run block pressure read as regressions). The full
+    # pass reuses these pinned fresh-session measurements instead of
+    # re-running the entries under pressure; each entry still executes
+    # exactly once per bench, COLD (VERDICT r7 #4 dropped x22's
+    # warm-timing exception so full_total_sec is uniformly cold — the
+    # pool warmup below absorbs the ~10 s Python-worker spin-up that
+    # used to pollute the first cold codec number).
+    CODEC_PINNED = (
+        "x22_media_metadata",
+        "p8_real_pdf_roundtrip",
+        "p9_cid_pdf_roundtrip",
+        "p10_encrypted_pdf_roundtrip",
+        "x45_image_phash_dedup",
+        "x49_audio_segments",
+        "x52_png_roundtrip",
+        "x55_video_frame_sample",
+        "x75_audio_fingerprint_dedup",
+        "x78_rle_video_roundtrip",
+        "x79_adpcm_audio_roundtrip",
+    )
     pinned_early: dict[str, float | None] = {}
     if not extra and os.environ.get("BENCH_FULL", "1") != "0":
         # (gated on BENCH_FULL: the full pass is the only consumer of
-        # the pinned measurement — without it the ~10 s pool spin-up
-        # and the warm x22 run would burn time and discard the number)
+        # the pinned measurements — without it the pool spin-up and the
+        # pinned runs would burn time and discard the numbers)
         # Spin up the Python worker pool + Arrow lane once (a no-op
-        # mapInPandas): x22 is the first Python-UDF plan in the file
-        # when pinned early, and the pool startup is ~10 s of
-        # infrastructure cost that must not land in its number.
+        # mapInPandas): the pinned entries are the first Python-UDF
+        # plans in the file, and the pool startup is ~10 s of
+        # infrastructure cost that must not land in their numbers.
         try:
             spark.range(1024).repartition(
                 spark.sparkContext.defaultParallelism  # one worker per slot
             ).mapInPandas(lambda it: it, "id long").count()
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
-        # warm=True (exec twice, time the second) — the one documented
-        # exception to the full pass's cold timing: x22's cold number
-        # mixes plan compile + Python codec JIT and still swung
-        # 1.97-3.96 s run-to-run; the steady-state number is the
-        # comparable one (same discipline as headline/core-50).
-        for name in ("x22_media_metadata",):
+        for name in CODEC_PINNED:
             if name in qs:
-                pinned_early[name] = run(name, warm=True)
+                pinned_early[name] = run(name, warm=False)
 
     timings = {name: run(name, warmup) for name in names}
     total = round(sum(t for t in timings.values() if t is not None), 3)

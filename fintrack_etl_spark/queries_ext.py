@@ -115,13 +115,15 @@ def x2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs: shingle-join pruning (docs only
-    meet on a shared shingle), exact verification. The stop-shingle
-    skew guard is ON (max_df=100): shingles in >100 docs never become
-    join keys, their contribution to each pair's intersection is
-    restored exactly via the broadcast hot-set — same answer as the
-    unguarded oracle, without the quadratic blowup a boilerplate
-    shingle would cause at scale."""
+    """N-gram Jaccard near-dup pairs: exact-set collapse (identical
+    shingle sets join once via a representative — x63's production
+    step, retrofitted per VERDICT r7 #3), shingle-join pruning (docs
+    only meet on a shared shingle), exact verification, pair expansion.
+    The stop-shingle skew guard is ON (max_df=100): shingles in >100
+    representatives never become join keys, their contribution to each
+    pair's intersection is restored exactly via the broadcast hot-set
+    — same answer as the unguarded oracle, without the quadratic
+    blowup a boilerplate shingle would cause at scale."""
     return DD.ngram_jaccard_pairs(
         _with_recrawl(T(spark, sf_dir, "documents")),
         "doc_id",

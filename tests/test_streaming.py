@@ -523,6 +523,85 @@ def test_stream_interval_join_left_outer_matches_batch_closed_region(
     assert got_null == want_null and len(got_null) > 0
 
 
+def test_stream_interval_join_left_outer_late_match_cannot_retract_null(
+    spark, tmp_path
+):
+    """The state-expiry contract users get wrong (VERDICT r7 #6): once
+    the watermark closes a left row's join window and the NULL row is
+    emitted, a LATE-arriving right-side match must be dropped — append
+    mode cannot retract, so the NULL verdict stands and no second row
+    for that left may ever appear. Fresh (in-watermark) pairs arriving
+    in the same later drain must still match normally.
+
+    Drain 1: two unmatched lefts at T0 + a T0+3h sentinel on each side
+    pushes the watermark to T0+2h, past the lefts' T0+30min windows —
+    the no-data batch evicts their state and emits the NULL rows.
+    Drain 2 (same checkpoint): a right match for left 10 arrives with
+    ts=T0+10min — 110 min BELOW the watermark — plus a fresh left/right
+    pair at T0+3h."""
+    import datetime
+    import os
+
+    from fintrack_etl_spark.streaming.pipelines import (
+        file_source_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, t0 + datetime.timedelta(minutes=m), e, 1.0) for u, m, e in rows],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+
+    ldir, rdir = str(tmp_path / "left"), str(tmp_path / "right")
+    ck = os.path.join(str(tmp_path), "ck")
+    sink = str(tmp_path / "sink")
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    def drain():
+        # parquet sink (not run_available_now's memory sink): the test
+        # RESTARTS the query from its checkpoint for drain 2, which the
+        # memory sink does not support
+        q = (
+            stream_interval_join(
+                file_source_stream(spark, ldir, schema),
+                file_source_stream(spark, rdir, schema),
+                how="left_outer",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    # drain 1: lefts 10/20 unmatched; sentinels advance BOTH watermarks
+    # (multipleWatermarkPolicy=min takes the slower side)
+    mk([(1, 0, 10), (2, 0, 20), (9, 180, 1000)]).write.parquet(ldir)
+    mk([(8, 180, 2000)]).write.parquet(rdir)
+    after1 = {(r.l_event, r.r_event) for r in drain().collect()}
+    assert (10, None) in after1 and (20, None) in after1
+
+    # drain 2: the late match (user 1, ts=T0+10min, below the T0+2h
+    # watermark) + a fresh in-watermark pair for user 3
+    mk([(3, 180, 30)]).write.mode("append").parquet(ldir)
+    mk([(1, 10, 99), (3, 185, 31)]).write.mode("append").parquet(rdir)
+    rows = [(r.l_event, r.r_event) for r in drain().collect()]
+
+    # the NULL verdict for left 10 stands: exactly one row, never a
+    # late-match row (and no duplicate NULL from the second drain)
+    assert [p for p in rows if p[0] == 10] == [(10, None)]
+    assert [p for p in rows if p[0] == 20] == [(20, None)]
+    # the fresh pair matched normally in the same drain
+    assert (30, 31) in rows
+
+
 def test_cdc_sink_stream_matches_batch_apply(spark, events_dir, tmp_path):
     """foreachBatch CDC sink: drain a change log cut into per-file
     micro-batches; the managed table must equal one batch
