@@ -39,6 +39,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each node of the undirected pair graph with the MIN node
     id reachable from it. Returns ``(node, cluster_id)`` for every node
@@ -48,6 +49,10 @@ def connected_components(
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iter`` rounds (diameter larger than expected — raise the cap
     rather than silently returning partial clusters).
+
+    ``stats``: pass a dict to receive ``{"rounds": n}`` — the
+    scale-probe counter (tools/scale_probe.py records round growth
+    under adversarial topologies).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -58,7 +63,9 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = it + 1
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
             sym["a"].alias("node"), "cluster_id"
         )
@@ -87,6 +94,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -164,7 +172,9 @@ def connected_components_star(
         return (r["n"], r["s"], r["h"])
 
     state = _probe(e)
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = it + 1
         e = star(star(e, large=True), large=False)
         new_state = _probe(e)
         if new_state == state:

@@ -74,6 +74,7 @@ def suffix_ranks(
     id_col: str = "doc_id",
     text_col: str = "text",
     bound: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Rank every (doc, position) by its suffix truncated to ``bound``
     chars, dense over the whole corpus — equal (bounded) suffixes share
@@ -124,6 +125,11 @@ def suffix_ranks(
         "id", F.col("p").cast("long").alias("p"), F.col("r").alias("rank")
     )
     k = init_w
+    if stats is not None:
+        # scale-probe counter (tools/scale_probe.py): doubling rounds
+        # incl. round 0 — growth here, not per-round cost, is the
+        # superlinear risk the probe watches
+        stats["rounds"] = 1
     # EARLY TERMINATION: once every position's rank is unique, further
     # doubling cannot change any rank (all pairs already distinct) —
     # natural text distinguishes suffixes in 3-4 rounds, and the probe
@@ -132,6 +138,8 @@ def suffix_ranks(
     # repeated substrings is unaffected by stopping "early": we stop
     # only when NOTHING can change, or at the bound.
     while k < bound and nd < nrows:
+        if stats is not None:
+            stats["rounds"] += 1
         wdoc = Window.partitionBy("id").orderBy("p")
         paired = ranked.withColumn(
             "nrk", F.coalesce(F.lead("rank", k).over(wdoc), F.lit(0))

@@ -1,0 +1,323 @@
+"""10x adversarial scale probes (VERDICT r7 #1) — the x63 PPJoin probe
+recipe applied to the three families whose 100 TB story was
+plan-shape-only: substring/suffix dedup (x76/x80/x81), connected
+components / PageRank (x16/x83/x42), and ANN build+query (x18/x20/x21).
+
+Each probe builds a DETERMINISTIC fixture at 1x and at --mult x
+(replicated with per-replica edits/perturbations — adversarial because
+every base row becomes a mult-member near-dup family / every component
+deepens), lands it as parquet (cold file scans; distinct paths so the
+session memos cannot cross-pollinate), runs the operator end-to-end
+COLD, and prints one JSON line per measurement:
+
+    {"probe": "...", "mult": N, "rows": ..., "sec": ..., ...}
+
+The pass/fail lens: time growing ~mult is linear (the plan survives);
+growth >> mult is the superlinear defect VERDICT r7 #1 asks to fix or
+bound. Counters (CC rounds, suffix-doubling rounds) ride along so round
+growth is visible separately from per-round cost.
+
+Usage: python tools/scale_probe.py [suffix graph ann] [--mult 10]
+Results are recorded in BASELINE.md §C.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fintrack_etl_spark.io import table
+from fintrack_etl_spark.session import get_spark
+
+
+def _emit(rec: dict) -> None:
+    print(json.dumps(rec), flush=True)
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, round(time.time() - t0, 2)
+
+
+def _land(df, path: str):
+    """Write a fixture as parquet and return the cold scan over it."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _replicated_docs(docs, mult: int):
+    """Every base doc becomes a mult-member near-dup family: replica r
+    keeps the text verbatim except a 'v{r} ' prefix and one interior
+    token edit at a replica-dependent offset — long shared runs stay
+    shared (the adversarial load for substring/suffix dedup: every
+    30-gram of the common tail is shared by all mult members)."""
+    reps = docs.sparkSession.range(mult).select(F.col("id").alias("r"))
+    edited = F.concat(
+        F.lit("v"),
+        F.col("r").cast("string"),
+        F.lit(" "),
+        F.expr(
+            "concat(substring(text, 1, 40 + CAST(r AS INT)), "
+            "' q', CAST(r AS STRING), ' ', "
+            "substring(text, 41 + CAST(r AS INT)))"
+        ),
+    )
+    return docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
+        F.when(F.col("r") == 0, F.col("text")).otherwise(edited).alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def probe_suffix(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """x76 substring_dedup / x80 suffix_ranks / x81 gram-store probe
+    on the replicated corpus. Superlinear risks named by the verdict:
+    the distributed-rank prefix sum (one O(#partitions) collect per
+    doubling round) and the gram-store semi-join."""
+    from fintrack_etl_spark.operators.dedup_text import (
+        gram_store,
+        substring_dedup,
+        substring_dedup_against_store,
+    )
+    from fintrack_etl_spark.operators.suffix import suffix_ranks
+
+    docs = table(spark, "documents", sf_dir)
+    for m in (1, mult):
+        corpus = _land(_replicated_docs(docs, m), os.path.join(tmp, f"docs_{m}x"))
+        n_docs = corpus.count()
+        n_chars = corpus.agg(F.sum(F.length("text"))).first()[0]
+
+        rows, sec = _timed(lambda: substring_dedup(corpus, "doc_id", "text", 30).count())
+        _emit({"probe": "x76_substring_dedup", "mult": m, "docs": n_docs,
+               "chars": n_chars, "rows": rows, "sec": sec})
+
+        sstats: dict = {}
+        rows, sec = _timed(
+            lambda: suffix_ranks(corpus, "doc_id", "text", bound=32, stats=sstats).count()
+        )
+        _emit({"probe": "x80_suffix_ranks", "mult": m, "positions": n_chars,
+               "rows": rows, "rounds": sstats.get("rounds"), "sec": sec})
+
+        # incremental shape: the standing store is the big replicated
+        # corpus; the incoming batch is ONE replica family's worth
+        batch = corpus.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100_000_000
+        )
+        def _incr():
+            store = gram_store(corpus, "doc_id", "text", 30)
+            return substring_dedup_against_store(batch, store, "doc_id", "text", 30).count()
+        rows, sec = _timed(_incr)
+        _emit({"probe": "x81_incremental_substring", "mult": m, "store_docs": n_docs,
+               "rows": rows, "sec": sec})
+
+
+def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """x3 (collapse-retrofitted shingle join) vs x63 (PPJoin) on the
+    SAME replicated near-dup corpus — both must emit the identical
+    pair multiset (they share the unfiltered oracle), and the r7
+    PPJoin probe's adversarial load now gates the retrofit too."""
+    from fintrack_etl_spark.operators.dedup_text import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    for m in (1, mult):
+        corpus = _land(_replicated_docs(docs, m), os.path.join(tmp, f"jdocs_{m}x"))
+        n_docs = corpus.count()
+        rows_x3, sec_x3 = _timed(
+            lambda: ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.6, max_df=100).count()
+        )
+        _emit({"probe": "x3_ngram_jaccard", "mult": m, "docs": n_docs,
+               "pairs": rows_x3, "sec": sec_x3})
+        rows_x63, sec_x63 = _timed(
+            lambda: prefix_filter_pairs(corpus, "doc_id", "text", 3, 0.6).count()
+        )
+        _emit({"probe": "x63_ppjoin_pairs", "mult": m, "docs": n_docs,
+               "pairs": rows_x63, "sec": sec_x63})
+        assert rows_x3 == rows_x63, f"x3/x63 pair-count split at {m}x: {rows_x3} vs {rows_x63}"
+
+
+def _chain_edges(spark, n_chains: int, depth: int):
+    """n_chains disjoint paths of `depth` nodes — the adversarial
+    topology for min-label propagation (rounds = diameter)."""
+    return (
+        spark.range(n_chains)
+        .select(F.col("id").alias("c"))
+        .crossJoin(F.broadcast(spark.range(depth - 1).select(F.col("id").alias("k"))))
+        .select(
+            (F.col("c") * depth + F.col("k")).alias("src"),
+            (F.col("c") * depth + F.col("k") + 1).alias("dst"),
+        )
+    )
+
+
+def _hub_edges(spark, n_spokes: int, n_medium: int, medium_spokes: int):
+    """One mega-hub (node 0) with n_spokes leaves plus n_medium hubs of
+    medium_spokes each — the skew topology: one key carries the
+    component, star rounds must not materialize its neighbor list."""
+    mega = spark.range(1, n_spokes + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    base = 10_000_000
+    med = (
+        spark.range(n_medium)
+        .select(F.col("id").alias("h"))
+        .crossJoin(F.broadcast(spark.range(medium_spokes).select(F.col("id").alias("k"))))
+        .select(
+            (F.lit(base) + F.col("h") * (medium_spokes + 1)).alias("src"),
+            (F.lit(base) + F.col("h") * (medium_spokes + 1) + F.col("k") + 1).alias("dst"),
+        )
+    )
+    return mega.unionByName(med)
+
+
+def probe_graph(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """CC (propagation + large/small-star) on deep-chain and hub-heavy
+    topologies at 1x and mult x, plus fixed-iteration integer PageRank
+    on a skewed graph — round counts and per-round cost separated."""
+    from fintrack_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        integer_pagerank,
+    )
+
+    for m in (1, mult):
+        # 10-deep chains (the verdict's named topology): 10k chains at
+        # 1x -> 100k chains / 1M nodes at 10x
+        chains = _land(
+            _chain_edges(spark, 10_000 * m, 10), os.path.join(tmp, f"chain_{m}x")
+        )
+        n_edges = chains.count()
+        for name, fn in (
+            ("cc_propagation", connected_components),
+            ("cc_star", connected_components_star),
+        ):
+            stats: dict = {}
+            rows, sec = _timed(lambda: fn(chains, "src", "dst", stats=stats).count())
+            _emit({"probe": f"{name}_chain10", "mult": m, "edges": n_edges,
+                   "rows": rows, "rounds": stats.get("rounds"), "sec": sec})
+
+        # hub-heavy: mega-hub spokes scale with m
+        hubs = _land(
+            _hub_edges(spark, 50_000 * m, 1_000, 50), os.path.join(tmp, f"hub_{m}x")
+        )
+        n_edges = hubs.count()
+        for name, fn in (
+            ("cc_propagation", connected_components),
+            ("cc_star", connected_components_star),
+        ):
+            stats = {}
+            rows, sec = _timed(lambda: fn(hubs, "src", "dst", stats=stats).count())
+            _emit({"probe": f"{name}_hub", "mult": m, "edges": n_edges,
+                   "rows": rows, "rounds": stats.get("rounds"), "sec": sec})
+
+        # PageRank: zipf-ish directed graph — 100k*m edges over 10k*m
+        # nodes, destination skewed to low ids (hub indegree)
+        n_nodes, n_e = 10_000 * m, 100_000 * m
+        pr_edges = _land(
+            spark.range(n_e).select(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n_nodes)).alias("src"),
+                # dst drawn uniform from [0, K) with K itself uniform:
+                # low ids collect ~ln(n)/n of all edges — hub indegree
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(1)),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(n_nodes)) + 1,
+                ).alias("dst"),
+            ),
+            os.path.join(tmp, f"pr_{m}x"),
+        )
+        n_edges = pr_edges.count()
+        rows, sec = _timed(lambda: integer_pagerank(pr_edges, iterations=3).count())
+        _emit({"probe": "x42_pagerank", "mult": m, "edges": n_edges,
+               "rows": rows, "iterations": 3, "sec": sec})
+
+
+def probe_ann(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """IVF / PQ / IVF-PQ build+query at 1x and mult x vectors. Replicas
+    carry a deterministic per-replica, per-dim perturbation (distinct
+    vectors, same geometry); queries are planted exact duplicates, so
+    the rank-1/cosine-1.0 self-recall contract must hold at EVERY
+    scale — the probe asserts it."""
+    from fintrack_etl_spark.similarity import ivf_topk_kmeans, ivfpq_topk, pq_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    for m in (1, mult):
+        reps = spark.range(m).select(F.col("id").alias("r"))
+        corpus = _land(
+            emb.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") + F.col("r") * 100_000).alias("vec_id"),
+                # per-replica, per-dim perturbation, INJECTIVE in r (the
+                # r*0.0005 term on dim 0): a perturbation that repeats
+                # mod anything makes replicas r and r+p exact duplicates
+                # and the planted query's rank-1 legitimately goes to
+                # the identical twin with the smaller id — the probe's
+                # first run tripped exactly that
+                F.expr(
+                    "transform(embedding, (x, i) -> x + "
+                    "CAST((pmod(r * 31 + i, 7) - 3) AS FLOAT) * CAST(0.001 AS FLOAT) + "
+                    "CASE WHEN i = 0 THEN CAST(r AS FLOAT) * CAST(0.0005 AS FLOAT) "
+                    "ELSE CAST(0 AS FLOAT) END)"
+                ).alias("embedding"),
+                "label",
+            ),
+            os.path.join(tmp, f"emb_{m}x"),
+        )
+        n_vecs = corpus.count()
+        queries = corpus.filter(F.col("vec_id") % 97 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+        )
+        n_q = queries.count()
+
+        for name, fn in (
+            ("x18_ivf_kmeans", lambda: ivf_topk_kmeans(queries, corpus, k=10, kclusters=8, nprobe=2)),
+            ("x20_pq", lambda: pq_topk(queries, corpus, k=10, m=8, ksub=16, shortlist=50)),
+            ("x21_ivfpq", lambda: ivfpq_topk(queries, corpus, k=10, kclusters=8, nprobe=2, m=8, ksub=16, shortlist=50)),
+        ):
+            def _run(f=fn):
+                top1 = f().filter(F.col("rnk") == 1)
+                found = top1.filter(
+                    F.col("neighbor_id") == F.col("query_id") - 10_000_000
+                ).count()
+                return (top1.count(), found)
+            (total, found), sec = _timed(_run)
+            _emit({"probe": name, "mult": m, "vectors": n_vecs, "queries": n_q,
+                   "self_recall": found, "rows": total, "sec": sec})
+            assert found == n_q, f"{name}@{m}x: planted-dup self-recall broke ({found}/{n_q})"
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mult = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--mult"):
+            mult = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    families = args or ["suffix", "graph", "ann", "jaccard"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale_probe")
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        for fam in families:
+            {
+                "suffix": probe_suffix,
+                "graph": probe_graph,
+                "ann": probe_ann,
+                "jaccard": probe_jaccard,
+            }[fam](spark, sf_dir, mult, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
