@@ -1506,3 +1506,33 @@ def test_prefix_filter_short_docs_emit_no_pairs(spark):
         for r in DD.prefix_filter_pairs(df, "doc_id", "text", 3, 0.6).collect()
     }
     assert got == {(3, 4): 1.0}
+
+
+def test_ngram_jaccard_collapse_semantics(spark):
+    """The round-8 collapse retrofit: ngram_jaccard_pairs now shares
+    prefix_filter_pairs' exact-set collapse, so (a) identical shingle
+    sets emit intra-group pairs at exactly J=1.0, (b) a collapsed
+    group's near-dup match expands to EVERY member with the same
+    jaccard, (c) short/empty docs still pair with nothing, and (d) the
+    guarded path (max_df) agrees — all four on one fixture."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near-dup of 1/2
+        (4, "tiny doc"),                              # no 3-grams
+        (5, ""),                                      # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want_keys = {(1, 2), (1, 3), (2, 3)}
+    for max_df in (None, 10):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in DD.ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.5, max_df=max_df
+            ).collect()
+        }
+        assert set(got) == want_keys, (max_df, got)
+        assert got[(1, 2)] == 1.0
+        # docs 1 and 3 share 3 of 5 shingles: J = 3/(4+4-3) = 0.6, and
+        # the expansion must give doc 2 the identical value
+        assert got[(1, 3)] == got[(2, 3)] == 0.6
