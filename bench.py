@@ -304,14 +304,25 @@ def main() -> None:
         # (gated on BENCH_FULL: the full pass is the only consumer of
         # the pinned measurements — without it the pool spin-up and the
         # pinned runs would burn time and discard the numbers)
-        # Spin up the Python worker pool + Arrow lane once (a no-op
-        # mapInPandas): the pinned entries are the first Python-UDF
-        # plans in the file, and the pool startup is ~10 s of
-        # infrastructure cost that must not land in their numbers.
+        # Spin up the Python worker pool + Arrow lane once AND import
+        # the heavy pure-Python codec modules inside every worker: the
+        # pinned entries are the first Python-UDF plans in the file,
+        # and both the ~10 s pool startup and the per-worker module
+        # import (minipdf/minipng/multimodal are large modules,
+        # imported lazily on first batch) are infrastructure cost that
+        # must not land in their numbers — r8's three-run band showed
+        # p8/p9 swinging ±3 s on exactly this term.
+        def _warm_worker(batches):
+            import fintrack_etl_spark.multimodal  # noqa: F401
+            import fintrack_etl_spark.parse.minipdf  # noqa: F401
+            import fintrack_etl_spark.parse.minipng  # noqa: F401
+
+            yield from batches
+
         try:
             spark.range(1024).repartition(
                 spark.sparkContext.defaultParallelism  # one worker per slot
-            ).mapInPandas(lambda it: it, "id long").count()
+            ).mapInPandas(_warm_worker, "id long").count()
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
         for name in CODEC_PINNED:

@@ -22,6 +22,10 @@ column, the pandas dtype *kind* must match between Spark and the oracle
 a list/dict/ndarray is an array emission the driver cannot hash).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Env: ORACLE_VANILLA=1 runs Spark on a PLAIN builder (no engine confs,
+like the grading driver's session) — the de-risk sweep for entries
+whose correctness might silently depend on session.py's conf posture
+(UTC timezone, Arrow, AQE knobs).
 """
 
 from __future__ import annotations
@@ -149,7 +153,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle_check")
+    if os.environ.get("ORACLE_VANILLA") == "1":
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
