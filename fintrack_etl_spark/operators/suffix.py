@@ -29,14 +29,16 @@ from pyspark.sql import functions as F
 
 def _distributed_dense_rank(
     df: DataFrame, cols: list[str]
-) -> tuple[DataFrame, int, int]:
+) -> tuple[DataFrame, int, int, DataFrame]:
     """Append ``r``: the GLOBAL dense rank of ``cols`` (1-based),
     computed without a single-partition window: range-partition on the
     key (equal keys co-locate), dense-rank within each partition, then
     add per-partition offsets (cumulative distinct-key counts — an
     O(#partitions) collect, metadata not data). Returns
-    (ranked, n_distinct, n_rows) — the caller's convergence probe is
-    free because the offsets collect already carries both counts."""
+    (ranked, n_distinct, n_rows, part) — the caller's convergence
+    probe is free because the offsets collect already carries both
+    counts, and ``part`` is the checkpointed-block handle the caller
+    unpersists once the NEXT round is materialized."""
     part = (
         df.repartitionByRange(*[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
@@ -44,8 +46,12 @@ def _distributed_dense_rank(
     )
     # localCheckpoint: the offsets collect and the ranked output must
     # see the SAME partitioning; recomputation could re-sample range
-    # boundaries and skew the offsets.
-    part = part.localCheckpoint()
+    # boundaries and skew the offsets. LAZY (eager=False): the offsets
+    # collect right below is the first action, so the blocks persist
+    # as a side effect of that SAME pass — an eager checkpoint would
+    # schedule one extra full-data job per doubling round (~25 % of
+    # x80's wall at sf0.1, measured by the r8 scale probe work).
+    part = part.localCheckpoint(eager=False)
     stats = {
         r["_pid"]: (r["_n"], r["_rows"])
         for r in part.groupBy("_pid")
@@ -66,7 +72,7 @@ def _distributed_dense_rank(
         .withColumn("r", (F.col("_lr") + off[F.col("_pid")]).cast("long"))
         .drop("_pid", "_lr")
     )
-    return ranked, acc, total
+    return ranked, acc, total, part
 
 
 def suffix_ranks(
@@ -120,7 +126,7 @@ def suffix_ranks(
         F.col(id_col).alias("id"),
         F.posexplode(grams).alias("p", "ch"),
     )
-    r0, nd, nrows = _distributed_dense_rank(pos, ["ch"])
+    r0, nd, nrows, prev_part = _distributed_dense_rank(pos, ["ch"])
     ranked = r0.select(
         "id", F.col("p").cast("long").alias("p"), F.col("r").alias("rank")
     )
@@ -144,7 +150,17 @@ def suffix_ranks(
         paired = ranked.withColumn(
             "nrk", F.coalesce(F.lead("rank", k).over(wdoc), F.lit(0))
         )
-        rk, nd, nrows = _distributed_dense_rank(paired, ["rank", "nrk"])
+        rk, nd, nrows, new_part = _distributed_dense_rank(paired, ["rank", "nrk"])
+        # the new round's offsets collect just materialized new_part's
+        # blocks, which embed everything they need from the previous
+        # round — the previous round's checkpoint blocks are dead
+        # weight from here on (before this, ALL rounds' position
+        # tables stayed resident for the session: ~4 × corpus chars of
+        # block-manager pressure on every downstream query)
+        from .memo import unpersist_checkpointed
+
+        unpersist_checkpointed(prev_part)
+        prev_part = new_part
         ranked = rk.select("id", "p", F.col("r").alias("rank"))
         k *= 2
     return ranked.select(
