@@ -54,6 +54,8 @@ def connected_components(
     scale-probe counter (tools/scale_probe.py records round growth
     under adversarial topologies).
     """
+    from .memo import unpersist_checkpointed
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -63,6 +65,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    prev = None
     for it in range(max_iter):
         if stats is not None:
             stats["rounds"] = it + 1
@@ -82,9 +85,18 @@ def connected_components(
                 F.min("cluster_id").alias("cluster_id"),
                 F.min(F.when(F.col("is_old"), F.col("cluster_id"))).alias("_old"),
             )
-        ).localCheckpoint()  # cut the iterated lineage
+        ).localCheckpoint()  # cut the iterated lineage (EAGER: materialized here)
+        # the previous round's checkpoint blocks were just consumed into
+        # the (eager, self-contained) new agg — freeing them caps block
+        # residency at ONE round's labels instead of O(rounds) per call
+        # (same leak class as the r7 skew-fixture fix)
+        unpersist_checkpointed(prev)
+        prev = agg
         labels = agg.drop("_old")
         if agg.filter(F.col("cluster_id") != F.col("_old")).isEmpty():
+            # the result embeds only the final agg's blocks — the
+            # symmetric edge table is dead weight from here
+            unpersist_checkpointed(sym)
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -171,11 +183,21 @@ def connected_components_star(
         ).first()
         return (r["n"], r["s"], r["h"])
 
+    from .memo import unpersist_checkpointed
+
     state = _probe(e)
     for it in range(max_iter):
         if stats is not None:
             stats["rounds"] = it + 1
-        e = star(star(e, large=True), large=False)
+        mid = star(e, large=True)
+        new_e = star(mid, large=False)
+        # both stars checkpoint EAGERLY, so once new_e exists the
+        # half-round intermediate and the previous round's edge set
+        # are dead blocks — free them (block residency stays at one
+        # edge-set per call instead of 2×rounds)
+        unpersist_checkpointed(mid)
+        unpersist_checkpointed(e)
+        e = new_e
         new_state = _probe(e)
         if new_state == state:
             # fixpoint: every edge is (node, component-min) — a star
@@ -326,6 +348,11 @@ def bfs_hops(
         # ARE the cost at gate scale: ~0.5 s fixed overhead each).
         reached = reached.unionByName(new)
         frontier = new
+    # the result is the union of the checkpointed frontiers and never
+    # references the repartitioned edge state — free it
+    from .memo import unpersist_checkpointed
+
+    unpersist_checkpointed(edges)
     return reached
 
 
@@ -550,6 +577,11 @@ def random_walks(
         if frontier.isEmpty():
             break
         out = out.unionByName(frontier)
+    # the walk corpus is the union of the checkpointed per-step
+    # frontiers; the ranked adjacency is not referenced by it — free it
+    from .memo import unpersist_checkpointed
+
+    unpersist_checkpointed(adj)
     return out.select(
         "walk_id", F.col("step").cast("long").alias("step"), "node"
     )
