@@ -346,12 +346,19 @@ def kmeans_centroids(
             )
             .select("_id", F.col("b.cv").alias("cv"), F.col("b.cid").alias("cid"))
         )
-    # pin the final assignment: cached consumers re-join it repeatedly,
-    # and recomputation would replay the full iterated lineage
+    # pin the final assignment EAGERLY: cached consumers re-join it
+    # repeatedly, recomputation would replay the full iterated lineage,
+    # and — the r8 block-hygiene point — a LAZY artifact here would
+    # keep depending on the training-only vector pin below (the
+    # collapse-cache hazard class), whereas once it is materialized the
+    # pin is dead weight and can be freed.
+    from .operators.memo import unpersist_checkpointed
+
     result = (
-        assigned.select(F.col("_id").alias(id_col), "cid").localCheckpoint(eager=False),
+        assigned.select(F.col("_id").alias(id_col), "cid").localCheckpoint(eager=True),
         cents,
     )
+    unpersist_checkpointed(v)
     _train_cache_put(ckey, result)
     return result
 
@@ -534,9 +541,15 @@ def pq_train(
             )
             .select("_id", "j", F.col("b.sv").alias("sv"), F.col("b.code").alias("code"))
         )
+    # EAGER for the same reason as kmeans_centroids' assignment: a lazy
+    # codes artifact would depend on the training-only subvector pin
+    # (collapse-cache hazard class); materialized, the pin can be freed.
+    from .operators.memo import unpersist_checkpointed
+
     codes = assigned.select(F.col("_id").alias(id_col), "j", "code").localCheckpoint(
-        eager=False
+        eager=True
     )
+    unpersist_checkpointed(sv)
     result = (codes, books)
     _train_cache_put(ckey, result)
     return result
