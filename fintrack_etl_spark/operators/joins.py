@@ -312,8 +312,12 @@ def sorted_neighborhood_pairs(
     w = Window.partitionBy("_pid").orderBy("_key", "_id")
     # localCheckpoint pins one materialization: repartitionByRange
     # samples boundaries per execution, so without the pin the count
-    # pass and the rank pass could see different _pid layouts.
-    local = ranged.withColumn("_rn_local", F.row_number().over(w)).localCheckpoint()
+    # pass and the rank pass could see different _pid layouts. LAZY:
+    # the totals collect below is the first action and persists the
+    # blocks in the same pass (one fewer full-data job per call).
+    local = ranged.withColumn("_rn_local", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     totals = (
         local.groupBy("_pid").agg(F.max("_rn_local").alias("_n")).orderBy("_pid").collect()
     )

@@ -52,8 +52,13 @@ def pack_documents_by_tokens(
     # localCheckpoint pins ONE materialization: repartitionByRange
     # samples its boundaries per execution, so without the pin the
     # totals pass and the final join could see different _pid layouts
-    # and the prefix offsets would mis-align.
-    local = ranged.withColumn("_cum_local", F.sum(token_col).over(w)).localCheckpoint()
+    # and the prefix offsets would mis-align. LAZY: the totals collect
+    # right below is the first action and persists the blocks as a
+    # side effect of that same pass — eager would schedule one extra
+    # full-data job per call (the suffix-doubling lesson, r8).
+    local = ranged.withColumn("_cum_local", F.sum(token_col).over(w)).localCheckpoint(
+        eager=False
+    )
 
     # one row per partition → tiny driver collect → running offsets
     totals = (

@@ -228,7 +228,11 @@ def pps_systematic_sample(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_cum_local", F.sum(weight_col).over(w)).localCheckpoint()
+    # lazy: the totals collect below materializes the blocks in the
+    # same pass (see packing.pack_documents_by_tokens)
+    local = ranged.withColumn("_cum_local", F.sum(weight_col).over(w)).localCheckpoint(
+        eager=False
+    )
     totals = (
         local.groupBy("_pid").agg(F.max("_cum_local").alias("_t")).orderBy("_pid").collect()
     )
