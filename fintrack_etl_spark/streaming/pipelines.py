@@ -210,6 +210,12 @@ def upsert_sink_stream(
                 spark.table(table), incoming, keys, order_col, tie_breakers
             ).localCheckpoint()
             merged.write.mode("overwrite").saveAsTable(table)
+            # the table IS the persistence now; without this, a
+            # long-running query strands one table-size block set per
+            # micro-batch (unbounded block-manager growth)
+            from ..operators.memo import unpersist_checkpointed
+
+            unpersist_checkpointed(merged)
         else:
             incoming.write.saveAsTable(table)
 
@@ -300,6 +306,10 @@ def transactional_fold(table: str, name: str, make_delta, merge_state):
         if spark.catalog.tableExists(table):
             merged = merge_state(spark.table(table), delta).localCheckpoint()
             merged.write.mode("overwrite").saveAsTable(table)
+            # free the per-batch merge pin (see upsert_sink_stream)
+            from ..operators.memo import unpersist_checkpointed
+
+            unpersist_checkpointed(merged)
         else:
             delta.write.saveAsTable(table)
         spark.createDataFrame([(batch_id,)], "last_batch_id long").write.mode(
@@ -542,6 +552,10 @@ def cdc_sink_stream(
             .localCheckpoint()
         )
         folded.write.mode("overwrite").saveAsTable(table)
+        # free the per-batch fold pin (see upsert_sink_stream)
+        from ..operators.memo import unpersist_checkpointed
+
+        unpersist_checkpointed(folded)
 
     return (
         stream.writeStream.foreachBatch(fold)
@@ -572,8 +586,13 @@ def cdc_vacuum_tombstones(spark: SparkSession, table: str, below_seq: int) -> in
     doomed = cur.filter(F.col("__deleted") & (F.col("__seq") < below_seq))
     n = doomed.count()
     if n:
-        kept = cur.filter(~(F.col("__deleted") & (F.col("__seq") < below_seq)))
-        kept.localCheckpoint().write.mode("overwrite").saveAsTable(table)
+        kept = cur.filter(
+            ~(F.col("__deleted") & (F.col("__seq") < below_seq))
+        ).localCheckpoint()
+        kept.write.mode("overwrite").saveAsTable(table)
+        from ..operators.memo import unpersist_checkpointed
+
+        unpersist_checkpointed(kept)
     return n
 
 
