@@ -108,8 +108,16 @@ def ngram_jaccard_pairs(
     therefore exact for every pair that shares at least one rare
     shingle. The only pairs missed are those whose ENTIRE overlap is
     stop-shingles — at threshold t that requires ≥ t/(1+t) of the
-    smaller doc to be boilerplate shared with > max_df other docs,
-    i.e. the no-signal documents df-pruning exists to ignore.
+    smaller doc to be boilerplate shared with > max_df other docs.
+    MEASURED boundary (r8 20× probe): that class is NOT always
+    no-signal noise — on a corpus where every doc has 20 near-dup
+    replicas, short template docs' shingle df crosses an absolute
+    max_df=100 (base_df 6–14 × 20) and the guard drops true FAMILY
+    pairs (15 % of all pairs at t=0.6, including a doc vs its own
+    replica at J=0.64). An absolute df cap is a boilerplate heuristic
+    that breaks under corpus replication; when the dup factor can
+    rival max_df, use ``prefix_filter_pairs`` (theorem-complete at
+    the threshold) or scale max_df with the expected dup factor.
     Hot-set members are xxhash64(shingle) (8 bytes each, collision
     ~2⁻⁶⁴) so the broadcast payload stays bounded.
     **Exact-set collapse** (retrofit of x63's production step,

@@ -122,8 +122,13 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stop-shingle skew guard is ON (max_df=100): shingles in >100
     representatives never become join keys, their contribution to each
     pair's intersection is restored exactly via the broadcast hot-set
-    — same answer as the unguarded oracle, without the quadratic
-    blowup a boilerplate shingle would cause at scale."""
+    — same answer as the unguarded oracle on every gate fixture,
+    without the quadratic blowup a boilerplate shingle would cause at
+    scale. Guard boundary, measured by the r8 20× probe: once the
+    corpus dup factor rivals max_df (20 replicas × base_df 6 crosses
+    100), pairs whose entire overlap is "hot" include true family
+    pairs and the guard under-reports — x63's prefix filter is the
+    dup-heavy-corpus path (complete at the threshold by theorem)."""
     return DD.ngram_jaccard_pairs(
         _with_recrawl(T(spark, sf_dir, "documents")),
         "doc_id",

@@ -1536,3 +1536,34 @@ def test_ngram_jaccard_collapse_semantics(spark):
         # docs 1 and 3 share 3 of 5 shingles: J = 3/(4+4-3) = 0.6, and
         # the expansion must give doc 2 the identical value
         assert got[(1, 3)] == got[(2, 3)] == 0.6
+
+
+def test_df_guard_boundary_vs_prefix_filter(spark):
+    """The df-guard's documented-and-now-MEASURED miss class (r8 20×
+    probe): when a true near-dup pair's ENTIRE overlap sits above
+    max_df — here a 7-doc template family whose 4 core shingles have
+    df 7 > cap 3 and whose only rare shingle is unique per doc — the
+    guarded join emits NOTHING while prefix filtering (theorem-complete
+    at the threshold) finds every pair, identical to the unguarded
+    join. This is the contract that tells users an absolute df cap is
+    a boilerplate heuristic, not a correctness knob, on dup-heavy
+    corpora."""
+    rows = [
+        (i, f"c1 c2 c3 c4 c5 c6 t{i}") for i in range(7)
+    ]  # 5 shingles each: 4 shared (df=7), 1 unique; J = 4/6 per pair
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    complete = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.prefix_filter_pairs(df, "doc_id", "text", 3, 0.6).collect()
+    }
+    assert len(complete) == 21  # C(7,2), every pair at J = 0.6666
+
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6).collect()
+    }
+    assert unguarded == complete
+
+    guarded = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6, max_df=3).count()
+    assert guarded == 0  # the measured boundary: entire overlap is "hot"

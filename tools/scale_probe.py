@@ -122,10 +122,19 @@ def probe_suffix(spark, sf_dir: str, mult: int, tmp: str) -> None:
 
 
 def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
-    """x3 (collapse-retrofitted shingle join) vs x63 (PPJoin) on the
-    SAME replicated near-dup corpus — both must emit the identical
-    pair multiset (they share the unfiltered oracle), and the r7
-    PPJoin probe's adversarial load now gates the retrofit too."""
+    """x3 (df-guarded shingle join) vs x63 (PPJoin) on the SAME
+    replicated near-dup corpus. x63 is theorem-complete; x3's guard
+    misses pairs whose ENTIRE overlap sits above max_df — so the probe
+    asserts x63 ⊇-cardinality and REPORTS the miss rate rather than
+    assuming equality. Measured boundary (r8): identical multisets at
+    mult=10, but at mult=20 short template docs' shingle df crosses
+    the absolute max_df=100 cap (base_df 6–14 × 20 replicas = 120–280)
+    and x3 drops 137 523 of 882 694 true pairs — including a doc's own
+    replica at J=0.64 whose 7 shared shingles all sat at df 113–279.
+    An absolute df cap is a boilerplate heuristic that breaks under
+    corpus replication; prefix filtering does not. The guard's miss
+    class was documented from r1 — this probe turned it into a
+    measured number."""
     from fintrack_etl_spark.operators.dedup_text import (
         ngram_jaccard_pairs,
         prefix_filter_pairs,
@@ -144,8 +153,13 @@ def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
             lambda: prefix_filter_pairs(corpus, "doc_id", "text", 3, 0.6).count()
         )
         _emit({"probe": "x63_ppjoin_pairs", "mult": m, "docs": n_docs,
-               "pairs": rows_x63, "sec": sec_x63})
-        assert rows_x3 == rows_x63, f"x3/x63 pair-count split at {m}x: {rows_x3} vs {rows_x63}"
+               "pairs": rows_x63, "sec": sec_x63,
+               "x3_guard_missed": rows_x63 - rows_x3})
+        assert rows_x63 >= rows_x3, (
+            f"PPJoin lost pairs the guarded join found at {m}x: "
+            f"{rows_x63} < {rows_x3} — that direction is a BUG "
+            "(prefix filtering is theorem-complete)"
+        )
 
 
 def _chain_edges(spark, n_chains: int, depth: int):
