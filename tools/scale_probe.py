@@ -162,6 +162,41 @@ def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
         )
 
 
+def probe_incremental(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """x33's continuous-ingest shape at scale: the standing corpus's
+    MinHash signature store is built once (at 100 TB: written at
+    ingest, bucketed by (band, bh)); an incoming batch is shingled,
+    signed and band-joined against it — only the batch is scanned.
+    The probe scales the STORE 1x -> mult x while the batch stays one
+    replica family's worth, so flat batch-side time across rows is
+    the pass criterion (the store contributes a bucket join, not a
+    rescan)."""
+    from fintrack_etl_spark.operators.dedup_text import (
+        dedup_against_store,
+        signature_store,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    for m in (1, mult):
+        corpus = _land(_replicated_docs(docs, m), os.path.join(tmp, f"idocs_{m}x"))
+        n_docs = corpus.count()
+        store = _land(
+            signature_store(corpus, "doc_id", "text", 3, 32, 8),
+            os.path.join(tmp, f"sigs_{m}x"),
+        )
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+        )
+        corpus_bt = corpus.select("doc_id", "text")  # union-compatible with batch
+        rows, sec = _timed(
+            lambda: dedup_against_store(
+                batch, store, corpus_bt, "doc_id", "text", 3, 32, 8, 0.6
+            ).count()
+        )
+        _emit({"probe": "x33_incremental_lsh", "mult": m, "store_docs": n_docs,
+               "batch_docs": batch.count(), "rows": rows, "sec": sec})
+
+
 def _chain_edges(spark, n_chains: int, depth: int):
     """n_chains disjoint paths of `depth` nodes — the adversarial
     topology for min-label propagation (rounds = diameter)."""
@@ -316,7 +351,7 @@ def main() -> int:
     for a in sys.argv[1:]:
         if a.startswith("--mult"):
             mult = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
-    families = args or ["suffix", "graph", "ann", "jaccard"]
+    families = args or ["suffix", "graph", "ann", "jaccard", "incremental"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_probe")
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
@@ -327,6 +362,7 @@ def main() -> int:
                 "graph": probe_graph,
                 "ann": probe_ann,
                 "jaccard": probe_jaccard,
+                "incremental": probe_incremental,
             }[fam](spark, sf_dir, mult, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
