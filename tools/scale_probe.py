@@ -345,12 +345,186 @@ def probe_ann(spark, sf_dir: str, mult: int, tmp: str) -> None:
             assert found == n_q, f"{name}@{m}x: planted-dup self-recall broke ({found}/{n_q})"
 
 
+def probe_core(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """Relational core at mult x — the one family whose scale story was
+    still sf0.1-only. Builds a REPLICATED sf directory (fact tables
+    lineitem/orders/events grow mult x with injective key shifts;
+    dimensions stay dimension-sized — the realistic 100 TB posture)
+    and runs the exact gate entries end-to-end against it, cold,
+    timing the same ``toRdd().count()`` the bench times. Key shifts:
+    orderkeys move together so orders⋈lineitem stays key-correct
+    within a replica; o_custkey is NOT shifted, so each customer
+    carries mult x orders (growth concentrates on existing keys, the
+    adversarial direction for group-by/join fan-out); events get new
+    user_ids per replica (state/key cardinality grows with volume).
+    Pass lens: per-query time growth ≲ mult."""
+    from __spark_entry__ import queries as registry
+
+    qs = registry()
+    names = [
+        "a1_group_sum_flagship",   # scan + partial-agg rollup
+        "a2_group_sum_composite",  # wider group-by
+        "a8_mode_per_group",       # agg + WindowGroupLimit mode
+        "j1_budget_vs_actual",     # full-outer of two grouped sums
+        "j2_mode_backfill",        # broadcast mode-dim onto the fact
+        "w1_dedup_latest",         # keyed latest-wins window
+        "w2_forward_fill",         # ordered window fill
+        "ext_running_sum",         # running window over events
+        "ext_sessionize",          # lag/run-id sessionization
+        "ext_having_join_q18",     # TPC-H Q18: agg-having + 3-way join
+        "ext_market_share_q8",     # TPC-H Q8: 8-table join tree
+        "ext_rank_family",         # rank/dense_rank/ntile windows
+        "o1_top_abs",              # TakeOrderedAndProject
+    ]
+
+    stride = 10_000_000  # > max sf0.1 orderkey/event_id/user_id
+    for m in (1, mult):
+        rep_dir = os.path.join(tmp, f"core_{m}x")
+        os.makedirs(rep_dir, exist_ok=True)
+        reps = spark.range(m).select(F.col("id").alias("r"))
+
+        def _rep(df, shifts: dict[str, str], path: str):
+            cols = [
+                (F.col(c) + F.col("r") * stride).alias(c)
+                if c in shifts
+                else F.col(c)
+                for c in df.columns
+            ]
+            _land(df.crossJoin(F.broadcast(reps)).select(*cols), path)
+
+        _rep(
+            table(spark, "lineitem", sf_dir),
+            {"l_orderkey": "k"},
+            os.path.join(rep_dir, "lineitem.parquet"),
+        )
+        _rep(
+            table(spark, "orders", sf_dir),
+            {"o_orderkey": "k"},
+            os.path.join(rep_dir, "orders.parquet"),
+        )
+        _rep(
+            table(spark, "events", sf_dir),
+            {"event_id": "k", "user_id": "k"},
+            os.path.join(rep_dir, "events.parquet"),
+        )
+        for dim in ("region", "nation", "customer", "supplier", "part",
+                    "documents", "embeddings"):
+            # land dims through the same write path so 1x and mult x
+            # compare identical physical layouts
+            _land(
+                table(spark, dim, sf_dir),
+                os.path.join(rep_dir, f"{dim}.parquet"),
+            )
+
+        fact_rows = spark.read.parquet(
+            os.path.join(rep_dir, "lineitem.parquet")
+        ).count()
+        for name in names:
+            def _run(n=name):
+                rdd = qs[n](spark, rep_dir)._jdf.queryExecution().toRdd()
+                return rdd.count()
+            # cold includes plan build + codegen compile (shared shapes
+            # compile once per session, so the 1x pass pre-pays most of
+            # it); the warm re-run isolates the DATA term — the number
+            # the growth ratio is about
+            rows, sec = _timed(_run)
+            _, warm_sec = _timed(_run)
+            _emit({"probe": name, "family": "core", "mult": m,
+                   "lineitem_rows": fact_rows, "rows": rows, "sec": sec,
+                   "warm_sec": warm_sec})
+
+
+def probe_streaming(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """Structured Streaming drain throughput at 1x and mult x — the
+    streaming family carries batch-equivalence contracts but had no
+    measured rows/s. Three stateful shapes over a file source drained
+    with availableNow in bounded micro-batches (maxFilesPerTrigger →
+    ≥4 triggers, so per-batch planning overhead is inside the number):
+
+    * tumbling windowed agg (watermark + keyed window state),
+    * dedup-within-watermark on a dup-heavy stream (replicas REUSE
+      event_ids — re-delivery, the dedup use case; state = distinct
+      keys, output flat across mult),
+    * session windows with per-replica user_ids (state keys grow
+      with volume — the adversarial direction).
+
+    Pass lens: rows/s at mult x ≥ rows/s at 1x (per-row cost must not
+    grow with backlog size; state growth shows up here if it does)."""
+    from fintrack_etl_spark.streaming.pipelines import (
+        run_available_now,
+        sessionized_stream,
+        stream_dedup_latest,
+        windowed_agg_stream,
+        file_source_stream,
+    )
+
+    events = table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stride = 10_000_000
+    for m in (1, mult):
+        reps = spark.range(m).select(F.col("id").alias("r"))
+        src_dir = os.path.join(tmp, f"stream_src_{m}x")
+        (
+            events.crossJoin(F.broadcast(reps))
+            .select(
+                F.col("event_id").alias("event_id"),  # shared → dup-heavy
+                "ts",
+                (F.col("user_id") + F.col("r") * stride).alias("user_id"),
+                "event_type",
+                "value",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        n_rows = spark.read.parquet(src_dir).count()
+        schema = spark.read.parquet(src_dir).schema
+
+        def _drain(make_stream, name: str, mode: str) -> float:
+            ckpt = os.path.join(tmp, f"ckpt_{name}_{m}x")
+            src = file_source_stream(
+                spark, src_dir, schema, max_files_per_trigger=8
+            )
+            _, sec = _timed(
+                lambda: run_available_now(
+                    make_stream(src), ckpt, f"probe_{name}_{m}x", output_mode=mode
+                )
+            )
+            return sec
+
+        for name, make, mode in (
+            ("windowed_agg", lambda s: windowed_agg_stream(s, window="1 day"),
+             "complete"),
+            ("dedup_latest", lambda s: stream_dedup_latest(s, keys=("event_id",)),
+             "append"),
+            ("session_windows", lambda s: sessionized_stream(s, gap="30 minutes"),
+             "append"),
+        ):
+            sec = _drain(make, name, mode)
+            out_rows = spark.sql(f"select count(*) from probe_{name}_{m}x").first()[0]
+            _emit({"probe": f"stream_{name}", "family": "streaming", "mult": m,
+                   "input_rows": n_rows, "out_rows": out_rows, "sec": sec,
+                   "rows_per_sec": int(n_rows / sec) if sec else None})
+            spark.catalog.dropTempView(f"probe_{name}_{m}x")
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     mult = 10
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--mult"):
-            mult = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                mult = int(a.split("=", 1)[1])
+            else:
+                mult = int(argv[i + 1])
+                i += 1  # consume the value — it is not a family name
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     families = args or ["suffix", "graph", "ann", "jaccard", "incremental"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_probe")
@@ -363,6 +537,8 @@ def main() -> int:
                 "ann": probe_ann,
                 "jaccard": probe_jaccard,
                 "incremental": probe_incremental,
+                "core": probe_core,
+                "streaming": probe_streaming,
             }[fam](spark, sf_dir, mult, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
