@@ -62,19 +62,37 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return out
 
 
-def stop_shingles(ex: DataFrame, max_df: int) -> DataFrame:
-    """Shingles whose document frequency exceeds ``max_df``, from an
+def stop_shingles(
+    ex: DataFrame,
+    max_df: int,
+    frac: float | None = None,
+    n_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Shingles whose document frequency exceeds the cap, from an
     exploded ``(id, s)`` table.
 
     One hash-groupBy — map-side partial aggregation absorbs the hot
     keys, so computing the df table is itself skew-safe. The output is
-    SMALL by construction: at most (total shingle occurrences)/max_df
+    SMALL by construction: at most (total shingle occurrences)/cap
     rows, so it broadcasts.
+
+    With ``frac`` (and ``n_docs``, a 1-row ``(n_docs)`` frame), the cap
+    is RELATIVE: ``greatest(max_df, ceil(frac * n_docs))``, joined in
+    as a broadcast scalar so the plan stays lazy — no driver action.
+    A fraction cap is replication-invariant (df and corpus size scale
+    together), which is exactly what the r8 20× probe showed an
+    absolute cap is not.
     """
+    df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    if frac is None:
+        return df_tab.filter(F.col("df") > max_df).select("s")
+    cap = F.greatest(
+        F.lit(max_df).cast("long"),
+        F.ceil(F.lit(float(frac)) * F.col("n_docs")).cast("long"),
+    )
     return (
-        ex.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
+        df_tab.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > cap)
         .select("s")
     )
 
@@ -86,6 +104,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
@@ -117,7 +136,15 @@ def ngram_jaccard_pairs(
     replica at J=0.64). An absolute df cap is a boilerplate heuristic
     that breaks under corpus replication; when the dup factor can
     rival max_df, use ``prefix_filter_pairs`` (theorem-complete at
-    the threshold) or scale max_df with the expected dup factor.
+    the threshold), or set ``max_df_frac``: the cap becomes
+    ``greatest(max_df, ceil(max_df_frac * n_representatives))``, which
+    is REPLICATION-INVARIANT — replicating a corpus k× scales a family
+    shingle's df and the corpus size together, so whether base_df >
+    frac·N_base decides identically at every scale, while true
+    boilerplate (df ~ Θ(N)) stays pruned. The corpus size joins in as
+    a broadcast scalar (no driver action); the fan-out bound weakens
+    from max_df² to (frac·N)² per hot shingle — the price of
+    completeness on dup-heavy corpora, still far from unguarded.
     Hot-set members are xxhash64(shingle) (8 bytes each, collision
     ~2⁻⁶⁴) so the broadcast payload stays bounded.
     **Exact-set collapse** (retrofit of x63's production step,
@@ -137,11 +164,16 @@ def ngram_jaccard_pairs(
     groups, sh = _collapsed_rep_sets(df, id_col, text_col, n)
     ex = sh.select("id", F.explode("sh").alias("s"))
     empty_hot = F.array().cast("array<bigint>")
-    if max_df is None:
+    if max_df is None and max_df_frac is None:
         sizes = sh.select("id", F.size("sh").alias("sz"), empty_hot.alias("hot"))
         rare = ex
     else:
-        hot = stop_shingles(ex, max_df)
+        n_reps = (
+            sh.select(F.count(F.lit(1)).alias("n_docs"))
+            if max_df_frac is not None
+            else None
+        )
+        hot = stop_shingles(ex, max_df or 0, frac=max_df_frac, n_docs=n_reps)
         rare = ex.join(F.broadcast(hot), "s", "left_anti")
         hot_sets = (
             ex.join(F.broadcast(hot), "s", "left_semi")

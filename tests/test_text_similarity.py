@@ -1567,3 +1567,53 @@ def test_df_guard_boundary_vs_prefix_filter(spark):
 
     guarded = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6, max_df=3).count()
     assert guarded == 0  # the measured boundary: entire overlap is "hot"
+
+
+def test_df_guard_frac_is_replication_invariant(spark):
+    """The fix for the measured boundary: ``max_df_frac`` makes the cap
+    a corpus fraction, which replication cannot cross — a family
+    shingle's df and the corpus size scale together, so whether
+    base_df > frac·N_base decides identically at every scale, while
+    true boilerplate (df = 100 % of docs here) stays pruned. The same
+    absolute cap that drops EVERY pair keeps dropping them at both
+    scales; the same frac setting finds the complete pair set at both.
+    """
+
+    def family_corpus(n_reps: int):
+        # 7 template families × n_reps EDITED replicas (distinct
+        # shingle sets — the collapse cannot merge them, like the 20×
+        # probe corpus). Per doc: 4 core shingles shared by ALL docs
+        # (true boilerplate), 1 family shingle (df = n_reps), 1 unique.
+        # Within a family: J = 5/7 ≥ 0.6; across: J = 4/8 < 0.6.
+        rows = [
+            (i * 100 + r, f"c1 c2 c3 c4 c5 c6 t{i} u{i}_{r}")
+            for i in range(7)
+            for r in range(n_reps)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for n_reps in (4, 8):  # the "replication" lever: 28 → 56 docs
+        df = family_corpus(n_reps)
+        complete = {
+            (r["doc_a"], r["doc_b"])
+            for r in DD.prefix_filter_pairs(df, "doc_id", "text", 3, 0.6).collect()
+        }
+        assert len(complete) == 7 * n_reps * (n_reps - 1) // 2
+
+        # absolute cap 3: family shingle df (= n_reps > 3) is "hot", so
+        # every family pair's entire overlap is hot — nothing emitted
+        assert (
+            DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6, max_df=3).count()
+            == 0
+        )
+
+        # SAME settings plus frac 0.5: cap = ceil(0.5 · 7·n_reps) —
+        # prunes the 4 everywhere-shingles (df = N), keeps the family
+        # shingle (df = N/7), finds the complete set at BOTH scales
+        frac_pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in DD.ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.6, max_df=3, max_df_frac=0.5
+            ).collect()
+        }
+        assert frac_pairs == complete
