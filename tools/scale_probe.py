@@ -160,6 +160,17 @@ def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
             f"{rows_x63} < {rows_x3} — that direction is a BUG "
             "(prefix filtering is theorem-complete)"
         )
+        # the replication-invariant cap (greatest(100, 1% of reps)):
+        # at the mult=20 boundary where the absolute cap drops 15.6 %
+        # of true pairs, this must emit the complete (PPJoin) multiset
+        rows_frac, sec_frac = _timed(
+            lambda: ngram_jaccard_pairs(
+                corpus, "doc_id", "text", 3, 0.6, max_df=100, max_df_frac=0.01
+            ).count()
+        )
+        _emit({"probe": "x3_frac_guard", "mult": m, "docs": n_docs,
+               "pairs": rows_frac, "sec": sec_frac,
+               "missed_vs_ppjoin": rows_x63 - rows_frac})
 
 
 def probe_incremental(spark, sf_dir: str, mult: int, tmp: str) -> None:
