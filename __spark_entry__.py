@@ -169,6 +169,15 @@ _RECHECK = frozenset({
 })
 
 
+# R9 PRE-STAGE: once CORRECTNESS_r08 lands, recompute staleness as
+# "newest round with a row per entry" across CORRECTNESS_r01..r08 and
+# rotate the oldest ~50 into _WINDOW_FIRST (the r3-era tail that did
+# not fit r8's window — x35/x36/x37/x40..x50/ext_source_overlap/
+# ext_corpus_diff/ext_mixture_waterfill class — then the oldest r4
+# rows). No r8 code change altered emitted values (the max_df_frac
+# lever is opt-in; x3's default path is plan-identical), so no forced
+# _RECHECK carries over.
+#
 # ROUND-8 ROTATION (VERDICT r7 "Next round" #2): all 232 entries are
 # cumulatively driver-green, so the 50-slot window spends entirely on
 # STALENESS — the code-touch confirmations first, then every entry

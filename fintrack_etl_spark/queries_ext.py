@@ -128,7 +128,10 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus dup factor rivals max_df (20 replicas × base_df 6 crosses
     100), pairs whose entire overlap is "hot" include true family
     pairs and the guard under-reports — x63's prefix filter is the
-    dup-heavy-corpus path (complete at the threshold by theorem)."""
+    dup-heavy-corpus path (complete at the threshold by theorem), or
+    pass ``max_df_frac`` to make the cap a corpus fraction
+    (replication-invariant; probe-measured exact PPJoin parity at the
+    mult=20 boundary, at a quadratic fan-out price)."""
     return DD.ngram_jaccard_pairs(
         _with_recrawl(T(spark, sf_dir, "documents")),
         "doc_id",

@@ -159,6 +159,16 @@ def main() -> int:
         spark = SparkSession.builder.master("local[8]").getOrCreate()
     else:
         spark = get_spark("oracle_check")
+    # ORACLE_PARTITIONS=N reruns the whole sweep at a hostile shuffle
+    # partition count (e.g. a prime like 7): any entry whose VALUES
+    # depend on partitioning — undeterministic tie-breaks, first()-in-
+    # partition assumptions, accumulator misuse — goes red against the
+    # partition-independent DuckDB oracle. Partition-invariance
+    # insurance over the full registry, not just the ops
+    # test_partition_invariance samples.
+    parts = os.environ.get("ORACLE_PARTITIONS")
+    if parts:
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
