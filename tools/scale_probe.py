@@ -445,6 +445,53 @@ def probe_core(spark, sf_dir: str, mult: int, tmp: str) -> None:
                    "warm_sec": warm_sec})
 
 
+def probe_codec(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """Python-codec family at mult x documents — the one family whose
+    scale story had bench points but no scaling row. Each entry
+    encodes every document into a REAL container (PDF / PNG / RLE8
+    AVI / ADPCM WAV / RIFF) and decodes it back through the
+    Arrow-batched mapInPandas passes, so work is per-document
+    Python-bound: the pass criterion is throughput (docs/s) holding
+    flat-or-better as the corpus grows (no shuffle, no collect — the
+    plan is embarrassingly parallel, fixed spawn cost amortizes).
+    Host-noise caveat: absolute times swing with machine load on this
+    family (fresh-JVM + worker spawn); the 1x vs mult x ratio WITHIN
+    one run is the robust number."""
+    from __spark_entry__ import queries as registry
+
+    qs = registry()
+    names = [
+        "x22_media_metadata",        # RIFF/WAVE header build + sniff-back
+        "p8_real_pdf_roundtrip",     # real %PDF write + extract
+        "x52_png_roundtrip",         # PNG encode/decode, all filters
+        "x78_rle_video_roundtrip",   # MS-RLE8 AVI frames
+        "x79_adpcm_audio_roundtrip", # IMA/DVI ADPCM WAV
+    ]
+    docs = table(spark, "documents", sf_dir)
+    for m in (1, mult):
+        rep_dir = os.path.join(tmp, f"codec_{m}x")
+        os.makedirs(rep_dir, exist_ok=True)
+        _land(
+            _replicated_docs(docs, m),
+            os.path.join(rep_dir, "documents.parquet"),
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            _land(table(spark, t, sf_dir), os.path.join(rep_dir, f"{t}.parquet"))
+        n_docs = spark.read.parquet(
+            os.path.join(rep_dir, "documents.parquet")
+        ).count()
+        for name in names:
+            def _run(n=name):
+                return qs[n](spark, rep_dir)._jdf.queryExecution().toRdd().count()
+            rows, sec = _timed(_run)
+            _, warm_sec = _timed(_run)
+            _emit({"probe": name, "family": "codec", "mult": m,
+                   "docs": n_docs, "rows": rows, "sec": sec,
+                   "warm_sec": warm_sec,
+                   "docs_per_sec": int(n_docs / warm_sec) if warm_sec else None})
+
+
 def probe_streaming(spark, sf_dir: str, mult: int, tmp: str) -> None:
     """Structured Streaming drain throughput at 1x and mult x — the
     streaming family carries batch-equivalence contracts but had no
@@ -550,6 +597,7 @@ def main() -> int:
                 "incremental": probe_incremental,
                 "core": probe_core,
                 "streaming": probe_streaming,
+                "codec": probe_codec,
             }[fam](spark, sf_dir, mult, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
