@@ -197,14 +197,17 @@ def main() -> None:
         rdd.count()
         return round(time.time() - t0, 3)
 
-    # Skew micro-bench runs FIRST on the fresh session: its 12 M-row
-    # fixture is the largest shuffle in the file and is measurably
-    # penalized by block-manager pressure from 70+ warmed query plans
-    # (observed 0.56 s -> 3.4 s for the salted join when run last).
-    # Guarded by the same watchdog discipline as the queries — it runs
-    # BEFORE the headline, so a hang here would zero the whole round.
-    skew = None
-    if os.environ.get("BENCH_SKEW", "1") != "0" and not extra:
+    # Skew micro-bench (12 M-row fixture, the largest shuffle in the
+    # file) runs EARLY — right after the pinned codec slots — because
+    # it is measurably penalized by block-manager pressure from 70+
+    # warmed query plans (observed 0.56 s -> 3.4 s for the salted join
+    # when run last). It no longer runs FIRST: the r8-continuation
+    # diag showed its own fixture taxes the codec slots 2.3x when it
+    # precedes them (x22 cold 2.7 s on a fresh session vs 6.3 s after
+    # the skew shuffle) — both want the fresh session, and the codec
+    # family's 11 small plans pressure skew far less than skew's 12 M
+    # cached/shuffled rows pressure the Python-worker lanes.
+    def _run_skew():
         box: dict[str, object] = {}
 
         def _skew_work() -> None:
@@ -220,7 +223,7 @@ def main() -> None:
             spark.sparkContext.cancelAllJobs()
             th.join(30)
             print(json.dumps({"metric": "bench_skew_timeout"}), file=sys.stderr)
-        skew = box.get("v")  # type: ignore[assignment]
+        return box.get("v")
 
     # Per-query watchdog: plan-build + execution run in a worker
     # thread; if it exceeds the timeout, cancel every Spark job and
@@ -328,6 +331,10 @@ def main() -> None:
         for name in CODEC_PINNED:
             if name in qs:
                 pinned_early[name] = run(name, warm=False)
+
+    skew = None
+    if os.environ.get("BENCH_SKEW", "1") != "0" and not extra:
+        skew = _run_skew()
 
     timings = {name: run(name, warmup) for name in names}
     total = round(sum(t for t in timings.values() if t is not None), 3)
