@@ -77,24 +77,50 @@ def stop_shingles(
     rows, so it broadcasts.
 
     With ``frac`` (and ``n_docs``, a 1-row ``(n_docs)`` frame), the cap
-    is RELATIVE: ``greatest(max_df, ceil(frac * n_docs))``, joined in
-    as a broadcast scalar so the plan stays lazy — no driver action.
-    A fraction cap is replication-invariant (df and corpus size scale
-    together), which is exactly what the r8 20× probe showed an
-    absolute cap is not.
+    is RELATIVE: hot iff ``df > max_df`` AND ``df > frac * n_docs``,
+    with ``n_docs`` joined in as a broadcast scalar so the plan stays
+    lazy — no driver action. A fraction cap is replication-invariant
+    (df and corpus size scale together), which is exactly what the r8
+    20× probe showed an absolute cap is not. The fraction compare is
+    EXACT-rational, not float (ADVICE r8): ``frac``'s IEEE value is an
+    exact dyadic rational num/2^k, so ``df * 2^k > num * n_docs`` in
+    DECIMAL(38,0) decides ``df/n_docs > frac`` with zero rounding —
+    replicating the corpus j-fold multiplies both sides by j and the
+    decision is IDENTICAL at every scale, including the former
+    one-unit ceil() boundary band. (Falls back to a float compare only
+    for pathological fracs whose dyadic terms overflow a long —
+    sub-normal-range values no real cap uses.)
     """
     df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     if frac is None:
         return df_tab.filter(F.col("df") > max_df).select("s")
-    cap = F.greatest(
-        F.lit(max_df).cast("long"),
-        F.ceil(F.lit(float(frac)) * F.col("n_docs")).cast("long"),
-    )
+    if n_docs is None:
+        raise ValueError("stop_shingles: frac requires n_docs (1-row scalar frame)")
+    from fractions import Fraction
+
+    fr = Fraction(float(frac))
+    if fr.numerator < 2**62 and fr.denominator < 2**62:
+        dec = "decimal(38,0)"
+        frac_cond = (
+            F.col("df").cast(dec) * F.lit(fr.denominator).cast(dec)
+            > F.lit(fr.numerator).cast(dec) * F.col("n_docs").cast(dec)
+        )
+    else:  # pragma: no cover — no realistic cap has >62-bit dyadic terms
+        frac_cond = F.col("df").cast("double") > F.lit(float(frac)) * F.col("n_docs")
     return (
         df_tab.crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") > cap)
+        .filter((F.col("df") > max_df) & frac_cond)
         .select("s")
     )
+
+
+#: Default fraction cap paired with any absolute ``max_df`` (r9, VERDICT
+#: r8 "What's wrong" #1): a shingle is only "boilerplate" if it appears
+#: in > max(max_df, 1 % of representatives). The 1 % term is what makes
+#: the DEFAULT guarded path replication-invariant — the r8 20× probe
+#: measured exact PPJoin parity with this value at the boundary where
+#: the absolute cap alone silently dropped 15.6 % of true pairs.
+DEFAULT_MAX_DF_FRAC = 0.01
 
 
 def ngram_jaccard_pairs(
@@ -131,20 +157,31 @@ def ngram_jaccard_pairs(
     MEASURED boundary (r8 20× probe): that class is NOT always
     no-signal noise — on a corpus where every doc has 20 near-dup
     replicas, short template docs' shingle df crosses an absolute
-    max_df=100 (base_df 6–14 × 20) and the guard drops true FAMILY
-    pairs (15 % of all pairs at t=0.6, including a doc vs its own
-    replica at J=0.64). An absolute df cap is a boilerplate heuristic
-    that breaks under corpus replication; when the dup factor can
-    rival max_df, use ``prefix_filter_pairs`` (theorem-complete at
-    the threshold), or set ``max_df_frac``: the cap becomes
-    ``greatest(max_df, ceil(max_df_frac * n_representatives))``, which
-    is REPLICATION-INVARIANT — replicating a corpus k× scales a family
-    shingle's df and the corpus size together, so whether base_df >
-    frac·N_base decides identically at every scale, while true
-    boilerplate (df ~ Θ(N)) stays pruned. The corpus size joins in as
-    a broadcast scalar (no driver action); the fan-out bound weakens
-    from max_df² to (frac·N)² per hot shingle — the price of
-    completeness on dup-heavy corpora, still far from unguarded.
+    max_df=100 (base_df 6–14 × 20) and a bare absolute cap drops true
+    FAMILY pairs (15 % of all pairs at t=0.6, including a doc vs its
+    own replica at J=0.64). An absolute df cap is a boilerplate
+    heuristic that breaks under corpus replication, so since r9 the
+    DEFAULT guarded path is the replication-invariant form: passing
+    ``max_df`` alone implies ``max_df_frac=DEFAULT_MAX_DF_FRAC``
+    (0.01), making a shingle hot only when its df exceeds BOTH the
+    absolute floor and 1 % of the representatives — replicating a
+    corpus k× scales a family shingle's df and the corpus size
+    together, so the hot/rare decision is IDENTICAL at every scale
+    (exact-rational compare, see ``stop_shingles``), while true
+    boilerplate (df ~ Θ(N)) stays pruned. The r8 probe measured exact
+    PPJoin parity (882 694/882 694 pairs) for this form at the very
+    boundary where the absolute cap silently under-reported. Pass
+    ``max_df_frac=0.0`` to opt back into the absolute-only cap (the
+    pre-r9 behavior — a perf knob for corpora KNOWN dup-light), or a
+    custom fraction to move the boilerplate line. The corpus size
+    joins in as a broadcast scalar (no driver action); the fan-out
+    bound weakens from max_df² to (frac·N)² per hot shingle — the
+    price of completeness on dup-heavy corpora, still far from
+    unguarded, and ``prefix_filter_pairs`` remains the
+    theorem-complete path when no heuristic line is acceptable.
+    (A family that spans MORE than frac·N of the corpus is judged
+    boilerplate by construction — at that density the guard's premise
+    "hot = no signal" is the stated contract, not a silent boundary.)
     Hot-set members are xxhash64(shingle) (8 bytes each, collision
     ~2⁻⁶⁴) so the broadcast payload stays bounded.
     **Exact-set collapse** (retrofit of x63's production step,
@@ -161,6 +198,11 @@ def ngram_jaccard_pairs(
     better measure — a page recrawled 1000x does not make its shingles
     boilerplate).
     """
+    if max_df_frac is None:
+        if max_df is not None:  # dup-safe default (r9): frac rides along
+            max_df_frac = DEFAULT_MAX_DF_FRAC
+    elif max_df_frac <= 0:  # explicit opt-out -> absolute-only cap
+        max_df_frac = None
     groups, sh = _collapsed_rep_sets(df, id_col, text_col, n)
     ex = sh.select("id", F.explode("sh").alias("s"))
     empty_hot = F.array().cast("array<bigint>")

@@ -119,19 +119,22 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets join once via a representative — x63's production
     step, retrofitted per VERDICT r7 #3), shingle-join pruning (docs
     only meet on a shared shingle), exact verification, pair expansion.
-    The stop-shingle skew guard is ON (max_df=100): shingles in >100
-    representatives never become join keys, their contribution to each
-    pair's intersection is restored exactly via the broadcast hot-set
-    — same answer as the unguarded oracle on every gate fixture,
-    without the quadratic blowup a boilerplate shingle would cause at
-    scale. Guard boundary, measured by the r8 20× probe: once the
-    corpus dup factor rivals max_df (20 replicas × base_df 6 crosses
-    100), pairs whose entire overlap is "hot" include true family
-    pairs and the guard under-reports — x63's prefix filter is the
-    dup-heavy-corpus path (complete at the threshold by theorem), or
-    pass ``max_df_frac`` to make the cap a corpus fraction
-    (replication-invariant; probe-measured exact PPJoin parity at the
-    mult=20 boundary, at a quadratic fan-out price)."""
+    The stop-shingle skew guard is ON (max_df=100), and since r9 the
+    default guard is DUP-SAFE (VERDICT r8 #1): passing max_df alone
+    implies max_df_frac=0.01, so a shingle is hot — never a join key,
+    its intersection contribution restored exactly via the broadcast
+    hot-set — only when its df exceeds BOTH 100 representatives and
+    1 % of the corpus. The 1 % term is replication-invariant (df and
+    corpus size scale together, exact-rational compare), which is
+    precisely the boundary the r8 20× probe caught the absolute cap
+    failing: 20 replicas × base_df 6 crosses 100 while staying a tiny
+    corpus fraction, and the absolute-only cap (now the opt-out,
+    ``max_df_frac=0.0``) silently dropped 15.6 % of true pairs where
+    the default form measures exact PPJoin parity. Same answer as the
+    unguarded oracle on every gate fixture, without the quadratic
+    blowup true boilerplate would cause at scale; x63's prefix filter
+    remains the theorem-complete path when no density heuristic is
+    acceptable."""
     return DD.ngram_jaccard_pairs(
         _with_recrawl(T(spark, sf_dir, "documents")),
         "doc_id",

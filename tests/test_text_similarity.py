@@ -1540,14 +1540,17 @@ def test_ngram_jaccard_collapse_semantics(spark):
 
 def test_df_guard_boundary_vs_prefix_filter(spark):
     """The df-guard's documented-and-now-MEASURED miss class (r8 20×
-    probe): when a true near-dup pair's ENTIRE overlap sits above
-    max_df — here a 7-doc template family whose 4 core shingles have
-    df 7 > cap 3 and whose only rare shingle is unique per doc — the
-    guarded join emits NOTHING while prefix filtering (theorem-complete
-    at the threshold) finds every pair, identical to the unguarded
-    join. This is the contract that tells users an absolute df cap is
-    a boilerplate heuristic, not a correctness knob, on dup-heavy
-    corpora."""
+    probe): when a true near-dup pair's ENTIRE overlap sits above the
+    hot line — here a 7-doc template family whose shared shingles span
+    ALL 7 docs (100 % of the corpus, so the 1 %-of-representatives
+    default frac judges them boilerplate too) and whose only rare
+    shingle is unique per doc — the guarded join emits NOTHING while
+    prefix filtering (theorem-complete at the threshold) finds every
+    pair, identical to the unguarded join. Since r9 this is the STATED
+    density contract of the guard (a "family" at 100 % corpus density
+    IS boilerplate by the guard's definition), no longer a silent
+    replication boundary — `test_df_guard_default_is_dup_safe` pins
+    the case the default must now get right."""
     rows = [
         (i, f"c1 c2 c3 c4 c5 c6 t{i}") for i in range(7)
     ]  # 5 shingles each: 4 shared (df=7), 1 unique; J = 4/6 per pair
@@ -1566,7 +1569,64 @@ def test_df_guard_boundary_vs_prefix_filter(spark):
     assert unguarded == complete
 
     guarded = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6, max_df=3).count()
-    assert guarded == 0  # the measured boundary: entire overlap is "hot"
+    assert guarded == 0  # entire overlap sits above BOTH cap terms
+
+
+def test_df_guard_default_is_dup_safe(spark):
+    """VERDICT r8 #2: the DEFAULT guarded call path (max_df alone, no
+    opt-in) must survive the probe-measured replication boundary. A
+    dup family whose shingle df crosses the absolute cap but stays
+    under 1 % of the corpus is NOT boilerplate: the implied
+    DEFAULT_MAX_DF_FRAC keeps its shingles joinable, so every family
+    pair is found — at base scale AND at 2× replication (the absolute
+    cap alone, max_df_frac=0.0, silently drops them at both). True
+    boilerplate (df = 100 % of docs) stays pruned throughout — the
+    plan keeps its skew valve while gaining completeness."""
+
+    def corpus(reps_per_family: int):
+        # 3 dup families × reps edited replicas, padded with enough
+        # singleton filler docs that each family is < 1 % of the
+        # corpus (the probe geometry: dup factor ≫ max_df in absolute
+        # terms, tiny as a corpus fraction). Every doc carries the 4
+        # true-boilerplate shingles (df = N); each family doc adds a
+        # family shingle (df = reps > max_df) and a unique tail.
+        fam = [
+            (i * 1000 + r, f"c1 c2 c3 c4 c5 c6 t{i} u{i}_{r}")
+            for i in range(3)
+            for r in range(reps_per_family)
+        ]
+        n_fill = 350 * reps_per_family // 2  # keeps family frac < 1 %
+        fill = [
+            (900_000 + j, f"c1 c2 c3 c4 c5 c6 f{j} g{j}") for j in range(n_fill)
+        ]
+        return spark.createDataFrame(fam + fill, ["doc_id", "text"])
+
+    for reps in (2, 4):  # 2× "replication" of the same corpus shape
+        df = corpus(reps)
+        # within a family: 5 of 7 shingles shared -> J = 5/7 >= 0.6;
+        # across families / vs filler: 4 of 8 -> J = 0.5 < 0.6
+        complete = {
+            (r["doc_a"], r["doc_b"])
+            for r in DD.prefix_filter_pairs(df, "doc_id", "text", 3, 0.6).collect()
+        }
+        assert len(complete) == 3 * reps * (reps - 1) // 2
+
+        # the DEFAULT path: absolute cap 1 < family df, frac term saves it
+        default_pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in DD.ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.6, max_df=1
+            ).collect()
+        }
+        assert default_pairs == complete, (reps, default_pairs)
+
+        # explicit opt-out reproduces the pre-r9 silent drop
+        assert (
+            DD.ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.6, max_df=1, max_df_frac=0.0
+            ).count()
+            == 0
+        )
 
 
 def test_df_guard_frac_is_replication_invariant(spark):

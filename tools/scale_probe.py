@@ -123,18 +123,22 @@ def probe_suffix(spark, sf_dir: str, mult: int, tmp: str) -> None:
 
 def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
     """x3 (df-guarded shingle join) vs x63 (PPJoin) on the SAME
-    replicated near-dup corpus. x63 is theorem-complete; x3's guard
-    misses pairs whose ENTIRE overlap sits above max_df — so the probe
-    asserts x63 ⊇-cardinality and REPORTS the miss rate rather than
-    assuming equality. Measured boundary (r8): identical multisets at
-    mult=10, but at mult=20 short template docs' shingle df crosses
-    the absolute max_df=100 cap (base_df 6–14 × 20 replicas = 120–280)
-    and x3 drops 137 523 of 882 694 true pairs — including a doc's own
-    replica at J=0.64 whose 7 shared shingles all sat at df 113–279.
-    An absolute df cap is a boilerplate heuristic that breaks under
-    corpus replication; prefix filtering does not. The guard's miss
-    class was documented from r1 — this probe turned it into a
-    measured number."""
+    replicated near-dup corpus. x63 is theorem-complete; an
+    absolute-cap guard misses pairs whose ENTIRE overlap sits above
+    max_df — so the probe asserts x63 ⊇-cardinality and REPORTS the
+    miss rate rather than assuming equality. Measured boundary (r8):
+    identical multisets at mult=10, but at mult=20 short template docs'
+    shingle df crosses the absolute max_df=100 cap (base_df 6–14 × 20
+    replicas = 120–280) and the absolute cap drops 137 523 of 882 694
+    true pairs — including a doc's own replica at J=0.64 whose 7
+    shared shingles all sat at df 113–279. An absolute df cap is a
+    boilerplate heuristic that breaks under corpus replication; prefix
+    filtering does not, and neither does the fraction cap, which r9
+    therefore made the DEFAULT (max_df alone now implies
+    max_df_frac=0.01). The probe times both postures: the `abs`
+    rows pin the opt-out (max_df_frac=0.0, the pre-r9 default) and its
+    measured miss; the `x3_ngram_jaccard` rows are the default path,
+    which must match PPJoin at the boundary."""
     from fintrack_etl_spark.operators.dedup_text import (
         ngram_jaccard_pairs,
         prefix_filter_pairs,
@@ -145,32 +149,39 @@ def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
         corpus = _land(_replicated_docs(docs, m), os.path.join(tmp, f"jdocs_{m}x"))
         n_docs = corpus.count()
         rows_x3, sec_x3 = _timed(
-            lambda: ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.6, max_df=100).count()
+            lambda: ngram_jaccard_pairs(
+                corpus, "doc_id", "text", 3, 0.6, max_df=100, max_df_frac=0.0
+            ).count()
         )
-        _emit({"probe": "x3_ngram_jaccard", "mult": m, "docs": n_docs,
+        _emit({"probe": "x3_abs_guard_optout", "mult": m, "docs": n_docs,
                "pairs": rows_x3, "sec": sec_x3})
         rows_x63, sec_x63 = _timed(
             lambda: prefix_filter_pairs(corpus, "doc_id", "text", 3, 0.6).count()
         )
         _emit({"probe": "x63_ppjoin_pairs", "mult": m, "docs": n_docs,
                "pairs": rows_x63, "sec": sec_x63,
-               "x3_guard_missed": rows_x63 - rows_x3})
+               "abs_guard_missed": rows_x63 - rows_x3})
         assert rows_x63 >= rows_x3, (
             f"PPJoin lost pairs the guarded join found at {m}x: "
             f"{rows_x63} < {rows_x3} — that direction is a BUG "
             "(prefix filtering is theorem-complete)"
         )
-        # the replication-invariant cap (greatest(100, 1% of reps)):
+        # the DEFAULT path since r9 (max_df alone -> implied frac cap):
         # at the mult=20 boundary where the absolute cap drops 15.6 %
         # of true pairs, this must emit the complete (PPJoin) multiset
-        rows_frac, sec_frac = _timed(
+        rows_def, sec_def = _timed(
             lambda: ngram_jaccard_pairs(
-                corpus, "doc_id", "text", 3, 0.6, max_df=100, max_df_frac=0.01
+                corpus, "doc_id", "text", 3, 0.6, max_df=100
             ).count()
         )
-        _emit({"probe": "x3_frac_guard", "mult": m, "docs": n_docs,
-               "pairs": rows_frac, "sec": sec_frac,
-               "missed_vs_ppjoin": rows_x63 - rows_frac})
+        _emit({"probe": "x3_ngram_jaccard", "mult": m, "docs": n_docs,
+               "pairs": rows_def, "sec": sec_def,
+               "missed_vs_ppjoin": rows_x63 - rows_def})
+        assert rows_def == rows_x63, (
+            f"default df-guard path missed pairs at {m}x: "
+            f"{rows_def} != PPJoin {rows_x63} — the r9 dup-safe "
+            "default must match the theorem-complete join here"
+        )
 
 
 def probe_incremental(spark, sf_dir: str, mult: int, tmp: str) -> None:
@@ -577,9 +588,12 @@ def main() -> int:
         if a.startswith("--mult"):
             if "=" in a:
                 mult = int(a.split("=", 1)[1])
-            else:
+            elif i + 1 < len(argv):
                 mult = int(argv[i + 1])
                 i += 1  # consume the value — it is not a family name
+            else:
+                print("usage: scale_probe.py [family ...] --mult N", file=sys.stderr)
+                return 2
         elif not a.startswith("--"):
             args.append(a)
         i += 1
