@@ -157,88 +157,99 @@ _JUDGE_VERIFIED = frozenset({
 
 
 # Entries needing a FRESH driver row this round even though they hold
-# green rows — round 8: the two code-touch confirmations. Values are
-# expected IDENTICAL; the fresh row is the evidence. (a) x3 gains the
-# x63 exact-set collapse (VERDICT r7 #3 — output contract unchanged:
-# row-identical to the unfiltered oracle); (b) x87's micro-unit sum
-# moved to a DECIMAL(38,0) accumulator (ADVICE r7 — emitted BIGINT
-# values unchanged, engine-side plan touched).
+# green rows — round 9: the four code-touch confirmations. Values are
+# expected IDENTICAL; the fresh row is the evidence. (a/b) x3 and x16
+# run the new DUP-SAFE default df guard (max_df alone now implies
+# max_df_frac=0.01, VERDICT r8 #2 — the implied cap is 1 % of reps <
+# the absolute 100 at gate scale, so emitted values are unchanged
+# while the plan gains the broadcast n_reps scalar); (c) x80's
+# per-round rank sort now scales its range-partition count with the
+# position count (VERDICT r8 #4 — partition-count invariance of the
+# values was proven by the r8 1..32-partition sweeps); (d) x21
+# re-confirms the IVF-PQ family after the kclusters default moved to
+# auto-√N (VERDICT r8 #5 — the registry entry pins kclusters=8
+# explicitly, plan-identical; the fresh row is the requested
+# evidence).
 _RECHECK = frozenset({
     "x3_ngram_jaccard",
-    "x87_hopping_window",
+    "x16_dedup_clusters",
+    "x80_suffix_ranks",
+    "x21_knn_ivfpq",
 })
 
 
-# R9 PRE-STAGE: once CORRECTNESS_r08 lands, recompute staleness as
-# "newest round with a row per entry" across CORRECTNESS_r01..r08 and
-# rotate the oldest ~50 into _WINDOW_FIRST (the r3-era tail that did
-# not fit r8's window — x35/x36/x37/x40..x50/ext_source_overlap/
-# ext_corpus_diff/ext_mixture_waterfill class — then the oldest r4
-# rows). No r8 code change altered emitted values (the max_df_frac
-# lever is opt-in; x3's default path is plan-identical), so no forced
-# _RECHECK carries over.
+# R10 PRE-STAGE: once CORRECTNESS_r09 lands, the staleness floor is r4
+# — recompute "newest round with a row per entry" across r1..r09 and
+# rotate the REMAINING 10 r4-stale entries (registry order after
+# ext_incremental_quantiles: ext_regression_slope, ext_decile_stats,
+# x13_knn_ivf, x22_media_metadata, x29_quantize_embeddings,
+# x52_png_roundtrip, x53_bpe_encode, x54_training_shuffle,
+# p9_cid_pdf_roundtrip, p10_encrypted_pdf_roundtrip) plus the oldest
+# r5 rows into _WINDOW_FIRST, code-touched entries first as always.
 #
-# ROUND-8 ROTATION (VERDICT r7 "Next round" #2): all 232 entries are
-# cumulatively driver-green, so the 50-slot window spends entirely on
-# STALENESS — the code-touch confirmations first, then every entry
-# whose newest driver row is r1/r2 (25 of them: they predate the r6
-# float-determinism sweep AND the r7 dtype-faithful replica), then the
-# oldest r3 rows in registry order (23 of 43 fit; the rest rotate in
-# r9). Target: CORRECTNESS_r08 50/50 green, 232/232 cumulative holds.
+# ROUND-9 ROTATION (VERDICT r8 "Next round" #1): all 232 entries are
+# cumulatively driver-green; the 50-slot window = 4 code-touch
+# confirmations + ALL 20 entries whose newest driver row is r3 (they
+# predate BOTH the r6 float sweep and the r7 dtype-faithful replica;
+# p8_real_pdf_roundtrip's runtime path changed twice since its only
+# row — the highest single staleness risk in the repo) + the first 26
+# r4-stale entries in registry order. Target: CORRECTNESS_r09 50/50
+# green, staleness floor rises to r4, 232/232 cumulative holds.
 _WINDOW_FIRST = (
-    # r8 code-touch confirmations (x3 collapse retrofit; x87 DECIMAL sum)
+    # r9 code-touch confirmations (dup-safe df guard; suffix sort
+    # partition scaling; auto-kclusters family evidence)
     "x3_ngram_jaccard",
-    "x87_hopping_window",
-    # newest driver row is r1/r2 (25 entries)
-    "d2_replace_by_key",
-    "d4_incremental_watermark",
-    "ext_alter_table_evolution",
-    "ext_asof_join",
-    "ext_count_distinct",
-    "ext_exists_subquery",
-    "ext_grouping_sets",
-    "ext_having_join_q18",
-    "ext_json_extract",
-    "ext_range_frame",
-    "ext_range_join",
-    "ext_rank_family",
-    "ext_scalar_subquery",
-    "ext_schema_evolution",
-    "ext_sessionize",
-    "ext_time_bucket_rollup",
-    "ext_tumbling_window",
-    "ext_unpivot",
-    "f11_normalize_cpf",
-    "f12_categorize",
-    "f18_brl_format",
-    "f1_brl_roundtrip",
-    "f4_slugify",
-    "f7_multi_format_dates",
-    "o2_filtered_topn",
-    # newest driver row is r3 — first 23 in registry order
-    "ext_interval_join",
-    "ext_running_totals_state",
-    "ext_versioned_merge",
-    "ext_table_changes",
-    "ext_ewma",
-    "ext_scd2_build",
-    "ext_cdc_apply",
-    "ext_pit_join",
-    "ext_entity_resolution",
-    "ext_cusum_changepoint",
-    "ext_incremental_cusum",
-    "ext_time_travel_read",
-    "x51_countmin_sketch",
+    "x16_dedup_clusters",
+    "x80_suffix_ranks",
     "x21_knn_ivfpq",
-    "x5b_simhash_planted_dups",
-    "x23_decontaminate",
-    "ext_token_budget_sample",
-    "ext_pack_documents",
-    "x24_tfidf_topk",
-    "x25_pii_redaction",
-    "x26_unigram_lm_score",
-    "x27_chunk_documents",
-    "x31_semdedup",
+    # newest driver row is r3 — all 20, registry order
+    "ext_source_overlap",
+    "x35_curation_pipeline",
+    "x36_file_stats",
+    "x37_contrastive_pairs",
+    "ext_audience_overlap",
+    "x40_line_dedup",
+    "x41_copurchase_pairs",
+    "x42_pagerank",
+    "x43_canonical_pick",
+    "x44_span_coverage",
+    "x45_image_phash_dedup",
+    "x46_bpe_merges",
+    "x47_leakage_safe_split",
+    "ext_pps_token_sample",
+    "x48_corpus_datasheet",
+    "x49_audio_segments",
+    "x50_feature_hash",
+    "ext_corpus_diff",
+    "ext_mixture_waterfill",
+    "p8_real_pdf_roundtrip",
+    # newest driver row is r4 — first 26 in registry order
+    "ext_histogram",
+    "ext_outlier_zscore",
+    "ext_fuzzy_join",
+    "ext_string_agg",
+    "ext_skew_profile",
+    "ext_left_join_count_q13",
+    "ext_or_predicate_q19",
+    "ext_not_exists_q22",
+    "ext_event_funnel",
+    "ext_important_stock_q11",
+    "ext_late_shipment_q12",
+    "ext_supplier_count_q16",
+    "ext_excess_inventory_q20",
+    "ext_waiting_supplier_q21",
+    "ext_order_priority_q4",
+    "ext_revenue_q6",
+    "ext_event_transitions",
+    "ext_exact_k_sample",
+    "ext_attribution",
+    "ext_rolling_wau",
+    "ext_anomaly_mad",
+    "x38_triangle_count",
+    "ext_session_paths",
+    "ext_time_to_convert",
+    "ext_incremental_join_view",
+    "ext_incremental_quantiles",
 )
 
 

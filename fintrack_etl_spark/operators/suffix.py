@@ -27,8 +27,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Target rows per range partition for the per-round rank sort. The
+#: rank-pair rows are narrow (4 longs, ~50 B unsafe-row), so 500 k rows
+#: is ~25 MB of sort input per task — far under any sane per-task
+#: memory, i.e. the sorts stay IN-MEMORY as positions grow instead of
+#: spilling once n/32 partitions outgrows the task sort buffer (the r8
+#: 20× probe measured exactly that creep: 3.6 → 5.0 µs/position at
+#: 30 M positions on the FIXED default partition count). Scaling the
+#: partition count with the data is the Terasort contract — on a
+#: 1000-executor cluster the same formula spreads the sort instead of
+#: deepening per-task spill.
+_RANK_ROWS_PER_PARTITION = 500_000
+
+
+def _rank_partitions(df: DataFrame, nrows: int | None) -> int | None:
+    """Range-partition count for ``nrows`` sort rows: the session's
+    shuffle-partition default as the floor (never fewer tasks than the
+    configured parallelism), growing as ceil(nrows / 500k) beyond it.
+    None (unknown row count) keeps the session default."""
+    if nrows is None:
+        return None
+    floor = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(floor, -(-nrows // _RANK_ROWS_PER_PARTITION))
+
+
 def _distributed_dense_rank(
-    df: DataFrame, cols: list[str]
+    df: DataFrame, cols: list[str], nrows: int | None = None
 ) -> tuple[DataFrame, int, int, DataFrame]:
     """Append ``r``: the GLOBAL dense rank of ``cols`` (1-based),
     computed without a single-partition window: range-partition on the
@@ -38,12 +62,24 @@ def _distributed_dense_rank(
     (ranked, n_distinct, n_rows, part) — the caller's convergence
     probe is free because the offsets collect already carries both
     counts, and ``part`` is the checkpointed-block handle the caller
-    unpersists once the NEXT round is materialized."""
+    unpersists once the NEXT round is materialized. ``nrows`` (the
+    caller's known row count — free, it rode the PREVIOUS round's
+    offsets collect) sizes the range partitioning via
+    :func:`_rank_partitions` so per-task sort input stays bounded at
+    any position count (VERDICT r8 #4)."""
+    key_cols = [F.col(c) for c in cols]
+    n_part = _rank_partitions(df, nrows)
     part = (
-        df.repartitionByRange(*[F.col(c) for c in cols])
-        .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
+        df.repartitionByRange(n_part, *key_cols)
+        if n_part is not None
+        else df.repartitionByRange(*key_cols)
     )
+    # No sortWithinPartitions here: the dense-rank window below re-sorts
+    # after its own clustering exchange anyway, so a pre-sort would be a
+    # second full tungsten sort per round whose order nothing consumes —
+    # partition MEMBERSHIP (what the offsets collect counts) is fixed by
+    # the range boundaries alone.
+    part = part.withColumn("_pid", F.spark_partition_id())
     # localCheckpoint: the offsets collect and the ranked output must
     # see the SAME partitioning; recomputation could re-sample range
     # boundaries and skew the offsets. LAZY (eager=False): the offsets
@@ -67,8 +103,19 @@ def _distributed_dense_rank(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
+    # The window clusters on _pid with its own hash exchange, and THAT
+    # sort is where the r8 20× probe measured the spill: the exchange
+    # would default to spark.sql.shuffle.partitions buckets no matter
+    # how wide the range sort above was, putting nrows/32 (plus pid
+    # hash-collision stacking) rows into one task's sorter. Explicitly
+    # repartitioning on _pid at 4× the scaled count FEEDS the window
+    # (hash on the partition key satisfies its clustering requirement —
+    # no second exchange appears), so per-task sort input stays
+    # ~_RANK_ROWS_PER_PARTITION-bounded at any position count; the 4×
+    # headroom absorbs collision stacking and AQE coalesces the empties.
+    src = part if n_part is None else part.repartition(4 * n_part, "_pid")
     ranked = (
-        part.withColumn("_lr", F.dense_rank().over(w))
+        src.withColumn("_lr", F.dense_rank().over(w))
         .withColumn("r", (F.col("_lr") + off[F.col("_pid")]).cast("long"))
         .drop("_pid", "_lr")
     )
@@ -126,7 +173,55 @@ def suffix_ranks(
         F.col(id_col).alias("id"),
         F.posexplode(grams).alias("p", "ch"),
     )
-    r0, nd, nrows, prev_part = _distributed_dense_rank(pos, ["ch"])
+    # position count BEFORE round 0 (one narrow column aggregate — a
+    # rounding error next to the log(bound) full-data sort rounds it
+    # sizes): every round's sort gets a partition count matched to the
+    # data, round 0 included
+    import time as _time
+
+    from .memo import unpersist_checkpointed
+
+    n_positions = df.select(
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("n")
+    ).first()["n"]
+    # (Measured dead end, r9: lazily checkpointing the round INPUTS so
+    # the range-sampling pass materializes them once looked attractive
+    # — sampling re-executes the child's final stage — but at 20× it
+    # was ~1.6× SLOWER than re-execution: 30 M-row block writes+reads
+    # per round cost more than recomputing the final stage against the
+    # REUSED shuffle files. Shuffle-stage reuse already bounds the
+    # double-execution to one map-local stage.)
+    #
+    # ROUND 0 IS A DICTIONARY RANK, not a data-sized sort (r9, VERDICT
+    # r8 #4): its key is the leading ``init_w``-char block, whose
+    # cardinality is vocabulary-bounded (alphabet^4 worst case; ~10^5
+    # measured on the probe corpora) — orders of magnitude below the
+    # position count. Dense rank by definition depends only on the
+    # DISTINCT key set, so rank the distinct blocks (tiny — the
+    # existing distributed rank machinery over ~MBs) and broadcast-join
+    # the dictionary back onto the positions: the 30 M-row range
+    # shuffle, per-task sort, and checkpoint that made round 0 ~45 % of
+    # the 20× wall all disappear; the positions meet their rank in a
+    # map-only broadcast join. Falls back to the full range rank when
+    # the vocabulary is NOT small (degenerate corpora): the dictionary
+    # must stay broadcastable and the compression must be real.
+    _t0 = _time.time()
+    dk = pos.select("ch").distinct()
+    nd0 = dk.count()
+    if 0 < nd0 <= 2_000_000 and nd0 * 8 <= (n_positions or 0):
+        rdk, _, _, prev_part = _distributed_dense_rank(dk, ["ch"], nrows=nd0)
+        r0 = pos.join(F.broadcast(rdk.select("ch", "r")), "ch")
+        nd, nrows = nd0, int(n_positions)
+    else:
+        r0, nd, nrows, prev_part = _distributed_dense_rank(
+            pos, ["ch"], nrows=n_positions
+        )
+    if stats is not None:
+        # per-round materialization wall (each round's offsets collect
+        # is the synchronous action that runs that round's shuffles) —
+        # scale-probe diagnostics; the LAST round's window executes in
+        # the caller's action and is not in this list
+        stats["round_secs"] = [round(_time.time() - _t0, 2)]
     ranked = r0.select(
         "id", F.col("p").cast("long").alias("p"), F.col("r").alias("rank")
     )
@@ -150,15 +245,18 @@ def suffix_ranks(
         paired = ranked.withColumn(
             "nrk", F.coalesce(F.lead("rank", k).over(wdoc), F.lit(0))
         )
-        rk, nd, nrows, new_part = _distributed_dense_rank(paired, ["rank", "nrk"])
+        _t0 = _time.time()
+        rk, nd, nrows, new_part = _distributed_dense_rank(
+            paired, ["rank", "nrk"], nrows=nrows
+        )
+        if stats is not None:
+            stats["round_secs"].append(round(_time.time() - _t0, 2))
         # the new round's offsets collect just materialized new_part's
         # blocks, which embed everything they need from the previous
         # round — the previous round's checkpoint blocks are dead
         # weight from here on (before this, ALL rounds' position
         # tables stayed resident for the session: ~4 × corpus chars of
         # block-manager pressure on every downstream query)
-        from .memo import unpersist_checkpointed
-
         unpersist_checkpointed(prev_part)
         prev_part = new_part
         ranked = rk.select("id", "p", F.col("r").alias("rank"))
