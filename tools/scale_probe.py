@@ -133,12 +133,14 @@ def probe_jaccard(spark, sf_dir: str, mult: int, tmp: str) -> None:
     true pairs — including a doc's own replica at J=0.64 whose 7
     shared shingles all sat at df 113–279. An absolute df cap is a
     boilerplate heuristic that breaks under corpus replication; prefix
-    filtering does not, and neither does the fraction cap, which r9
-    therefore made the DEFAULT (max_df alone now implies
-    max_df_frac=0.01). The probe times both postures: the `abs`
-    rows pin the opt-out (max_df_frac=0.0, the pre-r9 default) and its
-    measured miss; the `x3_ngram_jaccard` rows are the default path,
-    which must match PPJoin at the boundary."""
+    filtering does not, so since r9 the DEFAULT guarded path profiles
+    the df distribution and AUTO-ROUTES to the prefix-filter join when
+    the dup band (max_df, 0.01·N] is occupied (widening the guard
+    instead was measured 8× dearer: 189.7 s vs 22.7 s for the same
+    882 694-pair output at mult=20). The probe times both postures:
+    the `abs` rows pin the opt-out (max_df_frac=0.0, the pre-r9
+    default) and its measured miss; the `x3_ngram_jaccard` rows are
+    the default path, which must match PPJoin at the boundary."""
     from fintrack_etl_spark.operators.dedup_text import (
         ngram_jaccard_pairs,
         prefix_filter_pairs,
