@@ -588,3 +588,35 @@ def test_temperature_mixture_is_metadata_sized(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     rs = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "source" in rs and "text" not in rs, rs  # column-pruned scan
+
+
+def test_suffix_rank_window_sort_is_bounded(spark):
+    """The r9 spill bound for suffix_ranks' dense-rank window: its
+    clustering exchange must be the EXPLICIT scaled repartition on
+    _pid (4x the range-partition count), not the session-default
+    shuffle width — hash-on-_pid satisfies the window's requirement,
+    so exactly one hashpartitioning on _pid appears and it carries the
+    scaled count. A repeated-text corpus keeps the doubling rounds
+    alive so the returned plan is a window round, not the round-0
+    dictionary join."""
+    from fintrack_etl_spark.operators.suffix import (
+        _rank_partitions,
+        suffix_ranks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "ab racada bra " * 8) for i in range(40)], ["doc_id", "text"]
+    )
+    out = suffix_ranks(docs, "doc_id", "text", bound=8)
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = 4 * _rank_partitions(out, 1)  # tiny corpus -> floor partitions
+    assert want == 4 * floor
+    plan = _phys(out)
+    lines = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(_pid" in ln and "Exchange" in ln
+    ]
+    assert lines and all(f", {want})" in ln or f" {want})" in ln for ln in lines), (
+        want,
+        lines or plan[:2000],
+    )

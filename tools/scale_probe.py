@@ -356,6 +356,10 @@ def probe_ann(spark, sf_dir: str, mult: int, tmp: str) -> None:
             ("x18_ivf_kmeans", lambda: ivf_topk_kmeans(queries, corpus, k=10, kclusters=8, nprobe=2)),
             ("x20_pq", lambda: pq_topk(queries, corpus, k=10, m=8, ksub=16, shortlist=50)),
             ("x21_ivfpq", lambda: ivfpq_topk(queries, corpus, k=10, kclusters=8, nprobe=2, m=8, ksub=16, shortlist=50)),
+            # the r9 DEFAULT posture: kclusters unset -> auto max(8, ceil(sqrt N));
+            # pins that the shipped default keeps the self-recall contract
+            # while the probed fraction shrinks as nprobe/sqrt(N)
+            ("x18_ivf_auto_k", lambda: ivf_topk_kmeans(queries, corpus, k=10, nprobe=2)),
         ):
             def _run(f=fn):
                 top1 = f().filter(F.col("rnk") == 1)
