@@ -309,6 +309,12 @@ def sorted_neighborhood_pairs(
     ranged = keyed.repartitionByRange(parts, "_key", "_id").withColumn(
         "_pid", F.spark_partition_id()
     )
+    # explicit hash repartition on _pid so the rank window's per-task
+    # sort stays caller-bounded rather than hashing `parts` pids into
+    # the session-default shuffle width — see
+    # packing.pack_documents_by_tokens (the x80/r9 window-exchange
+    # lesson)
+    ranged = ranged.repartition(parts, "_pid")
     w = Window.partitionBy("_pid").orderBy("_key", "_id")
     # localCheckpoint pins one materialization: repartitionByRange
     # samples boundaries per execution, so without the pin the count

@@ -44,6 +44,15 @@ def pack_documents_by_tokens(
     ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Bound the local-cumsum window's sort (the x80/r9 lesson): the
+    # window's own clustering exchange would hash the `parts` pids into
+    # spark.sql.shuffle.partitions buckets — per-task sort input then
+    # grows as nrows/32 no matter what `parts` the caller sized for the
+    # data. Feeding the window an explicit hash repartition on _pid (at
+    # `parts` width; hash-on-key satisfies the clustering requirement,
+    # so no second exchange appears) keeps per-task input at one range
+    # partition's worth, i.e. caller-bounded at any corpus size.
+    ranged = ranged.repartition(parts, "_pid")
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

@@ -223,6 +223,10 @@ def pps_systematic_sample(
     ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # explicit hash repartition on _pid so the cumsum window's per-task
+    # sort stays caller-bounded — see packing.pack_documents_by_tokens
+    # (the x80/r9 window-exchange lesson)
+    ranged = ranged.repartition(parts, "_pid")
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
