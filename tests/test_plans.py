@@ -620,3 +620,34 @@ def test_suffix_rank_window_sort_is_bounded(spark):
         want,
         lines or plan[:2000],
     )
+
+
+def test_prefix_sum_window_sorts_are_bounded(spark):
+    """The packing / PPS-sampling / sorted-neighborhood prefix sums
+    share suffix_ranks' two-phase shape, so they get the same r9 spill
+    bound: the local-cumsum/rank window must consume an EXPLICIT
+    hashpartitioning(_pid, parts) — the caller's data-sized partition
+    count — not the session-default shuffle width."""
+    from fintrack_etl_spark.operators.packing import pack_documents_by_tokens
+    from fintrack_etl_spark.operators.sampling import pps_systematic_sample
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(300)], ["doc_id", "n_tokens"]
+    )
+    # The cumsum window sits INSIDE each operator's localCheckpoint, so
+    # the output plan shows only the LogicalRDD scan — but the
+    # checkpoint inherits the window's output partitioning, so the
+    # observable partition count IS the canary: 6 (the caller's
+    # explicit hash-on-_pid width the window consumed) rather than the
+    # session shuffle default the window's own exchange would have
+    # used. (sorted_neighborhood_pairs shares the same code shape but
+    # re-shuffles for its bucket join, so its count is not observable
+    # from the output — the shared pattern is pinned here.)
+    sess_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert sess_default != 6  # the canary must be able to tell them apart
+    for out in (
+        pack_documents_by_tokens(docs, 64, num_partitions=6),
+        pps_systematic_sample(docs, "doc_id", "n_tokens", 10, num_partitions=6),
+    ):
+        assert "Scan ExistingRDD" in _phys(out)  # window behind checkpoint
+        assert out.rdd.getNumPartitions() == 6, out.rdd.getNumPartitions()
