@@ -175,26 +175,32 @@ _RECHECK = frozenset({
     "x16_dedup_clusters",
     "x80_suffix_ranks",
     "x21_knn_ivfpq",
+    # (e) x54's within-shard position moved from a plain per-shard
+    # window (corpus/16 rows in one task's sorter) to the two-phase
+    # grouped_global_rank — values identical (same total order), plan
+    # changed, so it takes a recheck slot; it was r4-stale anyway.
+    "x54_training_shuffle",
 })
 
 
-# R10 PRE-STAGE: once CORRECTNESS_r09 lands, the staleness floor is r4
-# — recompute "newest round with a row per entry" across r1..r09 and
-# rotate the REMAINING 10 r4-stale entries (registry order after
-# ext_incremental_quantiles: ext_regression_slope, ext_decile_stats,
-# x13_knn_ivf, x22_media_metadata, x29_quantize_embeddings,
-# x52_png_roundtrip, x53_bpe_encode, x54_training_shuffle,
-# p9_cid_pdf_roundtrip, p10_encrypted_pdf_roundtrip) plus the oldest
-# r5 rows into _WINDOW_FIRST, code-touched entries first as always.
+# R10 PRE-STAGE: once CORRECTNESS_r09 lands, recompute "newest round
+# with a row per entry" across r1..r09 and rotate the REMAINING 10
+# r4-stale entries (registry order: ext_incremental_quantiles,
+# ext_regression_slope, ext_decile_stats, x13_knn_ivf,
+# x22_media_metadata, x29_quantize_embeddings, x52_png_roundtrip,
+# x53_bpe_encode, p9_cid_pdf_roundtrip, p10_encrypted_pdf_roundtrip —
+# x54 got its fresh row in the r9 window after the grouped-rank
+# rewire) plus the oldest r5 rows into _WINDOW_FIRST, code-touched
+# entries first as always.
 #
 # ROUND-9 ROTATION (VERDICT r8 "Next round" #1): all 232 entries are
-# cumulatively driver-green; the 50-slot window = 4 code-touch
+# cumulatively driver-green; the 50-slot window = 5 code-touch
 # confirmations + ALL 20 entries whose newest driver row is r3 (they
 # predate BOTH the r6 float sweep and the r7 dtype-faithful replica;
 # p8_real_pdf_roundtrip's runtime path changed twice since its only
-# row — the highest single staleness risk in the repo) + the first 26
+# row — the highest single staleness risk in the repo) + the first 25
 # r4-stale entries in registry order. Target: CORRECTNESS_r09 50/50
-# green, staleness floor rises to r4, 232/232 cumulative holds.
+# green, staleness floor rises toward r4, 232/232 cumulative holds.
 _WINDOW_FIRST = (
     # r9 code-touch confirmations (dup-safe df guard; suffix sort
     # partition scaling; auto-kclusters family evidence)
@@ -202,6 +208,7 @@ _WINDOW_FIRST = (
     "x16_dedup_clusters",
     "x80_suffix_ranks",
     "x21_knn_ivfpq",
+    "x54_training_shuffle",
     # newest driver row is r3 — all 20, registry order
     "ext_source_overlap",
     "x35_curation_pipeline",
@@ -249,7 +256,6 @@ _WINDOW_FIRST = (
     "ext_session_paths",
     "ext_time_to_convert",
     "ext_incremental_join_view",
-    "ext_incremental_quantiles",
 )
 
 

@@ -277,3 +277,69 @@ def bitemporal_state(
             F.col(valid_col).alias("state_since"),
         )
     )
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY order)`` with a
+    BOUNDED per-task sort — for LOW-CARDINALITY groups over data-sized
+    rows, where the plain window puts an entire group (corpus/#groups
+    rows) into one task's sorter (r9: x54's 16 trainer shards were the
+    last instance of the class in the repo).
+
+    Two-phase, the packing/suffix prefix-sum discipline: range-
+    partition on (group, order) — a group spans a CONTIGUOUS run of
+    partitions, and within a group the partition order IS the row
+    order — rank locally per (partition, group), then add per-(group,
+    partition) prefix counts collected as O(#groups · #partitions)
+    metadata. The local window consumes an explicit hash repartition
+    on ``_pid`` (clustering satisfied, no session-default exchange —
+    the r9 window-exchange lesson), so per-task sort input is one
+    range partition at any corpus size. ``order_cols`` must be a total
+    order within each group for deterministic output (callers append a
+    unique id, as every oracle-gated query here does).
+    """
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    all_cols = [*group_cols, *order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *[F.col(c) for c in all_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .repartition(parts, "_pid")
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    # lazy checkpoint: the counts collect below materializes the blocks
+    # in the same pass AND pins the sampled range boundaries, so the
+    # offsets and the final rows see the same _pid layout
+    local = ranged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    counts = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not counts:  # empty input: nothing to offset (and nothing to infer)
+        return local.withColumn(rank_col, F.col("_lrn").cast("long")).drop(
+            "_pid", "_lrn"
+        )
+    offsets: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for r in sorted(counts, key=lambda r: (tuple(r[g] for g in group_cols), r["_pid"])):
+        g = tuple(r[g2] for g2 in group_cols)
+        offsets[(r["_pid"], *g)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + r["_n"]
+    off_df = spark.createDataFrame(
+        [(pid, *rest, off) for (pid, *rest), off in offsets.items()],
+        ["_pid", *group_cols, "_offset"],
+    )
+    return (
+        local.join(F.broadcast(off_df), ["_pid", *group_cols])
+        .withColumn(rank_col, (F.col("_lrn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_lrn", "_offset")
+    )

@@ -4097,10 +4097,16 @@ def x54_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch) and a shard via a hash bucket of the same key. Scale shape:
     shard assignment is a pure map (no global sort — each of the 16
     shards is a uniform random 1/16 sample by construction), and the
-    within-shard position is a window partitioned BY SHARD, so no
-    single-partition window exists anywhere; writers then emit one
-    file per shard in pos order. md5 is bit-identical across engines,
-    so the oracle value-checks the entire permutation."""
+    within-shard position is the two-phase
+    ``windows.grouped_global_rank`` (r9): a plain window partitioned
+    BY SHARD would sort corpus/16 rows in ONE task — the last instance
+    of the unbounded-window-sort class this round swept — whereas the
+    two-phase rank bounds every task's sort at one range partition and
+    collects only #shards × #partitions count rows. Writers then emit
+    one file per shard in pos order. md5 is bit-identical across
+    engines, so the oracle value-checks the entire permutation."""
+    from .operators.windows import grouped_global_rank
+
     docs = T(spark, sf_dir, "documents")
     sk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ep1")))
     keyed = docs.select(
@@ -4112,12 +4118,13 @@ def x54_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(md5(concat(cast(doc_id as string), ':ep1')), 1, 1)) - 1"
         ).cast("int").alias("shard"),
     )
-    w = Window.partitionBy("shard").orderBy("sk", "doc_id")
-    return keyed.select(
+    return grouped_global_rank(
+        keyed, ["shard"], ["sk", "doc_id"], rank_col="pos"
+    ).select(
         "doc_id",
         "source",
         "shard",
-        F.row_number().over(w).cast("long").alias("pos"),
+        "pos",
     )
 
 
