@@ -175,30 +175,35 @@ _RECHECK = frozenset({
     "x16_dedup_clusters",
     "x80_suffix_ranks",
     "x21_knn_ivfpq",
-    # (e) x54's within-shard position moved from a plain per-shard
-    # window (corpus/16 rows in one task's sorter) to the two-phase
-    # grouped_global_rank — values identical (same total order), plan
-    # changed, so it takes a recheck slot; it was r4-stale anyway.
+    # (e/f) x54's within-shard position and x77's per-lang tercile
+    # split moved from plain low-cardinality-key windows (corpus/16
+    # resp. corpus/|langs| rows in one task's sorter) to the two-phase
+    # grouped_global_rank (x77 adds the SQL-standard ntile formula on
+    # the rank + broadcast per-lang count) — values identical (same
+    # total order / same tile boundaries), plans changed, so each
+    # takes a recheck slot; x54 was r4-stale anyway.
     "x54_training_shuffle",
+    "x77_ccnet_buckets",
 })
 
 
 # R10 PRE-STAGE: once CORRECTNESS_r09 lands, recompute "newest round
 # with a row per entry" across r1..r09 and rotate the REMAINING 10
-# r4-stale entries (registry order: ext_incremental_quantiles,
-# ext_regression_slope, ext_decile_stats, x13_knn_ivf,
-# x22_media_metadata, x29_quantize_embeddings, x52_png_roundtrip,
-# x53_bpe_encode, p9_cid_pdf_roundtrip, p10_encrypted_pdf_roundtrip —
-# x54 got its fresh row in the r9 window after the grouped-rank
-# rewire) plus the oldest r5 rows into _WINDOW_FIRST, code-touched
-# entries first as always.
+# r4-stale entries (registry order: ext_incremental_join_view,
+# ext_incremental_quantiles, ext_regression_slope, ext_decile_stats,
+# x13_knn_ivf, x22_media_metadata, x29_quantize_embeddings,
+# x52_png_roundtrip, x53_bpe_encode, p9_cid_pdf_roundtrip,
+# p10_encrypted_pdf_roundtrip — 11 with the two displaced by the
+# r9 code-touch swaps; x54 got its fresh row in the r9 window after
+# the grouped-rank rewire) plus the oldest r5 rows into
+# _WINDOW_FIRST, code-touched entries first as always.
 #
 # ROUND-9 ROTATION (VERDICT r8 "Next round" #1): all 232 entries are
-# cumulatively driver-green; the 50-slot window = 5 code-touch
+# cumulatively driver-green; the 50-slot window = 6 code-touch
 # confirmations + ALL 20 entries whose newest driver row is r3 (they
 # predate BOTH the r6 float sweep and the r7 dtype-faithful replica;
 # p8_real_pdf_roundtrip's runtime path changed twice since its only
-# row — the highest single staleness risk in the repo) + the first 25
+# row — the highest single staleness risk in the repo) + the first 24
 # r4-stale entries in registry order. Target: CORRECTNESS_r09 50/50
 # green, staleness floor rises toward r4, 232/232 cumulative holds.
 _WINDOW_FIRST = (
@@ -209,6 +214,7 @@ _WINDOW_FIRST = (
     "x80_suffix_ranks",
     "x21_knn_ivfpq",
     "x54_training_shuffle",
+    "x77_ccnet_buckets",
     # newest driver row is r3 — all 20, registry order
     "ext_source_overlap",
     "x35_curation_pipeline",
@@ -255,7 +261,6 @@ _WINDOW_FIRST = (
     "x38_triangle_count",
     "ext_session_paths",
     "ext_time_to_convert",
-    "ext_incremental_join_view",
 )
 
 

@@ -302,17 +302,23 @@ def grouped_global_rank(
     the r9 window-exchange lesson), so per-task sort input is one
     range partition at any corpus size. ``order_cols`` must be a total
     order within each group for deterministic output (callers append a
-    unique id, as every oracle-gated query here does).
+    unique id, as every oracle-gated query here does); entries may be
+    column names (ascending) or Column sort expressions (e.g.
+    ``F.col("score").desc()``) — range partitioning honours the same
+    directions, so group contiguity and in-group partition order hold
+    for any mix.
     """
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    all_cols = [*group_cols, *order_cols]
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
-        df.repartitionByRange(parts, *[F.col(c) for c in all_cols])
+        df.repartitionByRange(
+            parts, *[F.col(c) for c in group_cols], *order_exprs
+        )
         .withColumn("_pid", F.spark_partition_id())
         .repartition(parts, "_pid")
     )
-    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
     # lazy checkpoint: the counts collect below materializes the blocks
     # in the same pass AND pins the sampled range boundaries, so the
     # offsets and the final rows see the same _pid layout

@@ -5475,10 +5475,19 @@ def x77_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     language rather than applying one global threshold (which would
     starve low-resource languages). Plan: one |vocab| shuffle to build
     the LM (broadcast back), one per-doc rollup, one doc-level join
-    for lang, one |docs|-row window per lang — the corpus streams
-    once; the window runs over doc-level rows, never tokens.
+    for lang — the corpus streams once, and the tercile split runs on
+    doc-level rows, never tokens. The split itself is the two-phase
+    ``windows.grouped_global_rank`` (r9): a plain per-lang ntile
+    window sorts corpus/|langs| rows in ONE task — with a handful of
+    languages over a 100 TB corpus that is a single-task multi-TB
+    sort — whereas the bounded rank plus the standard ntile formula
+    (first cnt%n buckets get cnt div n + 1 rows; bucket derived from
+    the global rank and the broadcast per-lang count) is the same
+    value with every task's sort capped at one range partition.
     Reference analog: none (engine extension; composes with x30's
     heuristic gate and x70's DSIR as the curation family)."""
+    from .operators.windows import grouped_global_rank
+
     docs = T(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
@@ -5489,12 +5498,27 @@ def x77_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("CAST(1000000 * sum(c) DIV count(*) AS BIGINT)").alias("score_micro"))
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("score_micro").desc(), F.col("doc_id").asc()
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    ranked = grouped_global_rank(
+        joined,
+        ["lang"],
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        rank_col="_rn",
     )
+    cnt = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("_cnt"))
+    # ntile(n) from (rank, group count), SQL-standard distribution:
+    # q = cnt div n, r = cnt mod n; the first r buckets carry q+1 rows.
+    # The ELSE's div-by-q is unreachable when q = 0 (then r = cnt and
+    # every rn <= r*(q+1)); CASE evaluates lazily per row.
+    bucket = F.expr(
+        "CASE WHEN _rn <= (_cnt % 3) * (div(_cnt, 3) + 1) "
+        "THEN div(_rn + div(_cnt, 3), div(_cnt, 3) + 1) "
+        "ELSE (_cnt % 3) + div(_rn - (_cnt % 3) * (div(_cnt, 3) + 1) "
+        "+ div(_cnt, 3) - 1, div(_cnt, 3)) END"
+    ).cast("int")
     return (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .withColumn("bucket", F.ntile(3).over(w).cast("int"))
+        ranked.join(F.broadcast(cnt), "lang")
+        .withColumn("bucket", bucket)
         .select(
             "doc_id",
             "lang",

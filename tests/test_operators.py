@@ -836,3 +836,47 @@ def test_grouped_global_rank_equals_plain_window(spark):
     # empty input returns an empty frame with the rank column
     empty = grouped_global_rank(df.filter("id < 0"), ["grp"], ["id"])
     assert empty.count() == 0 and "pos" in empty.columns
+
+
+def test_grouped_rank_ntile_decomposition(spark):
+    """x77's tercile split = grouped_global_rank + the SQL-standard
+    ntile formula. Pin the formula against Spark's own ntile() on
+    group sizes covering every cnt mod 3 residue (incl. cnt < n) and
+    descending order with an id tie-break — the exact x77 shape."""
+    from pyspark.sql import Window
+
+    from fintrack_etl_spark.operators.windows import grouped_global_rank
+
+    rows = []
+    sizes = {"a": 1, "b": 2, "c": 3, "d": 7, "e": 11, "f": 12}
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g, (i * 37) % 13))
+            i += 1
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {
+        (r["id"], r["nt"])
+        for r in df.withColumn("nt", F.ntile(3).over(w)).collect()
+    }
+
+    ranked = grouped_global_rank(
+        df, ["grp"], [F.col("score").desc(), F.col("id").asc()],
+        rank_col="_rn", num_partitions=5,
+    )
+    cnt = df.groupBy("grp").agg(F.count(F.lit(1)).alias("_cnt"))
+    got = {
+        (r["id"], r["nt"])
+        for r in ranked.join(F.broadcast(cnt), "grp").withColumn(
+            "nt",
+            F.expr(
+                "CASE WHEN _rn <= (_cnt % 3) * (div(_cnt, 3) + 1) "
+                "THEN div(_rn + div(_cnt, 3), div(_cnt, 3) + 1) "
+                "ELSE (_cnt % 3) + div(_rn - (_cnt % 3) * (div(_cnt, 3) + 1) "
+                "+ div(_cnt, 3) - 1, div(_cnt, 3)) END"
+            ).cast("int"),
+        ).collect()
+    }
+    assert got == want
