@@ -1496,7 +1496,17 @@ def ext_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — ranking family (rank/dense_rank/ntile/percent_rank)
     in one window pass: one shuffle on the partition key, explicit
-    o_orderkey tie-break so every rank is deterministic (SURVEY §7)."""
+    o_orderkey tie-break so every rank is deterministic (SURVEY §7).
+
+    Scale note (r9): this entry deliberately keeps the NATIVE
+    single-pass window — it is the SQL-surface showcase of Spark's
+    rank family, and o_orderpriority has only 5 values, so each task
+    sorts corpus/5 rows. When a low-cardinality partition key meets a
+    corpus-sized table in production, the bounded path is
+    ``operators.windows.grouped_global_rank`` (+ the ntile formula
+    x77 uses, + percent_rank = (rank−1)/(cnt−1) off the same
+    broadcast counts) — every per-task sort capped at one range
+    partition; x54/x77 run that form."""
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), "o_orderkey"
     )

@@ -486,13 +486,19 @@ def test_bpe_encode_dictionary_join_is_broadcast(spark, sf_dir):
 
 
 def test_training_shuffle_has_no_global_window(spark, sf_dir):
-    """x54's scale contract: position is windowed BY SHARD — a
-    SinglePartition window (global sort) must never appear."""
+    """x54's scale contract, tightened r9: no SinglePartition window
+    (global sort) may appear, and since the grouped_global_rank
+    rewire the within-shard position window lives INSIDE the
+    operator's localCheckpoint — the emitted plan is the offsets
+    broadcast join over the checkpoint scan, so no window at all (a
+    plain per-shard window would have put corpus/16 rows into one
+    task's sorter)."""
     from fintrack_etl_spark.queries_ext import x54_training_shuffle
 
     plan = _phys(x54_training_shuffle(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
-    assert "Window" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the bounded two-phase rank
+    assert "BroadcastHashJoin" in plan, plan  # offsets ride a broadcast
 
 
 def test_dsir_weight_table_broadcasts_and_topk_takeordered(spark, sf_dir):
