@@ -412,7 +412,13 @@ def main() -> None:
     # budget stops the pass with partial results rather than running
     # the driver's window out.
     if os.environ.get("BENCH_FULL", "1") != "0" and not extra:
-        budget = float(os.environ.get("BENCH_FULL_BUDGET_SEC", "420"))
+        # 540 s (was 420, r9): calm-host full wall is ~250–320 s, but a
+        # weather-inflated run measured 420.5 s and skipped the tail —
+        # a skipped entry costs a correctness-visibility hole, while
+        # the extra headroom costs nothing on calm runs (the budget
+        # only exists to stop a PATHOLOGICAL run from eating the
+        # driver's whole window).
+        budget = float(os.environ.get("BENCH_FULL_BUDGET_SEC", "540"))
         t0 = time.time()
         full: dict[str, float] = {}
         skipped: list[str] = []
