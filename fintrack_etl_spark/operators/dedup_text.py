@@ -67,6 +67,7 @@ def stop_shingles(
     max_df: int,
     frac: float | None = None,
     n_docs: DataFrame | None = None,
+    df_tab: DataFrame | None = None,
 ) -> DataFrame:
     """Shingles whose document frequency exceeds the cap, from an
     exploded ``(id, s)`` table.
@@ -78,8 +79,13 @@ def stop_shingles(
 
     With ``frac`` (and ``n_docs``, a 1-row ``(n_docs)`` frame), the cap
     is RELATIVE: hot iff ``df > max_df`` AND ``df > frac * n_docs``,
-    with ``n_docs`` joined in as a broadcast scalar so the plan stays
-    lazy — no driver action. A fraction cap is replication-invariant
+    with ``n_docs`` joined in as a broadcast scalar so THIS function
+    builds a lazy plan — no driver action of its own. (The default
+    guarded path in :func:`ngram_jaccard_pairs` DOES run an eager
+    one-row profile job before calling here — see its docstring — and
+    hands the profiled doc-frequency table back in as ``df_tab`` so
+    the exploded corpus is aggregated once, not twice, ADVICE r9.)
+    A fraction cap is replication-invariant
     (df and corpus size scale together), which is exactly what the r8
     20× probe showed an absolute cap is not. The fraction compare is
     EXACT-rational, not float (ADVICE r8): ``frac``'s IEEE value is an
@@ -91,7 +97,8 @@ def stop_shingles(
     for pathological fracs whose dyadic terms overflow a long —
     sub-normal-range values no real cap uses.)
     """
-    df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    if df_tab is None:
+        df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     if frac is None:
         return df_tab.filter(F.col("df") > max_df).select("s")
     if n_docs is None:
@@ -126,7 +133,7 @@ def _frac_gt(frac: float) -> Column:
     return F.col("df").cast("double") > F.lit(float(frac)) * F.col("n_docs")
 
 
-def _frac_cap_bites(ex: DataFrame, sh: DataFrame, max_df: int, frac: float) -> bool:
+def _frac_cap_bites(df_tab: DataFrame, sh: DataFrame, max_df: int, frac: float) -> bool:
     """Dup-factor profile for the guard's join-strategy choice (r9,
     VERDICT r8 #2 alternative; precedent ``skew.choose_join_strategy``):
     does ANY shingle fall in the band (max_df, frac·n_reps] — above the
@@ -136,12 +143,14 @@ def _frac_cap_bites(ex: DataFrame, sh: DataFrame, max_df: int, frac: float) -> b
     NOT boilerplate, and keeping them as join keys costs up to
     (frac·N)² fan-out each. One aggregation job, one collected row —
     O(1) driver data; the corpus size rides the same job as a broadcast
-    scalar subplan."""
+    scalar subplan. Takes the (lazily-checkpointed) doc-frequency
+    table rather than the raw exploded corpus: this ``.first()`` is
+    what materializes its blocks, and the band-empty branch then hands
+    the SAME table to :func:`stop_shingles` — the corpus is exploded
+    and aggregated once per call, not twice (ADVICE r9)."""
     n_docs = sh.select(F.count(F.lit(1)).alias("n_docs"))
     row = (
-        ex.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
+        df_tab.crossJoin(F.broadcast(n_docs))
         .agg(
             F.max(
                 F.when((F.col("df") > max_df) & ~_frac_gt(frac), F.col("df"))
@@ -206,7 +215,12 @@ def ngram_jaccard_pairs(
     (``_frac_cap_bites``, exact-rational fraction compare so the
     decision is identical at every corpus scale) asks whether any
     shingle sits in the band (max_df, frac·N] — above the absolute
-    floor yet under 1 % of representatives. Empty band: the corpus is
+    floor yet under 1 % of representatives. NOTE the profile is an
+    EAGER one-row driver job at plan-build time (ADVICE r9) — with
+    ``max_df`` set this function is not lazy end-to-end; the profiled
+    doc-frequency table is checkpoint-memoized and reused by the
+    band-empty branch's ``stop_shingles`` pass, so the explode +
+    aggregate runs once per corpus, not per decision. Empty band: the corpus is
     dup-light, fraction and absolute caps agree shingle-for-shingle,
     and the classic guarded join runs unchanged. Non-empty band: those
     shingles are dup-family signal the absolute cap would silently
@@ -223,6 +237,19 @@ def ngram_jaccard_pairs(
     (A family that spans MORE than frac·N of the corpus is judged
     boilerplate by construction — at that density the guard's premise
     "hot = no signal" is the stated contract, not a silent boundary.)
+    ROUTED-PATH CONTRACT (ADVICE r9): the two branches have DIFFERENT
+    miss classes by design, so output is not a continuous function of
+    the corpus at the band boundary. The dup-light branch drops pairs
+    whose entire overlap is hot (the "hot = no signal" contract
+    above); the routed branch is STRICTLY COMPLETE — prefix filtering
+    has no miss class at all, so it also emits pairs whose whole
+    overlap sits above the frac line (true boilerplate families at
+    J ≥ t). That direction is a superset, never a silent drop: one
+    band shingle can only ADD boilerplate-only pairs, and completeness
+    at the threshold — the property dedup correctness rests on — holds
+    on both branches. Callers that need the hot-overlap pairs excluded
+    on every branch should post-filter on the emitted shingle sets
+    rather than rely on the guard's heuristic.
     Hot-set members are xxhash64(shingle) (8 bytes each, collision
     ~2⁻⁶⁴) so the broadcast payload stays bounded.
     **Exact-set collapse** (retrofit of x63's production step,
@@ -246,6 +273,7 @@ def ngram_jaccard_pairs(
         max_df_frac = None
     groups, sh = _collapsed_rep_sets(df, id_col, text_col, n)
     ex = sh.select("id", F.explode("sh").alias("s"))
+    df_tab = None
     if max_df is not None and max_df_frac is not None:
         # Join-strategy choice, not a second cap: when the df profile
         # shows shingles in the (max_df, frac·N] band, the corpus is
@@ -258,7 +286,23 @@ def ngram_jaccard_pairs(
         # the band is empty the fraction cap and the absolute cap agree
         # shingle-for-shingle, and the absolute-guard join below (the
         # plan every gate fixture has always run) is the cheap path.
-        if _frac_cap_bites(ex, sh, max_df, max_df_frac):
+        # The profile's df table IS stop_shingles' df table (ADVICE
+        # r9): for file-backed corpora it is lazily checkpointed into
+        # the shingle memo (the .first() below materializes it in the
+        # same pass), so the band-empty branch filters the stored
+        # blocks instead of re-exploding and re-aggregating the
+        # corpus. Non-memoizable corpora (no file signature) keep the
+        # plain lazy plan — one recompute, no unowned pinned blocks.
+        from .memo import df_memo_key, evicting_put
+
+        dkey = df_memo_key(df, (id_col, text_col, n, "dftab"))
+        df_tab = _SHINGLE_CACHE.get(dkey) if dkey is not None else None
+        if df_tab is None:
+            df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            if dkey is not None:
+                df_tab = df_tab.localCheckpoint(eager=False)
+                evicting_put(_SHINGLE_CACHE, _SHINGLE_CACHE_MAX, dkey, df_tab)
+        if _frac_cap_bites(df_tab, sh, max_df, max_df_frac):
             return prefix_filter_pairs(df, id_col, text_col, n, threshold)
         max_df_frac = None  # band empty: frac guard ≡ absolute guard
     empty_hot = F.array().cast("array<bigint>")
@@ -271,7 +315,9 @@ def ngram_jaccard_pairs(
             if max_df_frac is not None
             else None
         )
-        hot = stop_shingles(ex, max_df or 0, frac=max_df_frac, n_docs=n_reps)
+        hot = stop_shingles(
+            ex, max_df or 0, frac=max_df_frac, n_docs=n_reps, df_tab=df_tab
+        )
         rare = ex.join(F.broadcast(hot), "s", "left_anti")
         hot_sets = (
             ex.join(F.broadcast(hot), "s", "left_semi")

@@ -307,6 +307,16 @@ def grouped_global_rank(
     ``F.col("score").desc()``) — range partitioning honours the same
     directions, so group contiguity and in-group partition order hold
     for any mix.
+
+    NULL group keys form a group of their own, exactly like the plain
+    window (and ``groupBy``) semantics this operator replaces
+    (ADVICE r9): the offsets sort uses a null-first key (mixed
+    None/str compares raised TypeError), the offsets frame carries the
+    group columns under an EXPLICIT schema lifted from the input
+    (inference fails on an all-NULL group), and the offsets join is
+    null-SAFE — ``<=>`` is still extracted as a broadcast-hash-join
+    key by Catalyst, whereas the former name-list equi-join silently
+    DROPPED every null-group row.
     """
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -336,16 +346,33 @@ def grouped_global_rank(
         )
     offsets: dict[tuple, int] = {}
     acc: dict[tuple, int] = {}
-    for r in sorted(counts, key=lambda r: (tuple(r[g] for g in group_cols), r["_pid"])):
+    # null-first sort key: NULL is a group like any other, and a bare
+    # value key raised TypeError on mixed None/str (ADVICE r9)
+    def _gkey(r):
+        return tuple((r[g] is None, r[g]) for g in group_cols)
+
+    for r in sorted(counts, key=lambda r: (_gkey(r), r["_pid"])):
         g = tuple(r[g2] for g2 in group_cols)
         offsets[(r["_pid"], *g)] = acc.get(g, 0)
         acc[g] = acc.get(g, 0) + r["_n"]
-    off_df = spark.createDataFrame(
-        [(pid, *rest, off) for (pid, *rest), off in offsets.items()],
-        ["_pid", *group_cols, "_offset"],
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # explicit schema lifted from the checkpointed frame: inference
+    # cannot type an all-NULL group column (ADVICE r9)
+    off_schema = StructType(
+        [local.schema["_pid"]]
+        + [local.schema[g] for g in group_cols]
+        + [StructField("_offset", LongType(), False)]
     )
+    off_df = spark.createDataFrame(
+        [(pid, *rest, off) for (pid, *rest), off in offsets.items()], off_schema
+    )
+    cond = local["_pid"] == off_df["_pid"]
+    for g in group_cols:  # null-safe: null-group rows must not drop
+        cond = cond & local[g].eqNullSafe(off_df[g])
     return (
-        local.join(F.broadcast(off_df), ["_pid", *group_cols])
+        local.join(F.broadcast(off_df), cond)
+        .drop(off_df["_pid"], *[off_df[g] for g in group_cols])
         .withColumn(rank_col, (F.col("_lrn") + F.col("_offset")).cast("long"))
         .drop("_pid", "_lrn", "_offset")
     )

@@ -282,21 +282,38 @@ def _train_cache_put(key: tuple | None, value: tuple) -> None:
 DEFAULT_IVF_FLOOR = 8
 
 
+def _corpus_count(corpus: DataFrame) -> int | None:
+    """Memoized ``count(corpus)`` (a columnar-metadata job, no row
+    scan), or None when the corpus has no memoizable file signature.
+    Counts live in their OWN small dict, not ``_TRAIN_CACHE``
+    (ADVICE r9): ints sharing the 16-slot FIFO with trained
+    centroid/codebook pairs could evict an expensive model to keep a
+    cheap count, and muddied the cache's DataFrame-pair type contract.
+    No unpersist semantics needed for ints, so a plain bounded FIFO."""
+    key = _train_cache_key(corpus, ("nvec",))
+    if key is None:
+        return None
+    if key not in _COUNT_CACHE:
+        if len(_COUNT_CACHE) >= _COUNT_CACHE_MAX:
+            _COUNT_CACHE.pop(next(iter(_COUNT_CACHE)))
+        _COUNT_CACHE[key] = corpus.count()
+    return _COUNT_CACHE[key]
+
+
+_COUNT_CACHE: dict[tuple, int] = {}
+_COUNT_CACHE_MAX = 64
+
+
 def auto_kclusters(corpus: DataFrame, floor: int = DEFAULT_IVF_FLOOR) -> int:
-    """``max(floor, ceil(sqrt(count(corpus))))`` — memoized on the
-    corpus's file signature alongside the training cache, so the count
-    (a columnar-metadata job, no row scan) runs once per corpus, not
-    once per query call."""
+    """``max(floor, ceil(sqrt(count(corpus))))`` — the count is
+    memoized on the corpus's file signature (:func:`_corpus_count`),
+    so it runs once per corpus, not once per query call."""
     import math
 
-    ckey = _train_cache_key(corpus, ("nvec", floor))
-    cached = _TRAIN_CACHE.get(ckey) if ckey is not None else None
-    if cached is not None:
-        return cached
-    n = corpus.count()
-    k = max(floor, math.isqrt(max(n - 1, 0)) + 1 if n > 0 else floor)
-    _train_cache_put(ckey, k)
-    return k
+    n = _corpus_count(corpus)
+    if n is None:
+        n = corpus.count()
+    return max(floor, math.isqrt(max(n - 1, 0)) + 1 if n > 0 else floor)
 
 
 def kmeans_centroids(

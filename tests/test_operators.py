@@ -838,6 +838,40 @@ def test_grouped_global_rank_equals_plain_window(spark):
     assert empty.count() == 0 and "pos" in empty.columns
 
 
+def test_grouped_global_rank_null_group_keys(spark):
+    """NULL group keys are a group of their own, like the plain window
+    this operator replaces (ADVICE r9): the documents fixture's lang
+    column is nullable, and the pre-fix operator both raised a driver
+    TypeError (None-vs-str sort key) and — had the sort not raised —
+    would have DROPPED null-group rows at the equi-join. Covers a
+    mixed None/str group column and an ALL-None group column (the
+    schema-inference failure mode)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from fintrack_etl_spark.operators.windows import grouped_global_rank
+
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("grp", StringType())]
+    )
+    rows = [(i, None if i % 5 == 0 else f"g{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("grp").orderBy("id")
+    want = {
+        (r["id"], r["pos"])
+        for r in df.withColumn("pos", F.row_number().over(w).cast("long")).collect()
+    }
+    got = {
+        (r["id"], r["pos"])
+        for r in grouped_global_rank(df, ["grp"], ["id"], num_partitions=7).collect()
+    }
+    assert got == want
+    # all-None group column: schema inference alone cannot type it
+    all_null = spark.createDataFrame([(i, None) for i in range(40)], schema)
+    out = grouped_global_rank(all_null, ["grp"], ["id"], num_partitions=3).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 41))
+
+
 def test_grouped_rank_ntile_decomposition(spark):
     """x77's tercile split = grouped_global_rank + the SQL-standard
     ntile formula. Pin the formula against Spark's own ntile() on

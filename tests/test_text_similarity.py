@@ -1659,11 +1659,15 @@ def test_df_guard_default_is_dup_safe(spark):
         assert len(complete) == 3 * reps * (reps - 1) // 2
 
         # the profile sees family shingles in (1, 0.01·N] -> route
+        # (_frac_cap_bites consumes the PRE-AGGREGATED doc-frequency
+        # table since the ADVICE-r9 reuse fix — the caller builds it
+        # once and shares it with stop_shingles)
         _, sh = DD._collapsed_rep_sets(df, "doc_id", "text", 3)
         ex = sh.select("id", F.explode("sh").alias("s"))
-        assert DD._frac_cap_bites(ex, sh, 1, DD.DEFAULT_MAX_DF_FRAC)
+        df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        assert DD._frac_cap_bites(df_tab, sh, 1, DD.DEFAULT_MAX_DF_FRAC)
         # ...and with a floor above the dup factor the band is empty
-        assert not DD._frac_cap_bites(ex, sh, reps, DD.DEFAULT_MAX_DF_FRAC)
+        assert not DD._frac_cap_bites(df_tab, sh, reps, DD.DEFAULT_MAX_DF_FRAC)
 
         # the DEFAULT path: absolute cap 1 < family df, routing saves it
         default_pairs = {
