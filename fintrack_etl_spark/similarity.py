@@ -316,6 +316,21 @@ def auto_kclusters(corpus: DataFrame, floor: int = DEFAULT_IVF_FLOOR) -> int:
     return max(floor, math.isqrt(max(n - 1, 0)) + 1 if n > 0 else floor)
 
 
+#: Sampled-Lloyd training bound (VERDICT r9 #3): Lloyd's assignment is
+#: O(rows · k) per round, so with the auto-√N kclusters default the
+#: COLD build grew O(N^1.5) per round (r9 probe: 95.9 s at 10×/k=142
+#: vs 23.6 s at k=8). Training on a deterministic md5-threshold sample
+#: of ≈max(FLOOR, PER_CLUSTER·k) vectors bounds every round at
+#: O(k²·PER_CLUSTER) while the FINAL assignment stays exact over the
+#: full corpus — one O(N·k) pass, the irreducible cost of an exact
+#: IVF partition. 32 vectors/cluster is the classical training-set
+#: rule of thumb (faiss documents 30–256×k); the 4096 floor keeps
+#: every corpus at or below bench scale (500–2000 vectors) on the
+#: bit-identical full-corpus path, so gate values cannot move.
+TRAIN_SAMPLE_FLOOR = 4096
+TRAIN_SAMPLE_PER_CLUSTER = 32
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
@@ -323,6 +338,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_sample_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic distributed Lloyd k-means — the real IVF coarse
     quantizer (``ivf_topk``'s label column is the fixture stand-in).
@@ -336,9 +352,27 @@ def kmeans_centroids(
     round to cut the iterated lineage (same discipline as
     ``operators/graph.py``).
 
+    When the corpus exceeds ``train_sample_cap`` (default
+    ``max(TRAIN_SAMPLE_FLOOR, TRAIN_SAMPLE_PER_CLUSTER · k)``), the
+    Lloyd ROUNDS run on a deterministic md5-threshold sample of ≈cap
+    vectors (``sampling.rate_threshold_hex`` — the x17 discipline:
+    membership is a pure function of the id, reproducible on any
+    engine at any partitioning) and one exact full-corpus assignment
+    pass follows. That bounds the cold build at O(N·k + cap·k·iters)
+    instead of O(N·k·iters) with every per-round shuffle
+    corpus-independent; at or below the cap the code path is the
+    bit-identical full-corpus loop (every gate/bench fixture).
+    ``train_sample_cap=0``/negative opts out (always full-corpus).
+
     Returns ``(assignments (id, cid), centroids (cid, ccv))``.
     """
-    ckey = _train_cache_key(corpus, ("kmeans", k, iters, id_col, vec_col, dims))
+    if train_sample_cap is None:
+        cap = max(TRAIN_SAMPLE_FLOOR, TRAIN_SAMPLE_PER_CLUSTER * k)
+    elif train_sample_cap <= 0:
+        cap = None
+    else:
+        cap = train_sample_cap
+    ckey = _train_cache_key(corpus, ("kmeans", k, iters, id_col, vec_col, dims, cap))
     cached = _TRAIN_CACHE.get(ckey) if ckey is not None else None
     if cached is not None:
         return cached
@@ -348,7 +382,19 @@ def kmeans_centroids(
     v = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("cv")
     ).localCheckpoint()
-    assigned = v.withColumn("cid", (F.col("_id") % k).cast("int"))
+    train = v
+    if cap is not None:
+        n = _corpus_count(corpus)
+        if n is None:
+            n = v.count()  # over the pinned blocks — no corpus rescan
+        if n > cap:
+            from .operators.sampling import rate_threshold_hex
+
+            thresh = rate_threshold_hex(cap / n)
+            train = v.filter(
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 4) < thresh
+            )
+    assigned = train.withColumn("cid", (F.col("_id") % k).cast("int"))
     cents = None
     for _ in range(iters):
         # exact integer micro-unit mean (see label_centroids): Lloyd
@@ -374,7 +420,33 @@ def kmeans_centroids(
         # argmax as a hash-agg struct max (highest sim, then LOWEST cid
         # on exact ties — (sim, -cid) lexicographic max ≡ the old
         # row_number ordering) instead of a row_number window: map-side
-        # partial aggregation, no per-round sort exchange.
+        # partial aggregation, no per-round sort exchange. Per-round
+        # input is `train` (== v on the full-corpus path; the md5
+        # sample when the cap bites).
+        assigned = (
+            train.crossJoin(F.broadcast(cents))
+            .withColumn("sim", cosine(F.col("cv"), F.col("ccv"), dims))
+            .groupBy("_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim"),
+                        (-F.col("cid")).alias("_nc"),
+                        F.col("cid"),
+                        F.col("cv"),
+                    )
+                ).alias("b")
+            )
+            .select("_id", F.col("b.cv").alias("cv"), F.col("b.cid").alias("cid"))
+        )
+    if train is not v and cents is None:  # iters=0: modulo init, full corpus
+        assigned = v.withColumn("cid", (F.col("_id") % k).cast("int"))
+    elif train is not v:
+        # sampled training: ONE exact assignment pass over the full
+        # corpus against the final centroids — same argmax expression,
+        # so a vector identical to a trained one lands in the same
+        # cell (the planted-dup contract is assignment-side, not
+        # training-side)
         assigned = (
             v.crossJoin(F.broadcast(cents))
             .withColumn("sim", cosine(F.col("cv"), F.col("ccv"), dims))

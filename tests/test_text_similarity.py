@@ -667,6 +667,68 @@ def test_auto_kclusters_contract(spark, sf_dir):
             assert nid == r.vec_id - 100000 and cos == 1.0, (builder.__name__, r)
 
 
+def test_kmeans_sampled_lloyd_contract(spark, sf_dir):
+    """VERDICT r9 #3: the auto-√N cold build is bounded by running the
+    Lloyd ROUNDS on a deterministic md5-threshold sample, with one
+    exact full-corpus assignment pass at the end. Pins (a) below-cap
+    identity — every fixture sits under the 4096-vector floor, so the
+    default path is bit-identical to the explicit full-corpus opt-out
+    (gate/bench values cannot move); (b) the sampled path (forced tiny
+    cap) assigns EVERY corpus vector exactly once, and an exact
+    duplicate vector lands in its original's cell even when NEITHER
+    was sampled into training (assignment is exact, training-set
+    membership is irrelevant); (c) the md5 threshold actually bites
+    (the training set is a strict nonempty subset); (d) the sampled
+    result is partition-count invariant (id-deterministic sample +
+    integer-exact centroid means + deterministic argmax)."""
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.operators.sampling import rate_threshold_hex
+    from fintrack_etl_spark.similarity import kmeans_centroids
+
+    emb = table(spark, "embeddings", sf_dir)
+    n = emb.count()
+
+    def rows(assigns):
+        return sorted((r["vec_id"], r["cid"]) for r in assigns.collect())
+
+    def cent_rows(cents):
+        return sorted((r["cid"], tuple(r["ccv"])) for r in cents.collect())
+
+    # (a) default cap (floor 4096 > n) == explicit full-corpus opt-out
+    a_def, c_def = kmeans_centroids(emb, k=8, iters=2)
+    a_full, c_full = kmeans_centroids(emb, k=8, iters=2, train_sample_cap=0)
+    assert rows(a_def) == rows(a_full)
+    assert cent_rows(c_def) == cent_rows(c_full)
+
+    # (b)+(c) forced sampling: plant an exact dup whose md5 threshold
+    # status differs from its original's possible status — the
+    # contract must hold regardless
+    cap = max(16, n // 4)
+    dup = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dup).localCheckpoint()
+    total = corpus.count()
+    thresh = rate_threshold_hex(cap / total)
+    sampled_n = corpus.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < thresh
+    ).count()
+    assert 0 < sampled_n < total  # the cap bites
+    a_s, c_s = kmeans_centroids(corpus, k=8, iters=2, train_sample_cap=cap)
+    got = {r["vec_id"]: r["cid"] for r in a_s.collect()}
+    assert len(got) == total  # every vector assigned exactly once
+    for r in dup.select("vec_id").collect():
+        assert got[r["vec_id"]] == got[r["vec_id"] - 100000]
+
+    # (d) partition-count invariance of the sampled result
+    for parts in (3, 17):
+        a_p, c_p = kmeans_centroids(
+            corpus.repartition(parts), k=8, iters=2, train_sample_cap=cap
+        )
+        assert {r["vec_id"]: r["cid"] for r in a_p.collect()} == got
+        assert cent_rows(c_p) == cent_rows(c_s)
+
+
 def test_sniff_media_metadata_real_headers(spark):
     """The header sniffer is REAL (pure-Python spec parsing, no codec):
     hand-built valid PNG/JPEG/GIF/BMP/WAV headers yield exact
