@@ -10,7 +10,13 @@ those partitions — at 100 TB the centroid assignment is the partition
 key, so a probe touches ~nprobe/k of the data.
 
 All vector math is sequential-fold array expressions (deterministic,
-JVM codegen) — no Python in the hot path.
+JVM codegen) — no Python in the hot path, with ONE deliberate
+exception: above the Lloyd train-sample cap (the sampled/scale
+regime, never reached by gate or bench fixtures) the k-means
+assignment runs as an Arrow-batched numpy matmul
+(``kmeans_centroids._assign_blas``) — the r10 probe measured the
+per-pair JVM expression loop as the whole cold-build bottleneck at
+k=√N, and a BLAS matmul is the exact same flops at memory bandwidth.
 """
 
 from __future__ import annotations
@@ -363,6 +369,15 @@ def kmeans_centroids(
     corpus-independent; at or below the cap the code path is the
     bit-identical full-corpus loop (every gate/bench fixture).
     ``train_sample_cap=0``/negative opts out (always full-corpus).
+    In the sampled regime, fixed-width corpora additionally run every
+    assignment pass as an Arrow-batched numpy matmul
+    (``_assign_blas`` — the r10 probe measured the per-pair JVM
+    expression loop as ~90 % of the 10×/auto-k cold build; BLAS does
+    the same flops at memory bandwidth), preserving the lowest-cid
+    tie-break, identical-vector⇒identical-cell, and
+    partition-invariance contracts while allowing ulp-level
+    summation-order drift vs the JVM fold — below the cap nothing
+    changes, bit for bit.
 
     Returns ``(assignments (id, cid), centroids (cid, ccv))``.
     """
@@ -394,6 +409,97 @@ def kmeans_centroids(
             train = v.filter(
                 F.substring(F.md5(F.col("_id").cast("string")), 1, 4) < thresh
             )
+    # Fixed-width detection — the gate for the Arrow/BLAS assignment
+    # below (np.stack needs a rectangular matrix). NOT used to unroll
+    # the dot: the r10 probe MEASURED the 64-term unrolled chain in
+    # this crossJoin+agg context at 93.8 s vs the HOF fold's 60.6 s
+    # (and 166 s vs 94 s unsampled) — the giant generated method falls
+    # off the JIT path, so "codegen" loses to the interpreted fold.
+    width = None
+    if train is not v:  # only the sampled/scale regime consults it
+        wrow = v.agg(F.min(F.size("cv")), F.max(F.size("cv"))).first()
+        if wrow[0] is not None and wrow[0] == wrow[1] and wrow[0] > 0:
+            width = int(wrow[0])
+
+    def _assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
+        # argmax as a hash-agg struct max (highest sim, then LOWEST cid
+        # on exact ties — (sim, -cid) lexicographic max ≡ the old
+        # row_number ordering) instead of a row_number window: map-side
+        # partial aggregation, no per-round sort exchange. Norms are
+        # precomputed ONCE per side (r10): the same deterministic
+        # doubles cosine() recomputed per PAIR — value-identical, but
+        # pair work drops to the dot alone. _vn sits in a Project
+        # BELOW the broadcast join (Projects never collapse across a
+        # Join), so it is evaluated once per corpus row, not per pair.
+        cc = F.broadcast(cents.withColumn("_ccn", l2_norm(F.col("ccv"), dims)))
+        return (
+            frame.withColumn("_vn", l2_norm(F.col("cv"), dims))
+            .crossJoin(cc)
+            .withColumn(
+                "sim",
+                dot(F.col("cv"), F.col("ccv"), dims) / (F.col("_vn") * F.col("_ccn")),
+            )
+            .groupBy("_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim"),
+                        (-F.col("cid")).alias("_nc"),
+                        F.col("cid"),
+                        F.col("cv"),
+                    )
+                ).alias("b")
+            )
+            .select("_id", F.col("b.cv").alias("cv"), F.col("b.cid").alias("cid"))
+        )
+
+    def _assign_blas(frame: DataFrame, cents: DataFrame) -> DataFrame:
+        """Arrow-batched exact argmax-cosine assignment — the SCALE
+        path, used only in the sampled regime (corpus above the train
+        cap) on fixed-width vectors. The per-pair JVM expression loop
+        is the measured bottleneck there (r10 probe: the one exact
+        N×k pass was ~55 s of the 60.6 s 10×/k=142 build); one numpy
+        matmul per Arrow batch against the broadcast k×D centroid
+        matrix does the same flops in BLAS. Contracts preserved: ties
+        break to the LOWEST cid (centroid rows sorted by cid;
+        np.argmax returns the first maximum), identical vectors get
+        identical cells (pure function of the pair), and the result is
+        partition-invariant (no cross-row accumulation). Summation
+        ORDER inside one dot differs from the JVM fold at ulp level —
+        acceptable above the cap, where training is already sampled;
+        below the cap every path stays the bit-exact JVM loop."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        crows = sorted(cents.select("cid", "ccv").collect(), key=lambda r: r["cid"])
+        cid_arr = [int(r["cid"]) for r in crows]
+        cmat = [list(r["ccv"]) for r in crows]
+        schema = StructType(
+            [frame.schema["_id"], frame.schema["cv"], StructField("cid", IntegerType(), False)]
+        )
+
+        def gen(batches):
+            import numpy as np  # re-import: runs inside the worker
+            import pandas as pd
+
+            C = np.asarray(cmat, dtype="float64")
+            cn = np.sqrt((C * C).sum(axis=1))
+            cids = np.asarray(cid_arr, dtype="int32")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(pdf["cv"].tolist(), dtype="float64")
+                vn = np.sqrt((V * V).sum(axis=1))
+                sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+                best = sims.argmax(axis=1)
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "cv": pdf["cv"], "cid": cids[best]}
+                )
+
+        return frame.mapInPandas(gen, schema)
+
+    if train is not v and width is not None:
+        _assign = _assign_blas  # noqa: F811 — the sampled/scale regime
+
     assigned = train.withColumn("cid", (F.col("_id") % k).cast("int"))
     cents = None
     for _ in range(iters):
@@ -417,28 +523,9 @@ def kmeans_centroids(
             .select("cid", F.transform("p", lambda s: s["m"]).alias("ccv"))
             .localCheckpoint()
         )
-        # argmax as a hash-agg struct max (highest sim, then LOWEST cid
-        # on exact ties — (sim, -cid) lexicographic max ≡ the old
-        # row_number ordering) instead of a row_number window: map-side
-        # partial aggregation, no per-round sort exchange. Per-round
-        # input is `train` (== v on the full-corpus path; the md5
-        # sample when the cap bites).
-        assigned = (
-            train.crossJoin(F.broadcast(cents))
-            .withColumn("sim", cosine(F.col("cv"), F.col("ccv"), dims))
-            .groupBy("_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("sim"),
-                        (-F.col("cid")).alias("_nc"),
-                        F.col("cid"),
-                        F.col("cv"),
-                    )
-                ).alias("b")
-            )
-            .select("_id", F.col("b.cv").alias("cv"), F.col("b.cid").alias("cid"))
-        )
+        # per-round input is `train` (== v on the full-corpus path;
+        # the md5 sample when the cap bites)
+        assigned = _assign(train, cents)
     if train is not v and cents is None:  # iters=0: modulo init, full corpus
         assigned = v.withColumn("cid", (F.col("_id") % k).cast("int"))
     elif train is not v:
@@ -447,22 +534,7 @@ def kmeans_centroids(
         # so a vector identical to a trained one lands in the same
         # cell (the planted-dup contract is assignment-side, not
         # training-side)
-        assigned = (
-            v.crossJoin(F.broadcast(cents))
-            .withColumn("sim", cosine(F.col("cv"), F.col("ccv"), dims))
-            .groupBy("_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("sim"),
-                        (-F.col("cid")).alias("_nc"),
-                        F.col("cid"),
-                        F.col("cv"),
-                    )
-                ).alias("b")
-            )
-            .select("_id", F.col("b.cv").alias("cv"), F.col("b.cid").alias("cid"))
-        )
+        assigned = _assign(v, cents)
     # pin the final assignment EAGERLY: cached consumers re-join it
     # repeatedly, recomputation would replay the full iterated lineage,
     # and — the r8 block-hygiene point — a LAZY artifact here would

@@ -372,6 +372,98 @@ def probe_ann(spark, sf_dir: str, mult: int, tmp: str) -> None:
                    "self_recall": found, "rows": total, "sec": sec})
             assert found == n_q, f"{name}@{m}x: planted-dup self-recall broke ({found}/{n_q})"
 
+        # COLD-BUILD rows (VERDICT r9 #3): isolate the coarse-quantizer
+        # training cost — the term that grew O(N^1.5) at auto-√N k
+        # before sampled Lloyd (r9: 95.9 s at 10x/k=142 vs 23.6 s at
+        # k=8, both full-corpus). The train cache is drained (and its
+        # blocks freed) before every timed build so each row is a true
+        # cold build; `_full` rows opt out of sampling
+        # (train_sample_cap=0) to keep the r9 comparison measurable.
+        from fintrack_etl_spark import similarity as S
+        from fintrack_etl_spark.operators.memo import unpersist_checkpointed
+
+        ak = S.auto_kclusters(corpus)
+        for name, kk, cap in (
+            ("build_k8_default", 8, None),
+            ("build_k8_full", 8, 0),
+            ("build_auto_k_default", ak, None),
+            ("build_auto_k_full", ak, 0),
+        ):
+            while S._TRAIN_CACHE:
+                _, stale = S._TRAIN_CACHE.popitem()
+                unpersist_checkpointed(stale)
+
+            def _build(kk=kk, cap=cap):
+                a, _c = S.kmeans_centroids(corpus, kk, 2, train_sample_cap=cap)
+                return a.count()
+            rows, sec = _timed(_build)
+            _emit({"probe": name, "mult": m, "vectors": n_vecs, "k": kk,
+                   "sampled": cap is None and n_vecs > max(
+                       S.TRAIN_SAMPLE_FLOOR, S.TRAIN_SAMPLE_PER_CLUSTER * kk),
+                   "assigned": rows, "sec": sec})
+            assert rows == n_vecs, f"{name}@{m}x: assignment lost vectors"
+
+
+def probe_grouped_rank(spark, sf_dir: str, mult: int, tmp: str) -> None:
+    """windows.grouped_global_rank at scale (VERDICT r9 #5): the x54
+    shape (16 hash shards, ascending key) and the x77 shape (per-lang
+    DESC score with asc tie-break, nullable group), plus a 512-group
+    width variant, at 1x and mult x docs. Per variant: asserts exact
+    parity with Spark's own row_number window via a distributed
+    xxhash64-sum signature (the plain window is the SPEC — the fixture
+    fits its single-task sort even at mult x; production corpora do
+    not, which is the operator's whole point), asserts the offsets
+    join stays a BroadcastHashJoin and no SinglePartition exchange
+    appears as #groups grows, and emits the O(#groups·#parts)
+    offsets-row count the driver collects."""
+    from pyspark.sql import Window
+
+    from fintrack_etl_spark.operators.windows import grouped_global_rank
+
+    docs = table(spark, "documents", sf_dir)
+    parts = spark.sparkContext.defaultParallelism
+    for m in (1, mult):
+        corpus = _land(_replicated_docs(docs, m), os.path.join(tmp, f"gr_docs_{m}x"))
+        n_docs = corpus.count()
+        for name, gexpr, order in (
+            ("x54_shape_16_shards",
+             (F.col("doc_id") % 16).cast("int"),
+             [F.col("s").asc(), F.col("doc_id").asc()]),
+            ("x77_shape_lang_desc",
+             F.col("lang"),
+             [F.col("s").desc(), F.col("doc_id").asc()]),
+            ("wide_512_groups",
+             (F.col("doc_id") % 512).cast("int"),
+             [F.col("s").asc(), F.col("doc_id").asc()]),
+        ):
+            df = corpus.select(
+                "doc_id", gexpr.alias("g"), F.length("text").alias("s")
+            )
+            n_groups = df.select("g").distinct().count()
+
+            def _run(df=df, order=order):
+                out = grouped_global_rank(df, ["g"], list(order), rank_col="pos")
+                sig = out.agg(
+                    F.sum(F.xxhash64("doc_id", "pos").cast("decimal(38,0)")).alias("sig")
+                ).first()["sig"]
+                return out, sig
+            (out, sig), sec = _timed(_run)
+
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan, (name, m)
+            assert "SinglePartition" not in plan, (name, m)
+
+            w = Window.partitionBy("g").orderBy(*order)
+            want_sig = (
+                df.withColumn("pos", F.row_number().over(w).cast("long"))
+                .agg(F.sum(F.xxhash64("doc_id", "pos").cast("decimal(38,0)")).alias("sig"))
+                .first()["sig"]
+            )
+            assert sig == want_sig, (name, m, sig, want_sig)
+            _emit({"probe": f"grouped_rank_{name}", "mult": m, "docs": n_docs,
+                   "groups": n_groups, "parts": parts,
+                   "offsets_upper": n_groups * parts, "sec": sec})
+
 
 def probe_core(spark, sf_dir: str, mult: int, tmp: str) -> None:
     """Relational core at mult x — the one family whose scale story was
@@ -613,6 +705,7 @@ def main() -> int:
                 "suffix": probe_suffix,
                 "graph": probe_graph,
                 "ann": probe_ann,
+                "grouped_rank": probe_grouped_rank,
                 "jaccard": probe_jaccard,
                 "incremental": probe_incremental,
                 "core": probe_core,
