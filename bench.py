@@ -195,6 +195,7 @@ def calibrate(spark, sf_dir: str) -> dict[str, float]:
         x = (x * 1103515245 + 12345) & 0xFFFFFFFF
     cpu = round(time.perf_counter() - t0, 4)
     scan = None
+    scan_warm = None
     try:
         n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
         rdd = n._jdf.queryExecution().toRdd()
@@ -203,9 +204,21 @@ def calibrate(spark, sf_dir: str) -> dict[str, float]:
         for _ in range(8):
             rdd.count()
         scan = round(time.perf_counter() - t1, 4)
+        # SECOND batch (r10): a fresh session's first batch carries a
+        # JIT-warmup term — r9's own record shows START gauges 0.38–0.56
+        # vs END gauges 0.12–0.21 on the same runs, so judging calmness
+        # from the first batch alone would brand every fresh-session
+        # start "weather" and no above-band family could ever earn the
+        # above_band (code-regression) verdict. The warmer batch
+        # separates the terms: true contention inflates BOTH batches;
+        # warmup inflates only the first.
+        t2 = time.perf_counter()
+        for _ in range(8):
+            rdd.count()
+        scan_warm = round(time.perf_counter() - t2, 4)
     except Exception:  # noqa: BLE001 — calibration must never fail the bench
         pass
-    return {"cpu_spin_sec": cpu, "scan8_sec": scan}
+    return {"cpu_spin_sec": cpu, "scan8_sec": scan, "scan8_warm_sec": scan_warm}
 
 
 #: Calm-host gauge maxima (this node; BASELINE.md r9 calibration):
@@ -232,12 +245,22 @@ FAMILY_BAND_MAX_SF01 = {
 
 def gauge_calm(calib: dict | None) -> bool | None:
     """True iff both micro-gauges are at-or-below their calm maxima;
-    None when the gauge itself failed (no scan number)."""
+    None when the gauge itself failed (no scan number). The scan term
+    uses the BEST of the cold and warmed batches (r10): the first
+    batch of a fresh session carries a JIT-warmup component that reads
+    as contention even on a calm host (r9 record: starts 0.38–0.56 vs
+    ends 0.12–0.21 on the same runs); genuine neighbor load inflates
+    both batches, so min() keys calmness on the contention term
+    alone."""
     if not calib or calib.get("scan8_sec") is None:
         return None
+    scans = [
+        s for s in (calib.get("scan8_sec"), calib.get("scan8_warm_sec"))
+        if s is not None
+    ]
     return (
         calib["cpu_spin_sec"] <= CALM_GAUGE_MAX["cpu_spin_sec"]
-        and calib["scan8_sec"] <= CALM_GAUGE_MAX["scan8_sec"]
+        and min(scans) <= CALM_GAUGE_MAX["scan8_sec"]
     )
 
 

@@ -21,6 +21,18 @@ def test_gauge_calm_thresholds():
     # failed gauge => unknown, never a false calm
     assert bench.gauge_calm({"cpu_spin_sec": 0.24, "scan8_sec": None}) is None
     assert bench.gauge_calm(None) is None
+    # fresh-session JIT warmup: cold batch hot, warmed batch calm =>
+    # the host is calm (contention would inflate BOTH batches)
+    assert bench.gauge_calm(
+        {"cpu_spin_sec": 0.24, "scan8_sec": 0.45, "scan8_warm_sec": 0.16}
+    ) is True
+    assert bench.gauge_calm(
+        {"cpu_spin_sec": 0.24, "scan8_sec": 0.45, "scan8_warm_sec": 0.44}
+    ) is False
+    # warm batch missing (old-format dict): fall back to the cold batch
+    assert bench.gauge_calm(
+        {"cpu_spin_sec": 0.24, "scan8_sec": 0.45, "scan8_warm_sec": None}
+    ) is False
 
 
 def test_family_verdict_reads():
