@@ -562,6 +562,7 @@ def ivf_topk_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_sample_cap: int | None = None,
 ) -> DataFrame:
     """IVF ANN over learned k-means partitions: cluster the corpus
     once, route each query to its ``nprobe`` nearest centroids, search
@@ -573,7 +574,9 @@ def ivf_topk_kmeans(
     """
     if kclusters is None:
         kclusters = auto_kclusters(corpus)
-    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col, dims)
+    assigns, cents = kmeans_centroids(
+        corpus, kclusters, iters, id_col, vec_col, dims, train_sample_cap
+    )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     routed = (
         q.crossJoin(F.broadcast(cents))
@@ -817,6 +820,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_sample_cap: int | None = None,
 ) -> DataFrame:
     """Combined IVF-PQ — the full Jégou et al. architecture: a coarse
     k-means quantizer partitions the corpus (``kmeans_centroids``), PQ
@@ -842,7 +846,9 @@ def ivfpq_topk(
     """
     if kclusters is None:
         kclusters = auto_kclusters(corpus)
-    assigns, cents = kmeans_centroids(corpus, kclusters, coarse_iters, id_col, vec_col, dims)
+    assigns, cents = kmeans_centroids(
+        corpus, kclusters, coarse_iters, id_col, vec_col, dims, train_sample_cap
+    )
     codes, books = pq_train(corpus, m, ksub, pq_iters, id_col, vec_col, dims)
     # coarse routing: query → nprobe nearest centroids
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
@@ -904,6 +910,7 @@ def write_ivf_layout(
     vec_col: str = "embedding",
     mode: str = "overwrite",
     dims: int | None = None,
+    train_sample_cap: int | None = None,
 ) -> None:
     """Materialize the IVF index as an INGEST-PARTITIONED table layout —
     the shape every in-memory IVF docstring here promises for 100 TB,
@@ -918,7 +925,9 @@ def write_ivf_layout(
     r9)."""
     if kclusters is None:
         kclusters = auto_kclusters(corpus)
-    assigns, cents = kmeans_centroids(corpus, kclusters, iters, id_col, vec_col, dims)
+    assigns, cents = kmeans_centroids(
+        corpus, kclusters, iters, id_col, vec_col, dims, train_sample_cap
+    )
     (
         corpus.join(assigns, id_col)
         .repartition("cid")
