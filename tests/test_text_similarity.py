@@ -729,6 +729,32 @@ def test_kmeans_sampled_lloyd_contract(spark, sf_dir):
         assert cent_rows(c_p) == cent_rows(c_s)
 
 
+def test_kmeans_below_cap_never_runs_python(spark, sf_dir, monkeypatch):
+    """The BLAS assignment is gated to the sampled regime; below the
+    train cap (every gate/bench fixture) the build must stay on the
+    bit-exact JVM loop with ZERO Python — pinned by a mapInPandas
+    tripwire so a future widening of the gate cannot silently move
+    gate values."""
+    from pyspark.sql import DataFrame
+
+    from fintrack_etl_spark import similarity as S
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.operators.memo import unpersist_checkpointed
+
+    while S._TRAIN_CACHE:  # drain the memo so the build really runs
+        _, stale = S._TRAIN_CACHE.popitem()
+        unpersist_checkpointed(stale)
+
+    def boom(self, *a, **k):
+        raise AssertionError("mapInPandas reached on a below-cap kmeans build")
+
+    monkeypatch.setattr(DataFrame, "mapInPandas", boom)
+    emb = table(spark, "embeddings", sf_dir)
+    assigns, cents = S.kmeans_centroids(emb, k=8, iters=2)
+    assert assigns.count() == emb.count()
+    assert cents.count() <= 8
+
+
 def test_sniff_media_metadata_real_headers(spark):
     """The header sniffer is REAL (pure-Python spec parsing, no codec):
     hand-built valid PNG/JPEG/GIF/BMP/WAV headers yield exact
