@@ -670,6 +670,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_sample_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks and encode the corpus — the
     vector-compression half of IVF-PQ (Jégou et al., TPAMI 2011),
@@ -685,8 +686,26 @@ def pq_train(
     table is the compressed corpus — m small ints instead of D floats
     (64-D float32 → 8 codes ≈ 32× smaller), which at 100 TB is the
     difference between scanning embeddings and scanning bytes.
+
+    Sampled training (r10 — the kmeans_centroids discipline swept to
+    the repo's OTHER Lloyd): above ``train_sample_cap`` vectors
+    (default ``max(TRAIN_SAMPLE_FLOOR, TRAIN_SAMPLE_PER_CLUSTER ·
+    ksub)``) the codebook ROUNDS train on a deterministic
+    md5-threshold sample of whole vectors (every subspace sees the
+    same sampled ids) and ONE exact encode pass over the full corpus
+    follows; fixed-width subvectors run that encode as an
+    Arrow-batched numpy matmul per subspace (``_pq_assign_blas``).
+    Below the cap — every gate/bench fixture — the path is the
+    bit-identical full-corpus JVM loop; ``train_sample_cap=0`` opts
+    out entirely.
     """
-    ckey = _train_cache_key(corpus, ("pq", m, ksub, iters, id_col, vec_col, dims))
+    if train_sample_cap is None:
+        cap = max(TRAIN_SAMPLE_FLOOR, TRAIN_SAMPLE_PER_CLUSTER * ksub)
+    elif train_sample_cap <= 0:
+        cap = None
+    else:
+        cap = train_sample_cap
+    ckey = _train_cache_key(corpus, ("pq", m, ksub, iters, id_col, vec_col, dims, cap))
     cached = _TRAIN_CACHE.get(ckey) if ckey is not None else None
     if cached is not None:
         return cached
@@ -696,7 +715,96 @@ def pq_train(
     # that's pure plan-compile overhead dominating wall time.
     sv = _subvectors(corpus, "_id", m, id_col, vec_col, dims).localCheckpoint()
     sublen = dims // m if dims else None
-    assigned = sv.withColumn("code", ((F.col("_id") + F.col("j")) % ksub).cast("int"))
+    train_sv = sv
+    width = None
+    if cap is not None:
+        n = _corpus_count(corpus)
+        if n is None:
+            n = sv.count() // m  # over the pinned blocks, no corpus rescan
+        if n > cap:
+            from .operators.sampling import rate_threshold_hex
+
+            thresh = rate_threshold_hex(cap / n)
+            train_sv = sv.filter(
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 4) < thresh
+            )
+            wrow = sv.agg(F.min(F.size("sv")), F.max(F.size("sv"))).first()
+            if wrow[0] is not None and wrow[0] == wrow[1] and wrow[0] > 0:
+                width = int(wrow[0])
+
+    def _pq_assign(frame: DataFrame, books: DataFrame) -> DataFrame:
+        # Same hash-agg argmax as kmeans_centroids: struct max on
+        # (s, -code, ...) ≡ row_number over (desc s, asc code), minus
+        # the per-round sort exchange.
+        return (
+            frame.join(F.broadcast(books), "j")
+            .withColumn("s", dot(F.col("sv"), F.col("ccv"), sublen))
+            .groupBy("_id", "j")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("s"),
+                        (-F.col("code")).alias("_nc"),
+                        F.col("code"),
+                        F.col("sv"),
+                    )
+                ).alias("b")
+            )
+            .select("_id", "j", F.col("b.sv").alias("sv"), F.col("b.code").alias("code"))
+        )
+
+    def _pq_assign_blas(frame: DataFrame, books: DataFrame) -> DataFrame:
+        """Arrow-batched exact per-subspace argmax-dot encode — the
+        scale regime's pass (see kmeans_centroids._assign_blas for the
+        contract discussion: first-max argmax over code-sorted rows
+        keeps the lowest-code tie-break, identical subvectors encode
+        identically, no cross-row accumulation so the result is
+        partition-invariant; ulp-level summation-order drift vs the
+        JVM fold is confined to the above-cap regime)."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        brows = books.select("j", "code", "ccv").collect()
+        bmats: dict[int, tuple[list[int], list[list[float]]]] = {}
+        for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+            cs, vs = bmats.setdefault(int(r["j"]), ([], []))
+            cs.append(int(r["code"]))
+            vs.append(list(r["ccv"]))
+        schema = StructType(
+            [frame.schema["_id"], frame.schema["j"], frame.schema["sv"],
+             StructField("code", IntegerType(), False)]
+        )
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            mats = {
+                j: (np.asarray(cs, dtype="int32"), np.asarray(vs, dtype="float64"))
+                for j, (cs, vs) in bmats.items()
+            }
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_code = np.empty(len(pdf), dtype="int32")
+                jvals = pdf["j"].to_numpy()
+                V = np.asarray(pdf["sv"].tolist(), dtype="float64")
+                for j in np.unique(jvals):
+                    sel = jvals == j
+                    cs, B = mats[int(j)]
+                    out_code[sel] = cs[(V[sel] @ B.T).argmax(axis=1)]
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "j": pdf["j"], "sv": pdf["sv"],
+                     "code": out_code}
+                )
+
+        return frame.mapInPandas(gen, schema)
+
+    if train_sv is not sv and width is not None:
+        _pq_assign = _pq_assign_blas  # noqa: F811 — the sampled/scale regime
+
+    assigned = train_sv.withColumn(
+        "code", ((F.col("_id") + F.col("j")) % ksub).cast("int")
+    )
     books = None
     for _ in range(iters):
         # exact integer micro-unit mean (see label_centroids / kmeans)
@@ -718,25 +826,18 @@ def pq_train(
             .select("j", "code", F.transform("p", lambda s: s["mn"]).alias("ccv"))
             .localCheckpoint()
         )
-        # Same hash-agg argmax as kmeans_centroids: struct max on
-        # (s, -code, ...) ≡ row_number over (desc s, asc code), minus
-        # the per-round sort exchange.
-        assigned = (
-            sv.join(F.broadcast(books), "j")
-            .withColumn("s", dot(F.col("sv"), F.col("ccv"), sublen))
-            .groupBy("_id", "j")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("s"),
-                        (-F.col("code")).alias("_nc"),
-                        F.col("code"),
-                        F.col("sv"),
-                    )
-                ).alias("b")
-            )
-            .select("_id", "j", F.col("b.sv").alias("sv"), F.col("b.code").alias("code"))
+        # per-round input is `train_sv` (== sv on the full-corpus
+        # path; the md5 sample when the cap bites)
+        assigned = _pq_assign(train_sv, books)
+    if train_sv is not sv and books is None:  # iters=0: modulo init, full corpus
+        assigned = sv.withColumn(
+            "code", ((F.col("_id") + F.col("j")) % ksub).cast("int")
         )
+    elif train_sv is not sv:
+        # sampled training: ONE exact encode pass over the full corpus
+        # against the final codebooks — identical subvectors encode
+        # identically whether or not they were sampled into training
+        assigned = _pq_assign(sv, books)
     # EAGER for the same reason as kmeans_centroids' assignment: a lazy
     # codes artifact would depend on the training-only subvector pin
     # (collapse-cache hazard class); materialized, the pin can be freed.
@@ -762,6 +863,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_sample_cap: int | None = None,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation + exact re-rank.
 
@@ -776,7 +878,9 @@ def pq_topk(
     standard IVF-PQ refinement step that turns quantization error into
     a recall knob instead of a result error.
     """
-    codes, books = pq_train(corpus, m, ksub, iters, id_col, vec_col, dims)
+    codes, books = pq_train(
+        corpus, m, ksub, iters, id_col, vec_col, dims, train_sample_cap
+    )
     # ADC partials: dot of each query subvector with every codeword
     qsub = _subvectors(queries, "query_id", m, id_col, vec_col, dims)
     partials = (
@@ -849,7 +953,9 @@ def ivfpq_topk(
     assigns, cents = kmeans_centroids(
         corpus, kclusters, coarse_iters, id_col, vec_col, dims, train_sample_cap
     )
-    codes, books = pq_train(corpus, m, ksub, pq_iters, id_col, vec_col, dims)
+    codes, books = pq_train(
+        corpus, m, ksub, pq_iters, id_col, vec_col, dims, train_sample_cap
+    )
     # coarse routing: query → nprobe nearest centroids
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     routed = (

@@ -753,6 +753,49 @@ def test_kmeans_below_cap_never_runs_python(spark, sf_dir, monkeypatch):
     assigns, cents = S.kmeans_centroids(emb, k=8, iters=2)
     assert assigns.count() == emb.count()
     assert cents.count() <= 8
+    # same gate on the repo's OTHER Lloyd (pq_train)
+    codes, books = S.pq_train(emb, m=8, ksub=16, iters=2)
+    assert codes.count() == emb.count() * 8
+
+
+def test_pq_sampled_training_contract(spark, sf_dir):
+    """pq_train's sampled regime (forced tiny cap): (a) below-cap
+    default is bit-identical to the full-corpus opt-out; (b) with the
+    cap biting, EVERY (vector, subspace) row is encoded exactly once
+    and an exact duplicate vector gets its original's codes in every
+    subspace (encode is exact; training membership is irrelevant);
+    (c) partition-count invariance."""
+    from fintrack_etl_spark import similarity as S
+    from fintrack_etl_spark.io import table
+
+    emb = table(spark, "embeddings", sf_dir)
+    n = emb.count()
+
+    def rows(codes):
+        return sorted((r["vec_id"], r["j"], r["code"]) for r in codes.collect())
+
+    a_def, b_def = S.pq_train(emb, m=8, ksub=16, iters=2)
+    a_full, b_full = S.pq_train(emb, m=8, ksub=16, iters=2, train_sample_cap=0)
+    assert rows(a_def) == rows(a_full)
+
+    cap = max(16, n // 4)
+    dup = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dup).localCheckpoint()
+    total = corpus.count()
+    codes, books = S.pq_train(corpus, m=8, ksub=16, iters=2, train_sample_cap=cap)
+    got = {(r["vec_id"], r["j"]): r["code"] for r in codes.collect()}
+    assert len(got) == total * 8  # every (vector, subspace) exactly once
+    for r in dup.select("vec_id").collect():
+        for j in range(8):
+            assert got[(r["vec_id"], j)] == got[(r["vec_id"] - 100000, j)]
+
+    for parts in (3, 17):
+        a_p, _ = S.pq_train(
+            corpus.repartition(parts), m=8, ksub=16, iters=2, train_sample_cap=cap
+        )
+        assert {(r["vec_id"], r["j"]): r["code"] for r in a_p.collect()} == got
 
 
 def test_sniff_media_metadata_real_headers(spark):

@@ -403,6 +403,22 @@ def probe_ann(spark, sf_dir: str, mult: int, tmp: str) -> None:
                    "assigned": rows, "sec": sec})
             assert rows == n_vecs, f"{name}@{m}x: assignment lost vectors"
 
+        # PQ cold-build rows (r10 — the sampled-training sweep's second
+        # Lloyd): codebook train + full encode, default vs opt-out
+        for name, cap in (("build_pq_default", None), ("build_pq_full", 0)):
+            while S._TRAIN_CACHE:
+                _, stale = S._TRAIN_CACHE.popitem()
+                unpersist_checkpointed(stale)
+
+            def _pq_build(cap=cap):
+                codes, _b = S.pq_train(corpus, 8, 16, 2, train_sample_cap=cap)
+                return codes.count()
+            rows, sec = _timed(_pq_build)
+            _emit({"probe": name, "mult": m, "vectors": n_vecs,
+                   "sampled": cap is None and n_vecs > S.TRAIN_SAMPLE_FLOOR,
+                   "code_rows": rows, "sec": sec})
+            assert rows == n_vecs * 8, f"{name}@{m}x: encode lost rows"
+
 
 def probe_grouped_rank(spark, sf_dir: str, mult: int, tmp: str) -> None:
     """windows.grouped_global_rank at scale (VERDICT r9 #5): the x54
