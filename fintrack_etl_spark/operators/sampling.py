@@ -34,10 +34,20 @@ _HEX_DIGITS = 4
 def rate_threshold_hex(rate: float, digits: int = _HEX_DIGITS) -> str:
     """Map a sampling rate in [0, 1] to the hex-string threshold such
     that ``md5_prefix < threshold`` keeps ≈rate of uniformly hashed
-    keys (exactly ``round(rate * 16**digits)`` buckets)."""
+    keys (exactly ``round(rate * 16**digits)`` buckets).
+
+    A POSITIVE rate below half a bucket (rate·16^digits rounding to 0)
+    clamps to ONE bucket rather than underflowing to the keep-nothing
+    threshold (ADVICE r10): callers asking to keep *something* — e.g.
+    the sampled-Lloyd cap/n at extreme N — must never get an empty
+    sample from resolution loss alone. rate == 0.0 still means
+    keep-nothing exactly.
+    """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     buckets = round(rate * (1 << (4 * digits)))
+    if buckets == 0 and rate > 0.0:
+        buckets = 1
     if buckets >= (1 << (4 * digits)):
         # keep-everything: the comparison is LEXICOGRAPHIC, so the
         # natural "one past the top" value ("1" + zeros) would sort

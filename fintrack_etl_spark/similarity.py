@@ -336,6 +336,14 @@ def auto_kclusters(corpus: DataFrame, floor: int = DEFAULT_IVF_FLOOR) -> int:
 TRAIN_SAMPLE_FLOOR = 4096
 TRAIN_SAMPLE_PER_CLUSTER = 32
 
+#: Ceiling on the centroid/codebook matrix the Arrow/BLAS assignment
+#: serializes into each task closure (ADVICE r10): k·D float64 bytes.
+#: 64 MiB ≈ k=128k clusters at D=64 — far past any auto-√N gate/bench
+#: configuration. Above it the exact pass falls back to the JVM
+#: broadcast-join argmax, whose small side is torrent-broadcast and
+#: memory-managed by the executor rather than pickled per task.
+_BLAS_CLOSURE_CAP_BYTES = 64 << 20
+
 
 def kmeans_centroids(
     corpus: DataFrame,
@@ -405,10 +413,32 @@ def kmeans_centroids(
         if n > cap:
             from .operators.sampling import rate_threshold_hex
 
-            thresh = rate_threshold_hex(cap / n)
+            # 8 hex digits (ADVICE r10 medium): at 4 digits cap/n
+            # underflows to the keep-NOTHING threshold once
+            # n > cap·2¹⁶/0.5 — training would run on an empty set and
+            # the final pass would crash (BLAS) or silently assign
+            # nothing (JVM). 8 digits + the ≥1-bucket clamp keep the
+            # sample non-empty in expectation out to n ≈ cap·2³².
+            thresh = rate_threshold_hex(cap / n, digits=8)
             train = v.filter(
-                F.substring(F.md5(F.col("_id").cast("string")), 1, 4) < thresh
-            )
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 8) < thresh
+            ).localCheckpoint(eager=True)
+            # Eager pin: each Lloyd round re-reads the sample; without
+            # the cut every round re-runs the md5 filter over ALL N
+            # pinned rows — O(N·iters) scans for a cap-sized input.
+            # Materialized, the emptiness guard below is a free count
+            # over ~cap local rows.
+            if train.count() == 0:
+                # Belt-and-braces (ADVICE r10): resolution loss can no
+                # longer produce this, but a pathological id set could.
+                # Empty training would yield empty centroids → empty
+                # (or crashing) final assignment: fall back to the
+                # full-corpus loop instead.
+                unpersist_blocks = train
+                train = v
+                from .operators.memo import unpersist_checkpointed
+
+                unpersist_checkpointed(unpersist_blocks)
     # Fixed-width detection — the gate for the Arrow/BLAS assignment
     # below (np.stack needs a rectangular matrix). NOT used to unroll
     # the dot: the r10 probe MEASURED the 64-term unrolled chain in
@@ -467,12 +497,33 @@ def kmeans_centroids(
         partition-invariant (no cross-row accumulation). Summation
         ORDER inside one dot differs from the JVM fold at ulp level —
         acceptable above the cap, where training is already sampled;
-        below the cap every path stays the bit-exact JVM loop."""
+        below the cap every path stays the bit-exact JVM loop.
+
+        The centroid matrix ships in the task closure as a COMPACT
+        numpy array (ADVICE r10: list-of-lists Python floats are ~6×
+        the bytes and pickle row-at-a-time), and the path is gated on
+        ``k·D·8 ≤ _BLAS_CLOSURE_CAP_BYTES`` — above that ceiling the
+        caller falls back to the JVM broadcast-join assignment, whose
+        broadcast is torrent-distributed and memory-managed instead of
+        being serialized into every task.
+
+        Zero-norm rows (ADVICE r10): the division is run under
+        ``np.errstate`` with divide/invalid ignored — a zero-norm
+        vector or centroid yields NaN sims BY DESIGN, matching the JVM
+        path's 0/0 → NaN. Tie-break parity holds in both directions:
+        a zero-norm VECTOR has all-NaN sims — np.argmax returns the
+        FIRST index (rows are cid-sorted → lowest cid), and Spark's
+        struct-max sees k equal NaN sims and takes max(-cid) → lowest
+        cid; a zero-norm CENTROID poisons one cid-sorted column —
+        np.argmax returns the first NaN it scans (lowest zero-norm
+        cid), and Spark orders NaN above every double with the same
+        -cid tie-break. Documented, not coincidental."""
+        import numpy as np
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         crows = sorted(cents.select("cid", "ccv").collect(), key=lambda r: r["cid"])
-        cid_arr = [int(r["cid"]) for r in crows]
-        cmat = [list(r["ccv"]) for r in crows]
+        cid_arr = np.asarray([int(r["cid"]) for r in crows], dtype="int32")
+        cmat = np.asarray([r["ccv"] for r in crows], dtype="float64")
         schema = StructType(
             [frame.schema["_id"], frame.schema["cv"], StructField("cid", IntegerType(), False)]
         )
@@ -481,23 +532,26 @@ def kmeans_centroids(
             import numpy as np  # re-import: runs inside the worker
             import pandas as pd
 
-            C = np.asarray(cmat, dtype="float64")
-            cn = np.sqrt((C * C).sum(axis=1))
-            cids = np.asarray(cid_arr, dtype="int32")
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 V = np.asarray(pdf["cv"].tolist(), dtype="float64")
                 vn = np.sqrt((V * V).sum(axis=1))
-                sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (V @ cmat.T) / (vn[:, None] * cn[None, :])
                 best = sims.argmax(axis=1)
                 yield pd.DataFrame(
-                    {"_id": pdf["_id"], "cv": pdf["cv"], "cid": cids[best]}
+                    {"_id": pdf["_id"], "cv": pdf["cv"], "cid": cid_arr[best]}
                 )
 
         return frame.mapInPandas(gen, schema)
 
-    if train is not v and width is not None:
+    if (
+        train is not v
+        and width is not None
+        and k * width * 8 <= _BLAS_CLOSURE_CAP_BYTES
+    ):
         _assign = _assign_blas  # noqa: F811 — the sampled/scale regime
 
     assigned = train.withColumn("cid", (F.col("_id") % k).cast("int"))
@@ -548,6 +602,8 @@ def kmeans_centroids(
         cents,
     )
     unpersist_checkpointed(v)
+    if train is not v:  # free the training-sample pin too (block hygiene)
+        unpersist_checkpointed(train)
     _train_cache_put(ckey, result)
     return result
 
@@ -724,10 +780,20 @@ def pq_train(
         if n > cap:
             from .operators.sampling import rate_threshold_hex
 
-            thresh = rate_threshold_hex(cap / n)
+            # 8 hex digits + eager sample pin + emptiness fallback —
+            # the same ADVICE r10 fixes as kmeans_centroids (see the
+            # comments there): no keep-nothing underflow at extreme N,
+            # no per-round md5 re-filter over all N·m pinned rows, no
+            # empty-codebook crash on a pathological id set.
+            thresh = rate_threshold_hex(cap / n, digits=8)
             train_sv = sv.filter(
-                F.substring(F.md5(F.col("_id").cast("string")), 1, 4) < thresh
-            )
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 8) < thresh
+            ).localCheckpoint(eager=True)
+            if train_sv.count() == 0:
+                from .operators.memo import unpersist_checkpointed
+
+                unpersist_checkpointed(train_sv)
+                train_sv = sv
             wrow = sv.agg(F.min(F.size("sv")), F.max(F.size("sv"))).first()
             if wrow[0] is not None and wrow[0] == wrow[1] and wrow[0] > 0:
                 width = int(wrow[0])
@@ -760,15 +826,25 @@ def pq_train(
         keeps the lowest-code tie-break, identical subvectors encode
         identically, no cross-row accumulation so the result is
         partition-invariant; ulp-level summation-order drift vs the
-        JVM fold is confined to the above-cap regime)."""
+        JVM fold is confined to the above-cap regime). The codebook
+        ships closure-side as compact numpy arrays under the same
+        ``_BLAS_CLOSURE_CAP_BYTES`` ceiling as ``_assign_blas``
+        (ADVICE r10) — above it the caller keeps the JVM
+        broadcast-join encode. Dots only, no norm division, so the
+        zero-norm NaN discussion there does not arise here."""
+        import numpy as np
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         brows = books.select("j", "code", "ccv").collect()
-        bmats: dict[int, tuple[list[int], list[list[float]]]] = {}
+        lists: dict[int, tuple[list[int], list[list[float]]]] = {}
         for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
-            cs, vs = bmats.setdefault(int(r["j"]), ([], []))
+            cs, vs = lists.setdefault(int(r["j"]), ([], []))
             cs.append(int(r["code"]))
-            vs.append(list(r["ccv"]))
+            vs.append(r["ccv"])
+        mats = {
+            j: (np.asarray(cs, dtype="int32"), np.asarray(vs, dtype="float64"))
+            for j, (cs, vs) in lists.items()
+        }
         schema = StructType(
             [frame.schema["_id"], frame.schema["j"], frame.schema["sv"],
              StructField("code", IntegerType(), False)]
@@ -778,10 +854,6 @@ def pq_train(
             import numpy as np
             import pandas as pd
 
-            mats = {
-                j: (np.asarray(cs, dtype="int32"), np.asarray(vs, dtype="float64"))
-                for j, (cs, vs) in bmats.items()
-            }
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -799,7 +871,11 @@ def pq_train(
 
         return frame.mapInPandas(gen, schema)
 
-    if train_sv is not sv and width is not None:
+    if (
+        train_sv is not sv
+        and width is not None
+        and m * ksub * width * 8 <= _BLAS_CLOSURE_CAP_BYTES
+    ):
         _pq_assign = _pq_assign_blas  # noqa: F811 — the sampled/scale regime
 
     assigned = train_sv.withColumn(
@@ -847,6 +923,8 @@ def pq_train(
         eager=True
     )
     unpersist_checkpointed(sv)
+    if train_sv is not sv:  # free the training-sample pin (block hygiene)
+        unpersist_checkpointed(train_sv)
     result = (codes, books)
     _train_cache_put(ckey, result)
     return result

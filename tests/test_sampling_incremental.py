@@ -28,6 +28,21 @@ def test_rate_threshold_endpoints():
         rate_threshold_hex(1.5)
 
 
+def test_rate_threshold_tiny_positive_clamps_to_one_bucket():
+    """ADVICE r10 (medium): a POSITIVE rate must never underflow to the
+    keep-nothing threshold — the sampled-Lloyd cap/n at extreme N
+    (n > cap·2¹⁷ at 4 digits) previously got '0000' and trained on an
+    EMPTY set. rate == 0.0 keeps meaning keep-nothing exactly."""
+    assert rate_threshold_hex(1e-12) == "0001"  # clamped, not "0000"
+    assert rate_threshold_hex(1e-12, digits=8) == "00000001"
+    assert rate_threshold_hex(0.0) == "0000"  # exact zero unchanged
+    assert rate_threshold_hex(0.0, digits=8) == "00000000"
+    # the sampled-Lloyd regime: cap/n at n ≈ 537M × cap — 8 digits keep
+    # a real, nonzero slice where 4 digits rounded to nothing
+    rate = 4096 / (4096 * (1 << 17))
+    assert rate_threshold_hex(rate, digits=8) > "00000000"
+
+
 def test_stratified_sample_membership_is_deterministic(spark, sf_dir):
     docs = table(spark, "documents", sf_dir)
     a = stratified_sample(docs, spark, "lang", "doc_id", RATES, 0.1)

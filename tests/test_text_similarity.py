@@ -709,9 +709,9 @@ def test_kmeans_sampled_lloyd_contract(spark, sf_dir):
     )
     corpus = emb.unionByName(dup).localCheckpoint()
     total = corpus.count()
-    thresh = rate_threshold_hex(cap / total)
+    thresh = rate_threshold_hex(cap / total, digits=8)  # ADVICE r10: 8-digit threshold
     sampled_n = corpus.filter(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < thresh
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8) < thresh
     ).count()
     assert 0 < sampled_n < total  # the cap bites
     a_s, c_s = kmeans_centroids(corpus, k=8, iters=2, train_sample_cap=cap)
@@ -796,6 +796,87 @@ def test_pq_sampled_training_contract(spark, sf_dir):
             corpus.repartition(parts), m=8, ksub=16, iters=2, train_sample_cap=cap
         )
         assert {(r["vec_id"], r["j"]): r["code"] for r in a_p.collect()} == got
+
+
+def _drain_train_cache():
+    from fintrack_etl_spark import similarity as S
+    from fintrack_etl_spark.operators.memo import unpersist_checkpointed
+
+    while S._TRAIN_CACHE:
+        _, stale = S._TRAIN_CACHE.popitem()
+        unpersist_checkpointed(stale)
+
+
+def test_sampled_train_empty_falls_back_to_full_corpus(spark, sf_dir, monkeypatch):
+    """ADVICE r10 (medium): an EMPTY md5-threshold training sample
+    (forced here with a keep-nothing threshold) must fall back to
+    full-corpus training, not train on nothing and lose every
+    assignment. With the fallback, the sampled-cap call is
+    bit-identical to the explicit full-corpus opt-out — on BOTH
+    Lloyds."""
+    from fintrack_etl_spark import similarity as S
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.operators import sampling
+
+    _drain_train_cache()
+    emb = table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    cap = max(16, n // 4)
+
+    want_k, _ = S.kmeans_centroids(emb, k=8, iters=2, train_sample_cap=0)
+    want_kr = sorted((r["vec_id"], r["cid"]) for r in want_k.collect())
+    want_p, _ = S.pq_train(emb, m=8, ksub=16, iters=2, train_sample_cap=0)
+    want_pr = sorted((r["vec_id"], r["j"], r["code"]) for r in want_p.collect())
+
+    monkeypatch.setattr(
+        sampling, "rate_threshold_hex", lambda rate, digits=4: "0" * digits
+    )
+    a, _ = S.kmeans_centroids(emb, k=8, iters=2, train_sample_cap=cap)
+    assert sorted((r["vec_id"], r["cid"]) for r in a.collect()) == want_kr
+    codes, _ = S.pq_train(emb, m=8, ksub=16, iters=2, train_sample_cap=cap)
+    assert sorted((r["vec_id"], r["j"], r["code"]) for r in codes.collect()) == want_pr
+    _drain_train_cache()  # the forced-fallback rows must not outlive the patch
+
+
+def test_blas_closure_cap_falls_back_to_jvm_join(spark, sf_dir, monkeypatch):
+    """ADVICE r10 (low): the Arrow/BLAS exact pass serializes the k×D
+    centroid (or m·ksub×dsub codebook) matrix into every task closure,
+    so it is gated on ``_BLAS_CLOSURE_CAP_BYTES``; above the ceiling
+    the sampled regime must keep the JVM broadcast-join argmax —
+    pinned with a mapInPandas tripwire, contracts re-asserted on the
+    fallback path."""
+    from pyspark.sql import DataFrame
+
+    from fintrack_etl_spark import similarity as S
+    from fintrack_etl_spark.io import table
+
+    monkeypatch.setattr(S, "_BLAS_CLOSURE_CAP_BYTES", 0)
+
+    def boom(self, *a, **k):
+        raise AssertionError("BLAS mapInPandas reached above the closure cap")
+
+    monkeypatch.setattr(DataFrame, "mapInPandas", boom)
+    emb = table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    cap = max(16, n // 4)
+    dup = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dup).localCheckpoint()
+    total = corpus.count()
+
+    a, _ = S.kmeans_centroids(corpus, k=8, iters=2, train_sample_cap=cap)
+    got = {r["vec_id"]: r["cid"] for r in a.collect()}
+    assert len(got) == total
+    for r in dup.select("vec_id").collect():
+        assert got[r["vec_id"]] == got[r["vec_id"] - 100000]
+
+    codes, _ = S.pq_train(corpus, m=8, ksub=16, iters=2, train_sample_cap=cap)
+    gotc = {(r["vec_id"], r["j"]): r["code"] for r in codes.collect()}
+    assert len(gotc) == total * 8
+    for r in dup.select("vec_id").collect():
+        for j in range(8):
+            assert gotc[(r["vec_id"], j)] == gotc[(r["vec_id"] - 100000, j)]
 
 
 def test_sniff_media_metadata_real_headers(spark):
@@ -1816,6 +1897,43 @@ def test_df_guard_default_is_dup_safe(spark):
             ).count()
             == 0
         )
+
+
+def test_jaccard_route_marker_all_branches(spark):
+    """VERDICT r10 #5: ngram_jaccard_pairs is SELF-DESCRIBING — the
+    branch taken rides the result's ``doc_a`` column metadata
+    (``jaccard_route`` reads it back), so downstream consumers can
+    tell which miss-class contract their pairs carry. The marker is
+    metadata, not a column: schema and values are untouched, and on
+    this corpus (no hot-overlap-only pairs at the guard cap) all three
+    branches agree pair-for-pair."""
+    docs = [
+        (i * 1000 + r, f"c1 c2 c3 c4 c5 c6 t{i} u{i}_{r}")
+        for i in range(3)
+        for r in range(4)
+    ] + [(900_000 + j, f"c1 c2 c3 c4 c5 c6 f{j} g{j}") for j in range(700)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # no guard requested -> exact self-join, no miss class
+    plain = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6)
+    assert DD.jaccard_route(plain) == "exact_self_join"
+
+    # family shingle df=4 sits in the (1, 0.01·N] band -> routed
+    routed = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6, max_df=1)
+    assert DD.jaccard_route(routed) == "routed_prefix_filter"
+
+    # floor at the dup factor empties the band -> classic df guard
+    guarded = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6, max_df=4)
+    assert DD.jaccard_route(guarded) == "df_guard"
+
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in plain.collect()}
+    assert len(want) == 3 * (4 * 3 // 2)  # the 18 within-family pairs
+    assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in routed.collect()} == want
+    assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in guarded.collect()} == want
+    assert [f.name for f in routed.schema.fields] == ["doc_a", "doc_b", "jaccard"]
+
+    # a frame that merely HAS a doc_a column reads as unmarked
+    assert DD.jaccard_route(df.select(F.col("doc_id").alias("doc_a"))) is None
 
 
 def test_df_guard_frac_is_replication_invariant(spark):
