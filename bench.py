@@ -485,6 +485,12 @@ def main() -> None:
             sum(t for t in core.values() if t is not None), 3
         )
         out["core50_n_queries"] = len(core)
+        # Persist the per-query core-50 breakdown in the FINAL JSON too
+        # (r11): the r8→r10 core-50 drift investigation (VERDICT r10 #2)
+        # had totals but no per-query lines to diff because this dict
+        # only went to stdout, which the driver does not keep. With it
+        # in the artifact, any future drift names its queries for free.
+        out["core50_queries"] = core
         print(json.dumps({"metric": "core50_queries_sec", "queries": core}), flush=True)
 
         if skew is not None:

@@ -389,6 +389,17 @@ def probe_ann(spark, sf_dir: str, mult: int, tmp: str) -> None:
             ("build_auto_k_default", ak, None),
             ("build_auto_k_full", ak, 0),
         ):
+            if name == "build_auto_k_full" and m > 20:
+                # The opt-out full-corpus Lloyd at auto-√N k is the
+                # O(N^1.5) shape the sampled path EXISTS to avoid
+                # (r9: 95.9 s at 10x ⇒ ~50 min at 100x) — past 20x the
+                # comparison row costs the whole probe budget for a
+                # number whose growth law is already measured. Emit an
+                # explicit skip (no silent caps), keep the default row.
+                _emit({"probe": name, "mult": m, "vectors": n_vecs, "k": kk,
+                       "skipped": "full-corpus auto-k Lloyd is the measured "
+                                  "O(N^1.5) baseline; not re-run past 20x"})
+                continue
             while S._TRAIN_CACHE:
                 _, stale = S._TRAIN_CACHE.popitem()
                 unpersist_checkpointed(stale)
