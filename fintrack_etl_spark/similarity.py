@@ -87,7 +87,10 @@ def cosine_topk_bruteforce(
     """Exact top-k neighbors per query by cosine.
 
     Queries are broadcast (the small side); the corpus is scanned once
-    with no shuffle; the per-query top-k window shuffles only
+    with no data-sized shuffle (a compact single-split scan gets one
+    corpus-sized spread to core parallelism first — see
+    :func:`_spread_candidates`; many-split scans skip it); the
+    per-query top-k window shuffles only
     |queries|×|corpus-partition-topk| rows after AQE.
     """
     q = queries.select(
@@ -96,6 +99,7 @@ def cosine_topk_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv"), dims))
+    c = _spread_candidates(c, "neighbor_id", _corpus_count(corpus))
     sim = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", dot(F.col("qv"), F.col("cv"), dims) / (F.col("qn") * F.col("cn")))
@@ -156,6 +160,8 @@ def cosine_topk_lsh(
 
     q = bucketed(queries, "query_id")
     c = bucketed(corpus, "neighbor_id")
+    n = _corpus_count(corpus)
+    c = _spread_candidates(c, "neighbor_id", n * tables if n is not None else None)
     cand = (
         c.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -236,6 +242,7 @@ def ivf_topk(
         F.col(label_col).alias("label"),
         _as_double(F.col(vec_col)).alias("cv"),
     )
+    c = _spread_candidates(c, "neighbor_id", _corpus_count(corpus))
     sim = (
         c.join(F.broadcast(routed), "label")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -308,6 +315,53 @@ def _corpus_count(corpus: DataFrame) -> int | None:
 
 _COUNT_CACHE: dict[tuple, int] = {}
 _COUNT_CACHE_MAX = 64
+
+
+#: Minimum candidate rows per task before a pre-scoring spread is worth
+#: a shuffle. Every oracle-gated fixture (500–2000 vectors) stays under
+#: one task's worth, so gate and bench plans are byte-identical with or
+#: without the helper — the spread exists for the compact-file × large-
+#: fanout regime the r11 50× probe caught (see _spread_candidates).
+_SPREAD_ROWS_PER_TASK = 2048
+
+
+def _spread_candidates(df: DataFrame, key: str, n_rows: int | None) -> DataFrame:
+    """Hash-repartition the candidate (corpus) side of a scoring join
+    up to the session's core parallelism BEFORE the broadcast-fanout
+    join against the query side.
+
+    Why: every ANN query path here is ``candidates ⋈ broadcast(queries)
+    → cosine → per-query top-k``. A broadcast join preserves the
+    STREAM side's partitioning, and partition counts come from scan
+    BYTES (``maxPartitionBytes``) — blind to the join's fan-out. The
+    r11 50× probe measured the failure: a 100k-vector corpus lands in
+    ONE ~50 MB parquet split, so 26M candidate pairs × a 64-element
+    interpreted HOF fold ran as ONE 16-minute task on a 32-core host.
+    At real scale the scan arrives in many splits and this helper is a
+    no-op (``getNumPartitions() >= target``); it exists for the
+    compact-scan × large-fanout middle, where one cheap corpus-sized
+    shuffle (hash on the unique id — uniform, no round-robin local
+    sort) buys full-width scoring parallelism.
+
+    Value-neutral by construction: every consumer computes per-row
+    expressions and per-key aggregates/windows with explicit id
+    tie-breaks. The one partition-ORDER-sensitive consumer (PQ's ADC
+    ``sum`` of double partials) only sees a changed plan above the
+    per-task floor, which no oracle-gated fixture reaches.
+
+    ``n_rows=None`` (no memoizable file signature — test-local
+    corpora) skips: such corpora are gate-sized and a shuffle would be
+    pure overhead.
+    """
+    if n_rows is None or n_rows <= _SPREAD_ROWS_PER_TASK:
+        return df
+    target = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        -(-n_rows // _SPREAD_ROWS_PER_TASK),
+    )
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def auto_kclusters(corpus: DataFrame, floor: int = DEFAULT_IVF_FLOOR) -> int:
@@ -401,13 +455,21 @@ def kmeans_centroids(
         return cached
     # Pin the vector table: every Lloyd round joins it, and re-deriving
     # the scan+cast lineage per round is plan-compile overhead (same
-    # rationale as pq_train's sv checkpoint).
-    v = corpus.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("cv")
+    # rationale as pq_train's sv checkpoint). Spread a compact scan to
+    # core parallelism FIRST (r11, _spread_candidates): the pinned
+    # blocks feed every per-round assignment join and the final exact
+    # pass — including the map-only Arrow/BLAS pass, whose task count
+    # IS this partitioning — and a 1-split corpus file would otherwise
+    # single-thread all of it.
+    n_corpus = _corpus_count(corpus)
+    v = _spread_candidates(
+        corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("cv")),
+        "_id",
+        n_corpus,
     ).localCheckpoint()
     train = v
     if cap is not None:
-        n = _corpus_count(corpus)
+        n = n_corpus
         if n is None:
             n = v.count()  # over the pinned blocks — no corpus rescan
         if n > cap:
@@ -649,6 +711,7 @@ def ivf_topk_kmeans(
     c = corpus.join(assigns, id_col).select(
         F.col(id_col).alias("neighbor_id"), "cid", _as_double(F.col(vec_col)).alias("cv")
     )
+    c = _spread_candidates(c, "neighbor_id", _corpus_count(corpus))
     sim = (
         c.join(F.broadcast(routed), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -768,13 +831,22 @@ def pq_train(
     # Pin the subvector table once: every Lloyd round (and the final
     # encode) joins against it, and without the cut each round's plan
     # re-derives the scan + normalize + slice lineage — at gate scale
-    # that's pure plan-compile overhead dominating wall time.
-    sv = _subvectors(corpus, "_id", m, id_col, vec_col, dims).localCheckpoint()
+    # that's pure plan-compile overhead dominating wall time. Spread a
+    # compact scan to core parallelism first (r11, _spread_candidates —
+    # the same 1-split-file hazard as kmeans_centroids' v: the pinned
+    # partitioning is the task count of every round AND of the map-only
+    # Arrow encode pass).
+    n_corpus = _corpus_count(corpus)
+    sv = _spread_candidates(
+        _subvectors(corpus, "_id", m, id_col, vec_col, dims),
+        "_id",
+        n_corpus * m if n_corpus is not None else None,
+    ).localCheckpoint()
     sublen = dims // m if dims else None
     train_sv = sv
     width = None
     if cap is not None:
-        n = _corpus_count(corpus)
+        n = n_corpus
         if n is None:
             n = sv.count() // m  # over the pinned blocks, no corpus rescan
         if n > cap:
@@ -966,8 +1038,12 @@ def pq_topk(
         .withColumn("partial", dot(F.col("sv"), F.col("ccv"), dims // m if dims else None))
         .select("query_id", "j", "code", "partial")
     )
+    n = _corpus_count(corpus)
+    adc_codes = _spread_candidates(
+        codes, id_col, n * m if n is not None else None
+    )
     approx = (
-        codes.join(F.broadcast(partials), ["j", "code"])
+        adc_codes.join(F.broadcast(partials), ["j", "code"])
         .filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(F.sum("partial").alias("approx_sim"))
@@ -1058,9 +1134,13 @@ def ivfpq_topk(
     # codes restricted to the probed coarse cells: the broadcast
     # (query, cid) pairs prune the scan before any ADC work happens —
     # at scale this is partition pruning on the codes table
+    n = _corpus_count(corpus)
+    adc_codes = _spread_candidates(
+        codes, id_col, n * m if n is not None else None
+    )
     probed = (
-        codes.join(assigns.withColumnRenamed(id_col, "__aid"),
-                   codes[id_col] == F.col("__aid"))
+        adc_codes.join(assigns.withColumnRenamed(id_col, "__aid"),
+                       adc_codes[id_col] == F.col("__aid"))
         .join(F.broadcast(routed), "cid")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col, "j", "code")

@@ -879,6 +879,99 @@ def test_blas_closure_cap_falls_back_to_jvm_join(spark, sf_dir, monkeypatch):
             assert gotc[(r["vec_id"], j)] == gotc[(r["vec_id"] - 100000, j)]
 
 
+def test_spread_candidates_scale_partitioning(spark, sf_dir, tmp_path):
+    """r11 (found by the 50× ANN probe): a compact single-split corpus
+    file fed every ANN scoring join — and the Lloyd/BLAS assignment
+    passes — at the SCAN's partition count, so 26M candidate pairs ran
+    as ONE 16-minute task on a 32-core host. ``_spread_candidates``
+    hash-repartitions the candidate side up to core parallelism when
+    (and only when) the corpus is above the per-task floor AND the scan
+    came back coarser; gate-scale corpora and already-parallel inputs
+    pass through untouched (plan byte-identity for every oracle
+    fixture)."""
+    from fintrack_etl_spark import similarity as S
+    from fintrack_etl_spark.io import table
+
+    emb = table(spark, "embeddings", sf_dir)
+    reps = spark.range(6).select(F.col("id").alias("r"))
+    big = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("r") * 100_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CAST(r AS FLOAT) * CAST(0.0001 AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    )
+    path = str(tmp_path / "big_emb")
+    big.coalesce(1).write.parquet(path)  # ONE split — the hazard shape
+    corpus = spark.read.parquet(path)
+    n = corpus.count()
+    assert n > S._SPREAD_ROWS_PER_TASK
+
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    assert c.rdd.getNumPartitions() == 1  # the compact-scan collapse is real
+    spread = S._spread_candidates(c, "neighbor_id", S._corpus_count(corpus))
+    want_parts = min(
+        spark.sparkContext.defaultParallelism, -(-n // S._SPREAD_ROWS_PER_TASK)
+    )
+    assert spread.rdd.getNumPartitions() == want_parts > 1
+
+    # pass-through contract: below the floor / unknown size / already parallel
+    assert S._spread_candidates(c, "neighbor_id", S._SPREAD_ROWS_PER_TASK) is c
+    assert S._spread_candidates(c, "neighbor_id", None) is c
+    assert S._spread_candidates(spread, "neighbor_id", n) is spread
+
+
+def test_spread_value_parity_bruteforce_and_builders(spark, sf_dir, tmp_path, monkeypatch):
+    """The spread is value-NEUTRAL: per-row cosine + id-tie-broken
+    windows (query paths) and exact integer micro-unit centroid sums
+    (Lloyd) are partition-invariant by design. Pin it: the spread plan
+    and the unspread plan return identical rows for the brute-force
+    query path, and kmeans/pq assignments are identical when the spread
+    is FORCED at gate scale via a lowered floor."""
+    from fintrack_etl_spark import similarity as S
+    from fintrack_etl_spark.io import table
+
+    emb = table(spark, "embeddings", sf_dir)
+    reps = spark.range(6).select(F.col("id").alias("r"))
+    big = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("r") * 100_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CAST(r AS FLOAT) * CAST(0.0001 AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    )
+    path = str(tmp_path / "parity_emb")
+    big.coalesce(1).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    queries = corpus.filter(F.col("vec_id") % 997 == 0)  # deterministic membership
+
+    got = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_bruteforce(queries, corpus, k=5).collect()
+    )
+    monkeypatch.setattr(S, "_SPREAD_ROWS_PER_TASK", 10**9)  # force the old plan
+    want = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_bruteforce(queries, corpus, k=5).collect()
+    )
+    assert got == want and len(got) >= 5  # ≥1 query × top-5
+
+    # builders: force the spread at gate scale, assignments must not move
+    _drain_train_cache()
+    monkeypatch.setattr(S, "_SPREAD_ROWS_PER_TASK", 100)
+    a_s, _ = S.kmeans_centroids(emb, k=8, iters=2)
+    got_k = sorted((r["vec_id"], r["cid"]) for r in a_s.collect())
+    c_s, _ = S.pq_train(emb, m=8, ksub=16, iters=1)
+    got_p = sorted((r["vec_id"], r["j"], r["code"]) for r in c_s.collect())
+    _drain_train_cache()
+    monkeypatch.setattr(S, "_SPREAD_ROWS_PER_TASK", 10**9)
+    a_u, _ = S.kmeans_centroids(emb, k=8, iters=2)
+    assert sorted((r["vec_id"], r["cid"]) for r in a_u.collect()) == got_k
+    c_u, _ = S.pq_train(emb, m=8, ksub=16, iters=1)
+    assert sorted((r["vec_id"], r["j"], r["code"]) for r in c_u.collect()) == got_p
+    _drain_train_cache()  # patched-plan artifacts must not outlive the patch
+
+
 def test_sniff_media_metadata_real_headers(spark):
     """The header sniffer is REAL (pure-Python spec parsing, no codec):
     hand-built valid PNG/JPEG/GIF/BMP/WAV headers yield exact
