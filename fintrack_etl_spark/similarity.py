@@ -1027,6 +1027,25 @@ def pq_topk(
     re-ranked with EXACT cosine against the full vectors — the
     standard IVF-PQ refinement step that turns quantization error into
     a recall knob instead of a result error.
+
+    **ADC ties are included at the shortlist boundary** (r11 — found
+    by the 100× probe): vectors with identical codes have identical
+    ADC scores, ADC cannot rank inside such a class, and a
+    ``row_number`` cut used to truncate it by id order — at 100×
+    (100-member near-dup families, every member code-identical to the
+    planted query twin) half the twins fell out of a 50-deep shortlist
+    and self-recall broke (1285/2063). The cut is now ``rank()`` over
+    the score alone, so everything ADC cannot distinguish from the
+    boundary candidate goes to the exact re-rank, which CAN rank it —
+    the planted-dup contract holds at ANY code-collision class size,
+    paying only |boundary tie class| extra exact cosines. To make
+    "identical codes ⇒ identical score" exact rather than
+    ulp-accidental, partials are quantized to integer NANO-UNITS
+    (``round(partial·1e9)`` BIGINT — the repo's exact-integer
+    aggregation discipline): BIGINT sums are associative, so the tie
+    class is exact under any partitioning/order, while 1e-9 score
+    resolution is far inside quantization error for a SHORTLISTING
+    signal (final values come from the exact re-rank either way).
     """
     codes, books = pq_train(
         corpus, m, ksub, iters, id_col, vec_col, dims, train_sample_cap
@@ -1036,7 +1055,10 @@ def pq_topk(
     partials = (
         qsub.join(F.broadcast(books), "j")
         .withColumn("partial", dot(F.col("sv"), F.col("ccv"), dims // m if dims else None))
-        .select("query_id", "j", "code", "partial")
+        # exact integer nano-units: identical codes ⇒ EXACTLY equal ADC
+        # sums under any partitioning (see the tie-inclusion docstring)
+        .withColumn("qpartial", F.expr("CAST(round(partial * 1e9) AS BIGINT)"))
+        .select("query_id", "j", "code", "qpartial")
     )
     n = _corpus_count(corpus)
     adc_codes = _spread_candidates(
@@ -1046,10 +1068,12 @@ def pq_topk(
         adc_codes.join(F.broadcast(partials), ["j", "code"])
         .filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum("partial").alias("approx_sim"))
+        .agg(F.sum("qpartial").alias("approx_sim"))
     )
-    ws = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
-    short = approx.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= shortlist)
+    # rank(), score only: ADC-indistinguishable candidates tie and ALL
+    # reach the exact re-rank — never truncated by id order
+    ws = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"))
+    short = approx.withColumn("rs", F.rank().over(ws)).filter(F.col("rs") <= shortlist)
     # exact re-rank of the shortlist
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
@@ -1096,7 +1120,9 @@ def ivfpq_topk(
     Determinism matches the component operators (modulo init, rounded
     means, id tie-breaks) — the planted-duplicate contract holds: an
     exact dup shares its query's coarse cell and code word, so it
-    ADC-maximizes and re-ranks to rank 1 / cosine 1.0.
+    ADC-maximizes and re-ranks to rank 1 / cosine 1.0 — at ANY
+    code-collision class size, because the ADC shortlist cut includes
+    boundary ties over exact integer scores (see pq_topk's r11 notes).
 
     ``kclusters=None`` auto-selects ``max(8, ceil(√N))``
     (:func:`auto_kclusters`, r9) — the coarse grid keeps the ADC scan
@@ -1129,7 +1155,9 @@ def ivfpq_topk(
     partials = (
         qsub.join(F.broadcast(books), "j")
         .withColumn("partial", dot(F.col("sv"), F.col("ccv"), dims // m if dims else None))
-        .select("query_id", "j", "code", "partial")
+        # exact integer nano-units — see pq_topk's tie-inclusion notes
+        .withColumn("qpartial", F.expr("CAST(round(partial * 1e9) AS BIGINT)"))
+        .select("query_id", "j", "code", "qpartial")
     )
     # codes restricted to the probed coarse cells: the broadcast
     # (query, cid) pairs prune the scan before any ADC work happens —
@@ -1148,10 +1176,13 @@ def ivfpq_topk(
     approx = (
         probed.join(F.broadcast(partials), ["query_id", "j", "code"])
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum("partial").alias("approx_sim"))
+        .agg(F.sum("qpartial").alias("approx_sim"))
     )
-    ws = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
-    short = approx.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= shortlist)
+    # rank() over the score alone: ADC ties go to the exact re-rank
+    # whole, never id-truncated (pq_topk's r11 contract — the 100×
+    # probe broke the row_number cut at code-collision class 100)
+    ws = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"))
+    short = approx.withColumn("rs", F.rank().over(ws)).filter(F.col("rs") <= shortlist)
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

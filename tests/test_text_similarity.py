@@ -972,6 +972,46 @@ def test_spread_value_parity_bruteforce_and_builders(spark, sf_dir, tmp_path, mo
     _drain_train_cache()  # patched-plan artifacts must not outlive the patch
 
 
+def test_pq_shortlist_includes_adc_ties(spark, sf_dir):
+    """r11 (found by the 100× ANN probe): a code-collision class larger
+    than the shortlist must not evict the exact match by id order. The
+    family below is code-identical (1e-6 perturbations quantize to the
+    same cells), its near-dup members hold the LOWEST ids, and the true
+    original sits above ``shortlist`` of them — the old
+    ``row_number``-over-(score, id) cut truncated the tied class and
+    the exact match never reached the re-rank (100×: self-recall
+    1285/2063). With rank() over exact integer ADC scores the whole
+    tied class is re-ranked exactly and cosine 1.0 wins at rank 1 — on
+    BOTH the PQ and the IVF-PQ path."""
+    from fintrack_etl_spark.io import table
+    from fintrack_etl_spark.similarity import ivfpq_topk, pq_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    near = [
+        (1000 + i, [float(x) + (1e-6 if d == 0 else 0.0) for d, x in enumerate(base)], 0)
+        for i in range(8)
+    ]
+    original = (2000, [float(x) for x in base], 0)
+    rows = near + [original]
+    fam = spark.createDataFrame(rows, emb.schema)
+    corpus = emb.filter(F.col("vec_id") != 7).unionByName(fam)
+    query = spark.createDataFrame(
+        [(999_999, [float(x) for x in base], 0)], emb.schema
+    )
+
+    for fn in (
+        lambda: pq_topk(query, corpus, k=5, m=8, ksub=16, shortlist=3),
+        lambda: ivfpq_topk(
+            query, corpus, k=5, kclusters=8, nprobe=2, m=8, ksub=16, shortlist=3
+        ),
+    ):
+        top1 = fn().filter(F.col("rnk") == 1).collect()
+        assert len(top1) == 1
+        assert top1[0]["neighbor_id"] == 2000, top1
+        assert top1[0]["cosine"] == 1.0, top1
+
+
 def test_sniff_media_metadata_real_headers(spark):
     """The header sniffer is REAL (pure-Python spec parsing, no codec):
     hand-built valid PNG/JPEG/GIF/BMP/WAV headers yield exact
