@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 #: deepening per-task spill.
 _RANK_ROWS_PER_PARTITION = 500_000
 
+#: Round-0 dictionary-rank vocabulary ceiling: the distinct leading
+#: blocks must stay broadcastable (and the compression real) for the
+#: dictionary branch to pay; above this the full range rank runs
+#: instead. Module-level so diagnostics can force the fallback (the
+#: pre-r9 round-0 shape) without editing code.
+_DICT_RANK_MAX_VOCAB = 2_000_000
+
 
 def _rank_partitions(df: DataFrame, nrows: int | None) -> int | None:
     """Range-partition count for ``nrows`` sort rows: the session's
@@ -153,26 +160,34 @@ def suffix_ranks(
     # breaking the "truncated to bound" contract (and the oracle).
     if bound < init_w or bound & (bound - 1):
         raise ValueError(f"bound must be a power of two >= {init_w}, got {bound}")
-    chars = F.expr(f"filter(split({text_col}, ''), c -> c <> '')")
-    # empty-text guard (same trap as gram_store/pcm_fingerprint):
-    # sequence(0, size-1) with size 0 is the DESCENDING [0, -1], and the
-    # p = -1 element evaluates slice(t, 0, ·) → 'array indices start at
-    # 1' — guard INSIDE the expression so Catalyst can't re-derive an
-    # unguarded copy.
-    grams = F.transform(
-        F.array(chars),  # let-binding: chars evaluated once per row
-        lambda t: F.when(
-            F.size(t) >= 1,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - 1),
-                lambda p: F.array_join(F.slice(t, p + 1, init_w), ""),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )[0]
+    # Leading blocks straight off the string: substring(text, p, 4) per
+    # position (r11 — the x80 byte-calm re-seal named the old shape as
+    # ~half of round 0+1: split('') materialized a char ARRAY per row,
+    # then slice+array_join allocated a 4-element array and a joined
+    # string PER POSITION; the substring form is one character-based
+    # UTF8String slice per position over the original buffer, the same
+    # values — the diag measured the explode pass itself at ~25-35 s of
+    # the 10× wall). Empty-text guard (same trap as gram_store):
+    # sequence(1, 0) is the DESCENDING [1, 0] — guard INSIDE the
+    # expression so Catalyst can't re-derive an unguarded copy.
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= 1 THEN "
+        f"transform(sequence(1, length({text_col})), "
+        f"p -> substring({text_col}, p, {init_w})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    # Pin the exploded positions ONCE (lazy checkpoint — materialized by
+    # whichever action touches them first: the dictionary-branch count
+    # below, or the fallback rank's offsets collect). Without the pin
+    # the dictionary branch re-ran this explode in round 1 (r0 is a
+    # lazy broadcast join over pos), which the r11 diag measured as
+    # round 1 costing 2× the fallback's. One corpus-sized block set,
+    # freed as soon as round 1's checkpoint supersedes it.
     pos = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(grams).alias("p", "ch"),
-    )
+    ).localCheckpoint(eager=False)
+    pos_pin = pos
     # position count BEFORE round 0 (one narrow column aggregate — a
     # rounding error next to the log(bound) full-data sort rounds it
     # sizes): every round's sort gets a partition count matched to the
@@ -208,7 +223,7 @@ def suffix_ranks(
     _t0 = _time.time()
     dk = pos.select("ch").distinct()
     nd0 = dk.count()
-    if 0 < nd0 <= 2_000_000 and nd0 * 8 <= (n_positions or 0):
+    if 0 < nd0 <= _DICT_RANK_MAX_VOCAB and nd0 * 8 <= (n_positions or 0):
         rdk, _, _, prev_part = _distributed_dense_rank(dk, ["ch"], nrows=nd0)
         r0 = pos.join(F.broadcast(rdk.select("ch", "r")), "ch")
         nd, nrows = nd0, int(n_positions)
@@ -259,6 +274,15 @@ def suffix_ranks(
         # block-manager pressure on every downstream query)
         unpersist_checkpointed(prev_part)
         prev_part = new_part
+        if pos_pin is not None:
+            # same hygiene for the position pin: round 1's checkpoint
+            # now embeds everything derived from it. (If the loop never
+            # runs — every position unique after the first block, which
+            # natural text never does — the returned frame still reads
+            # the pin, so it stays resident with the final round's
+            # blocks; that is the degenerate-corpus trade.)
+            unpersist_checkpointed(pos_pin)
+            pos_pin = None
         ranked = rk.select("id", "p", F.col("r").alias("rank"))
         k *= 2
     return ranked.select(

@@ -106,7 +106,8 @@ def probe_suffix(spark, sf_dir: str, mult: int, tmp: str) -> None:
             lambda: suffix_ranks(corpus, "doc_id", "text", bound=32, stats=sstats).count()
         )
         _emit({"probe": "x80_suffix_ranks", "mult": m, "positions": n_chars,
-               "rows": rows, "rounds": sstats.get("rounds"), "sec": sec})
+               "rows": rows, "rounds": sstats.get("rounds"),
+               "round_secs": sstats.get("round_secs"), "sec": sec})
 
         # incremental shape: the standing store is the big replicated
         # corpus; the incoming batch is ONE replica family's worth
