@@ -914,3 +914,60 @@ def test_grouped_rank_ntile_decomposition(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sorted_exact_percentiles_bit_identity(spark):
+    """sorted_exact_percentiles must reproduce the native percentile()
+    aggregate BIT-identically (no round-trip tolerance): same
+    pos = p*(n-1), same (hi-pos)*v_lo + (pos-lo)*v_hi interpolation,
+    same equal-key short-circuit, NULL for all-null groups."""
+    import struct
+
+    from fintrack_etl_spark.operators.aggregate import sorted_exact_percentiles
+
+    rows = [
+        ("a", 1.0), ("b", 1.0), ("b", 2.0),
+        ("c", 5.5), ("c", 5.5), ("c", 5.5),
+        ("d", 0.1), ("d", 0.2), ("d", 0.3), ("d", 0.4), ("d", 0.7),
+        ("e", -3.25), ("e", 7.125), ("e", 7.125), ("e", 100.0),
+        ("f", None), ("f", None),          # all-null group -> NULLs
+        ("g", None), ("g", 42.0),          # nulls skipped, n=1
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    percs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+
+    arr = ", ".join(f"{p}D" for p in percs)
+    native = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({arr}))").alias("p"))
+        .collect()
+    }
+    mine = {
+        r["g"]: r["pcts"]
+        for r in sorted_exact_percentiles(df, ["g"], "v", percs).collect()
+    }
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x).hex()
+
+    assert set(native) == set(mine)
+    for g in native:
+        nb = None if native[g] is None else [bits(x) for x in native[g]]
+        mb = None if mine[g] is None else [bits(x) for x in mine[g]]
+        assert nb == mb, (g, native[g], mine[g])
+
+
+def test_sorted_exact_percentiles_extra_aggs(spark):
+    """extra_aggs ride in the same aggregation pass and survive the
+    output projection."""
+    from fintrack_etl_spark.operators.aggregate import sorted_exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double"
+    )
+    out = sorted_exact_percentiles(
+        df, ["g"], "v", [0.5], extra_aggs=[F.sum("v").alias("s")]
+    )
+    got = {r["g"]: (r["s"], r["pcts"][0]) for r in out.collect()}
+    assert got == {"a": (4.0, 2.0), "b": (10.0, 10.0)}
