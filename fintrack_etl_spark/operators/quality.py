@@ -224,3 +224,65 @@ def discover_fds(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum(F.when(F.col("_d") > 1, 1).otherwise(0)).alias("n_violating"),
     ).withColumn("holds", F.col("n_violating") == 0)
+
+
+def char_collision_batches(batches):
+    """x90 kernel — per-doc character Simpson index over Arrow batches.
+
+    Replaces the interpreted array-HOF form (``array_distinct`` +
+    per-distinct ``filter`` = O(alphabet x len) lambda evaluations per
+    row; Spark higher-order functions have no codegen) with ONE
+    vectorized pass per batch: all texts concatenate into a single
+    UTF-32 codepoint array, ``np.unique`` counts (doc, codepoint) pairs
+    via a packed key, and two ``bincount``s recover per-doc distinct
+    counts and sum(c_i^2). Measured at sf0.1: 0.71 -> 0.20 s
+    same-session (1.64 s in the calm r11 baseline bench).
+
+    Guide §4 discipline: called via ``mapInArrow`` over exactly
+    (doc_id, text) — still map-only, no shuffle, construction-free
+    per batch; the collision_ppm arithmetic stays exact int64
+    (len <= ~3e6 chars before (n^2 * 1e6) would near int64 range —
+    the fixture max is 577; the JVM form kept DECIMAL(38) headroom,
+    document-scale texts should chunk long docs upstream anyway).
+
+    NULL text parity with the HOF form: n_chars/n_distinct NULL,
+    collision_ppm 1000000 (size(NULL)=NULL, CASE falls through).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        doc_ids = b.column("doc_id")
+        texts = b.column("text").to_pylist()
+        nrow = len(texts)
+        lens = np.fromiter(
+            (len(t) if t is not None else 0 for t in texts),
+            dtype=np.int64, count=nrow,
+        )
+        isnull = np.fromiter((t is None for t in texts), dtype=bool, count=nrow)
+        blob = "".join(t for t in texts if t is not None)
+        codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        doc_idx = np.repeat(np.arange(nrow, dtype=np.int64), lens)
+        key = doc_idx << 21 | codes  # Unicode codepoints < 2^21
+        uniq, counts = np.unique(key, return_counts=True)
+        udoc = (uniq >> 21).astype(np.int64)
+        nd = np.bincount(udoc, minlength=nrow)
+        sq = np.bincount(
+            udoc, weights=(counts * counts).astype(np.float64), minlength=nrow
+        ).astype(np.int64)
+        ppm = np.full(nrow, 1000000, dtype=np.int64)
+        nz = lens > 0
+        ppm[nz] = (sq[nz] * 1000000) // (lens[nz] * lens[nz])
+        n_out = lens.astype(object)
+        nd_out = nd.astype(object)
+        n_out[isnull] = None
+        nd_out[isnull] = None
+        yield pa.record_batch(
+            [
+                doc_ids,
+                pa.array(n_out.tolist(), type=pa.int64()),
+                pa.array(nd_out.tolist(), type=pa.int64()),
+                pa.array(ppm.tolist(), type=pa.int64()),
+            ],
+            names=["doc_id", "n_chars_counted", "n_distinct_chars", "collision_ppm"],
+        )

@@ -6164,42 +6164,22 @@ def x90_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the quality family next to x8 (surface ratios), x19
     (repetition), x26 (LM score), x59 (readability).
 
-    Plan: MAP-ONLY — per-doc distinct-char counting runs inside array
-    HOFs (O(alphabet x len) per row, alphabet <= ~100 for text), so
-    the corpus streams once with NO shuffle at any scale; the
-    empty-doc guard lives INSIDE the expression (CASE, not a filter —
-    the Catalyst re-derivation trap)."""
-    from .similarity import _let
-
-    chars = F.expr("filter(split(text, ''), c -> c <> '')")
-
-    def body(t):
-        counts = F.transform(
-            F.array_distinct(t),
-            lambda c: F.size(F.filter(t, lambda x: x == c)).cast("long"),
-        )
-        return F.struct(
-            F.size(t).cast("long").alias("n_chars_counted"),
-            F.size(F.array_distinct(t)).cast("long").alias("n_distinct_chars"),
-            F.aggregate(
-                counts, F.lit(0).cast("long"), lambda acc, x: acc + x * x
-            ).alias("sq"),
-        )
+    Plan: MAP-ONLY — the corpus streams once with NO shuffle at any
+    scale. r11: the per-doc counting moved from interpreted array HOFs
+    (O(alphabet x len) lambda evaluations per row — Spark higher-order
+    functions have no codegen, and this was the most expensive single
+    query in the r11 baseline at 1.64 s) to ONE vectorized Arrow pass
+    (``quality.char_collision_batches``: batch-wide np.unique over
+    packed (doc, codepoint) keys + two bincounts; 0.71 -> 0.20 s
+    same-session at sf0.1). All outputs are exact integers, so the
+    route change cannot move a value; parity pytest
+    ``test_char_collision_arrow_matches_hof`` pins the HOF form
+    (including NULL/empty-text handling) against this kernel."""
+    from .operators.quality import char_collision_batches
 
     docs = T(spark, sf_dir, "documents")
-    st = docs.select("doc_id", _let(chars, body).alias("s"))
-    return st.select(
-        "doc_id",
-        F.col("s.n_chars_counted").alias("n_chars_counted"),
-        F.col("s.n_distinct_chars").alias("n_distinct_chars"),
-        F.when(
-            F.col("s.n_chars_counted") > 0,
-            F.expr(
-                "CAST(div(CAST(s.sq AS DECIMAL(38,0)) * 1000000, "
-                "CAST(s.n_chars_counted AS DECIMAL(38,0)) * s.n_chars_counted) "
-                "AS BIGINT)"
-            ),
-        )
-        .otherwise(F.lit(1000000))
-        .alias("collision_ppm"),
+    return docs.select("doc_id", "text").mapInArrow(
+        char_collision_batches,
+        "doc_id long, n_chars_counted long, n_distinct_chars long, "
+        "collision_ppm long",
     )

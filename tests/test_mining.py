@@ -396,3 +396,63 @@ def test_association_rules_min_count_and_dedup(spark):
     out = association_rules(items, "basket", "item").collect()
     assert {r["pair_count"] for r in out} == {1}
     assert association_rules(items, "basket", "item", min_pair_count=2).count() == 0
+
+
+def test_char_collision_arrow_matches_hof(spark):
+    """x90's Arrow kernel must reproduce the original interpreted-HOF
+    form exactly — including NULL text (NULL counts, ppm 1e6), empty
+    text (0/0/1e6), repeated and astral characters."""
+    rows = [
+        (1, "aaabbc"),
+        (2, ""),
+        (3, None),
+        (4, "x"),
+        (5, "ababababab"),
+        (6, "café \U0001f600\U0001f600"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from fintrack_etl_spark.operators.quality import char_collision_batches
+    from fintrack_etl_spark.similarity import _let
+
+    got = {
+        r["doc_id"]: (r["n_chars_counted"], r["n_distinct_chars"], r["collision_ppm"])
+        for r in df.select("doc_id", "text")
+        .mapInArrow(
+            char_collision_batches,
+            "doc_id long, n_chars_counted long, n_distinct_chars long, collision_ppm long",
+        )
+        .collect()
+    }
+
+    chars = F.expr("filter(split(text, ''), c -> c <> '')")
+
+    def body(t):
+        counts = F.transform(
+            F.array_distinct(t),
+            lambda c: F.size(F.filter(t, lambda x: x == c)).cast("long"),
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("n"),
+            F.size(F.array_distinct(t)).cast("long").alias("nd"),
+            F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("sq"),
+        )
+
+    want = {
+        r["doc_id"]: (r["n"], r["nd"], r["ppm"])
+        for r in df.select("doc_id", _let(chars, body).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n").alias("n"),
+            F.col("s.nd").alias("nd"),
+            F.when(
+                F.col("s.n") > 0,
+                F.expr(
+                    "CAST(div(CAST(s.sq AS DECIMAL(38,0)) * 1000000, "
+                    "CAST(s.n AS DECIMAL(38,0)) * s.n) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(1000000)).alias("ppm"),
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
