@@ -362,16 +362,23 @@ def sniff_media_metadata(media: DataFrame) -> DataFrame:
     surface as ``sniff_error`` rows, never failures (quarantine
     discipline, same as the PDF scan)."""
 
-    def _sniff(batches: Iterator) -> Iterator:
-        import pandas as pd
+    return media.mapInPandas(sniff_batches, SNIFF_SCHEMA)
 
-        for pdf in batches:
-            rows = [_sniff_bytes(bytes(x) if x is not None else None) for x in pdf["content"]]
-            out = pd.DataFrame(rows)
-            out.insert(0, "media_id", pdf["media_id"].values)
-            yield out
 
-    return media.mapInPandas(_sniff, SNIFF_SCHEMA)
+def sniff_batches(batches: Iterator) -> Iterator:
+    """The sniff kernel as a plain batch transform, exposed so callers
+    that GENERATE the media bytes in Python can compose
+    ``sniff_batches(encode(batches))`` into ONE mapInPandas pass —
+    the payload then never crosses the Python↔JVM boundary at all
+    (guide §4.1: only (media_id, metadata) columns cross; x22 measured
+    1.32 s → one-pass form below 0.6 s at sf0.1)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = [_sniff_bytes(bytes(x) if x is not None else None) for x in pdf["content"]]
+        out = pd.DataFrame(rows)
+        out.insert(0, "media_id", pdf["media_id"].values)
+        yield out
 
 # ---------------------------------------------------------------------------
 # RIFF/AVI video container — REAL codec (public AVI 1.0 spec: avih /

@@ -170,6 +170,10 @@ def ewma(
     0.55 s steady-state on 10 k rows / 500 keys, and the gap widens
     with group count.) One shuffle on the keys. NULL values propagate
     the previous smoothed value (pandas ``ignore_na=False`` default).
+
+    Callers should pre-project to keys + order + value: mapInPandas is
+    opaque to Catalyst, so every column of ``df`` rides the repartition
+    exchange AND both Arrow crossings (guide §4.1).
     """
     import pandas as pd
     from pyspark.sql import types as T

@@ -1045,13 +1045,19 @@ def x22_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes duration arithmetically from the text's byte
     length (octet_length·1000/byte_rate), so a header-layout or
     chunk-walk bug cannot hide. Image formats (PNG/JPEG/GIF/BMP
-    dimensions) are covered by hand-built headers in pytest."""
+    dimensions) are covered by hand-built headers in pytest.
+
+    r11: encode and sniff compose into ONE mapInPandas pass
+    (``sniff_batches(_encode(batches))``) — the WAV payload previously
+    crossed Python→JVM→Python between two passes just to be parsed
+    back; now only (doc_id, text) enters and (media_id, metadata)
+    leaves Python (guide §4.1). Both real codec steps still run
+    unchanged. 1.29 → 0.51 s same-session at sf0.1."""
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import types as TT
 
-    from .multimodal import sniff_media_metadata
+    from .multimodal import SNIFF_SCHEMA, sniff_batches
 
     docs = T(spark, sf_dir, "documents")
 
@@ -1074,18 +1080,13 @@ def x22_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    def _encode_and_sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return sniff_batches(_encode(batches))
+
     media = docs.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism  # codec CPU >> I/O
-    ).mapInPandas(
-        _encode,
-        TT.StructType(
-            [
-                TT.StructField("media_id", TT.LongType(), False),
-                TT.StructField("content", TT.BinaryType(), False),
-            ]
-        ),
-    )
-    return sniff_media_metadata(media).select(
+    ).mapInPandas(_encode_and_sniff, SNIFF_SCHEMA)
+    return media.select(
         "media_id", "format", "sample_rate", "channels", "bits_per_sample", "duration_ms"
     )
 
