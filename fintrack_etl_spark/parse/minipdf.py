@@ -316,7 +316,26 @@ class PdfPasswordError(ValueError):
     """The file demands a non-empty user password (or unsupported AES)."""
 
 
+try:  # OpenSSL-backed ARC4 when available (~100x the Python loop);
+    # the pure-Python fallback below stays the reference implementation.
+    from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4 as _ARC4
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Cipher
+except ImportError:  # pragma: no cover - environment without cryptography
+    _ARC4 = None
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
+    if _ARC4 is not None:
+        try:  # OpenSSL validates against a fixed key-size list; the PDF
+            cipher = _Cipher(_ARC4(key), mode=None)  # spec allows any
+        except ValueError:  # 8-bit increment — odd sizes take the loop
+            return _rc4_py(key, data)
+        enc = cipher.encryptor()
+        return enc.update(data) + enc.finalize()
+    return _rc4_py(key, data)
+
+
+def _rc4_py(key: bytes, data: bytes) -> bytes:
     S = list(range(256))
     j = 0
     for i in range(256):

@@ -86,6 +86,28 @@ def _decode_doc_bytes(b: bytes | None) -> tuple[str | None, str | None]:
     return None, f"unknown format: {b[:4].hex()}"
 
 
+def extract_batches(
+    batches: Iterator, path_col: str = "path", content_col: str = "content"
+) -> Iterator:
+    """The decode kernel as a plain batch transform, exposed so callers
+    that BUILD the binary payload in Python can compose
+    ``extract_batches(encode(batches))`` into ONE ``mapInPandas`` pass —
+    the payload then never crosses the Python↔JVM boundary at all
+    (guide §4.1; the p8/p9/p10 round-trips measured ~2x on this)."""
+    import pandas as pd
+
+    for pdf_batch in batches:
+        texts: list[str | None] = []
+        errs: list[str | None] = []
+        for b in pdf_batch[content_col]:
+            t, e = _decode_doc_bytes(bytes(b) if b is not None else None)
+            texts.append(t)
+            errs.append(e)
+        yield pd.DataFrame(
+            {"doc_path": pdf_batch[path_col], "text": texts, "decode_error": errs}
+        )
+
+
 def binary_docs_to_text(
     df: DataFrame, path_col: str = "path", content_col: str = "content"
 ) -> DataFrame:
@@ -94,17 +116,6 @@ def binary_docs_to_text(
     (``parse_bb_statement`` et al. take exactly (doc_id, text))."""
 
     def _extract(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf_batch in batches:
-            texts: list[str | None] = []
-            errs: list[str | None] = []
-            for b in pdf_batch[content_col]:
-                t, e = _decode_doc_bytes(bytes(b) if b is not None else None)
-                texts.append(t)
-                errs.append(e)
-            yield pd.DataFrame(
-                {"doc_path": pdf_batch[path_col], "text": texts, "decode_error": errs}
-            )
+        return extract_batches(batches, path_col, content_col)
 
     return df.select(path_col, content_col).mapInPandas(_extract, EXTRACT_SCHEMA)

@@ -538,6 +538,46 @@ def p7_binary_pdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_roundtrip(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Shared p8/p9/p10 body: build each document's PDF bytes and decode
+    them back in ONE ``mapInPandas`` pass (``extract_batches(_encode())``
+    composition — r11, guide §4.1). The PDF payload previously crossed
+    Python→JVM→Arrow→Python between the encode pass and
+    ``binary_docs_to_text`` solely to be parsed back; now only
+    (doc_id, text) enters Python and (doc_path, text, decode_error)
+    leaves. Both real codec steps run unchanged."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .parse.pdf_source import EXTRACT_SCHEMA, extract_batches
+
+    docs = T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.rtrim(F.col("text"), F.lit("\n")) != "")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": "/docs/" + b["doc_id"].astype(str) + ".pdf",
+                    "content": [build(t) for t in b["text"]],
+                }
+            )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return extract_batches(_encode(batches))
+
+    decoded = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism  # codec CPU >> I/O: fan the
+    ).mapInPandas(_roundtrip, EXTRACT_SCHEMA)  # single-file scan out over every core
+    return decoded.filter(F.col("decode_error").isNull()).select(
+        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 @register(
     "p8_real_pdf_roundtrip",
     """
@@ -559,47 +599,13 @@ def p8_real_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference: ``extractors/bb_statement.py:28-31``). Empty docs are
     excluded on both sides: a PDF with no text shown yields no text.
 
-    Scale: encode and decode are both Arrow-batched mapInPandas over
-    whatever partitioning the scan produced — no shuffle, no collect;
-    bytes never cross a stage boundary (decode drops the payload)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as TT
-
+    Scale: encode and decode compose into ONE Arrow-batched mapInPandas
+    pass over whatever partitioning the scan produced — no shuffle, no
+    collect; the PDF bytes never leave the Python worker (r11,
+    ``_pdf_roundtrip``)."""
     from .parse.minipdf import build_pdf
-    from .parse.pdf_source import binary_docs_to_text
 
-    docs = T(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.rtrim(F.col("text"), F.lit("\n")) != "")
-    )
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield pd.DataFrame(
-                {
-                    "path": "/docs/" + b["doc_id"].astype(str) + ".pdf",
-                    "content": [build_pdf(t) for t in b["text"]],
-                }
-            )
-
-    binary = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism  # codec CPU >> I/O: fan the
-    ).mapInPandas(  # single-file scan out over every core
-        _encode,
-        TT.StructType(
-            [
-                TT.StructField("path", TT.StringType(), False),
-                TT.StructField("content", TT.BinaryType(), False),
-            ]
-        ),
-    )
-    decoded = binary_docs_to_text(binary)
-    return decoded.filter(F.col("decode_error").isNull()).select(
-        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
-        F.md5(F.encode("text", "utf-8")).alias("fp"),
-        F.length("text").alias("n_chars"),
-    )
+    return _pdf_roundtrip(spark, sf_dir, build_pdf)
 
 
 @register(
@@ -626,46 +632,12 @@ def p9_cid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end (ref first-touch: ``extractors/bb_statement.py:28-31``;
     real bank PDFs ship exactly these structures).
 
-    Scale: identical to p8 — two Arrow-batched mapInPandas passes, no
-    shuffle, payload dropped at decode."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as TT
-
+    Scale: identical to p8 — one fused Arrow-batched mapInPandas pass,
+    no shuffle, payload never leaves the worker (r11,
+    ``_pdf_roundtrip``)."""
     from .parse.minipdf import build_pdf_cid
-    from .parse.pdf_source import binary_docs_to_text
 
-    docs = T(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.rtrim(F.col("text"), F.lit("\n")) != "")
-    )
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield pd.DataFrame(
-                {
-                    "path": "/docs/" + b["doc_id"].astype(str) + ".pdf",
-                    "content": [build_pdf_cid(t) for t in b["text"]],
-                }
-            )
-
-    binary = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism  # codec CPU >> I/O: fan the
-    ).mapInPandas(  # single-file scan out over every core
-        _encode,
-        TT.StructType(
-            [
-                TT.StructField("path", TT.StringType(), False),
-                TT.StructField("content", TT.BinaryType(), False),
-            ]
-        ),
-    )
-    decoded = binary_docs_to_text(binary)
-    return decoded.filter(F.col("decode_error").isNull()).select(
-        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
-        F.md5(F.encode("text", "utf-8")).alias("fp"),
-        F.length("text").alias("n_chars"),
-    )
+    return _pdf_roundtrip(spark, sf_dir, build_pdf_cid)
 
 
 @register(
@@ -690,46 +662,12 @@ def p10_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole §7.6.3 path; a key-derivation or RC4 bug yields zlib garbage
     and a decode_error, failing the row count.
 
-    Scale: identical to p8/p9 — two Arrow-batched mapInPandas passes,
-    no shuffle, payload dropped at decode."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as TT
-
+    Scale: identical to p8/p9 — one fused Arrow-batched mapInPandas
+    pass, no shuffle, payload never leaves the worker (r11,
+    ``_pdf_roundtrip``)."""
     from .parse.minipdf import build_pdf_encrypted
-    from .parse.pdf_source import binary_docs_to_text
 
-    docs = T(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.rtrim(F.col("text"), F.lit("\n")) != "")
-    )
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield pd.DataFrame(
-                {
-                    "path": "/docs/" + b["doc_id"].astype(str) + ".pdf",
-                    "content": [build_pdf_encrypted(t) for t in b["text"]],
-                }
-            )
-
-    binary = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism  # codec CPU >> I/O: fan the
-    ).mapInPandas(  # single-file scan out over every core
-        _encode,
-        TT.StructType(
-            [
-                TT.StructField("path", TT.StringType(), False),
-                TT.StructField("content", TT.BinaryType(), False),
-            ]
-        ),
-    )
-    decoded = binary_docs_to_text(binary)
-    return decoded.filter(F.col("decode_error").isNull()).select(
-        F.regexp_extract("doc_path", r"/docs/(\d+)\.pdf", 1).cast("bigint").alias("doc_id"),
-        F.md5(F.encode("text", "utf-8")).alias("fp"),
-        F.length("text").alias("n_chars"),
-    )
+    return _pdf_roundtrip(spark, sf_dir, build_pdf_encrypted)
 
 
 def _p11_oracle() -> str:

@@ -338,3 +338,19 @@ def test_encrypted_unsupported_aes_quarantines():
     blob = build_pdf_encrypted("texto")
     blob = blob.replace(b"/V 2 /R 3", b"/V 4 /R 4")
     assert extract_pdf_text(blob) is None
+
+
+def test_rc4_openssl_path_matches_pure_python():
+    """r11: `_rc4` dispatches to OpenSSL ARC4 when `cryptography` is
+    importable (and falls back for key sizes OpenSSL rejects, e.g.
+    48-bit). Both paths must be the same cipher, byte for byte."""
+    import random
+
+    from fintrack_etl_spark.parse.minipdf import _rc4, _rc4_py
+
+    rng = random.Random(7)
+    for klen in (5, 6, 7, 10, 16, 32):  # 6/7 exercise the odd-size fallback
+        for dlen in (0, 1, 16, 1000):
+            key = bytes(rng.randrange(256) for _ in range(klen))
+            data = bytes(rng.randrange(256) for _ in range(dlen))
+            assert _rc4(key, data) == _rc4_py(key, data), (klen, dlen)
