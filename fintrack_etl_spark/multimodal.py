@@ -163,6 +163,25 @@ def decode_image(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, DECODED_SCHEMA)
 
 
+def _resize_raster(
+    w0: int, h0: int, mode: str, px: bytes, width: int, height: int
+) -> bytes:
+    """Nearest-neighbor resample of a decoded row-major raster —
+    channel-aware, deterministic integer index map ``src = (dst *
+    n_src) DIV n_dst``. Factored out of ``resize_image`` (r11) so
+    callers that already hold the decoded raster (fused
+    decode+resize passes, e.g. x52) don't decode twice."""
+    ch = _MODE_CH[mode]
+    out = bytearray()
+    for r in range(height):
+        sr = (r * h0) // height
+        base = sr * w0 * ch
+        for c in range(width):
+            sc = (c * w0) // width
+            out += px[base + sc * ch : base + (sc + 1) * ch]
+    return bytes(out)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -191,15 +210,7 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
         if err is not None:
             need = width * height  # tiling fallback for non-image bytes
             return (bytes(b) * (need // len(b) + 1))[:need]
-        ch = _MODE_CH[mode]
-        out = bytearray()
-        for r in range(height):
-            sr = (r * h0) // height
-            base = sr * w0 * ch
-            for c in range(width):
-                sc = (c * w0) // width
-                out += px[base + sc * ch : base + (sc + 1) * ch]
-        return bytes(out)
+        return _resize_raster(w0, h0, mode, px, width, height)
 
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -3311,9 +3311,11 @@ def x49_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
-        _encode, TT.StructType().add("media_id", "long").add("content", "binary")
-    )
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r11: encode+decode composed into ONE mapInPandas pass — the
+        # WAV payload never crosses the Python↔JVM boundary (guide §4.1)
+        return _decode(_encode(batches))
+
     out_schema = (
         TT.StructType()
         .add("doc_id", "long")
@@ -3322,7 +3324,7 @@ def x49_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .add("n_segments", "long")
         .add("duration_ms", "long")
     )
-    return media.mapInPandas(_decode, out_schema)
+    return docs.mapInPandas(_roundtrip, out_schema)
 
 
 @register(
@@ -3829,13 +3831,15 @@ def x52_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same discipline as x45's BMP path, but exercising the full
     PNG filter suite.
 
-    Scale: two narrow Arrow-batched mapInPandas passes + one id join;
-    the only shuffle is that join, and the image bytes cross the wire
-    once. Python is unavoidable here by design (it IS the codec), and
-    batches are Arrow-sized."""
+    Scale: ONE narrow Arrow-batched mapInPandas pass (r11: the encode →
+    decode → resize chain is composed per batch, so the PNG bytes and
+    the decoded raster never cross the Python↔JVM boundary and the old
+    decode⋈resize id join — which re-ran the encode pass on both sides
+    — is gone; guide §4.1). Python is unavoidable here by design (it
+    IS the codec), and batches are Arrow-sized."""
     from pyspark.sql import types as TT
 
-    from .multimodal import decode_image, resize_image
+    from .multimodal import _decode_raster, _resize_raster
     from .parse.minipng import encode_png
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text").repartition(
@@ -3843,53 +3847,49 @@ def x52_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     W, H = 9, 8
 
-    def _encode(batches):
+    def _roundtrip(batches):
         import pandas as pd
 
         for b in batches:
-            content = []
-            for t in b["text"]:
+            rows = []
+            for did, t in zip(b["doc_id"], b["text"]):
                 s = ((t or "") + "x" * (W * H))[: W * H]
                 px = bytes(ord(c) % 256 for c in s)
-                content.append(
-                    encode_png(px, W, H, color_type=0, filters=[0, 1, 2, 3, 4])
-                )
-            yield pd.DataFrame({"media_id": b["doc_id"], "content": content})
+                blob = encode_png(px, W, H, color_type=0, filters=[0, 1, 2, 3, 4])
+                w0, h0, mode, raster, err = _decode_raster(blob)
+                if err is not None:  # quarantine parity with decode_image/
+                    out = (blob * (16 // len(blob) + 1))[:16]  # resize_image
+                else:
+                    out = _resize_raster(w0, h0, mode, raster, 4, 4)
+                rows.append((did, w0, h0, mode, out))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "src_w", "src_h", "mode", "pixels"]
+            )
 
-    media = docs.mapInPandas(
-        _encode,
+    fused = docs.mapInPandas(
+        _roundtrip,
         TT.StructType()
         .add("media_id", "long", False)
-        .add("content", "binary"),
-    )
-    decoded = decode_image(media).select(
-        "media_id",
-        F.col("width").alias("src_w"),
-        F.col("height").alias("src_h"),
-        "mode",
+        .add("src_w", "integer")
+        .add("src_h", "integer")
+        .add("mode", "string")
+        .add("pixels", "binary"),
     )
     arr = F.expr(
         "transform(sequence(0, 15), "
         "i -> CAST(conv(substring(hex(pixels), 2 * i + 1, 2), 16, 10) AS INT))"
     )
-    resized = resize_image(media, 4, 4).select(
-        "media_id",
-        F.col("width").alias("out_w"),
-        F.col("height").alias("out_h"),
-        F.concat_ws(",", arr.cast("array<string>")).alias("px_csv"),
-        F.aggregate(
-            arr, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
-        ).alias("px_sum"),
-    )
-    return decoded.join(resized, "media_id").select(
+    return fused.select(
         F.col("media_id").alias("doc_id"),
         "src_w",
         "src_h",
         "mode",
-        "out_w",
-        "out_h",
-        "px_csv",
-        "px_sum",
+        F.lit(4).cast("int").alias("out_w"),
+        F.lit(4).cast("int").alias("out_h"),
+        F.concat_ws(",", arr.cast("array<string>")).alias("px_csv"),
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("px_sum"),
     )
 
 
