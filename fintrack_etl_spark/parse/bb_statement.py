@@ -11,9 +11,10 @@ Reference semantics (``extractors/bb_statement.py:84-202``):
   before any launch belongs to nothing).
 
 Re-expression: classify each line once, forward-fill the group
-context, assign run-ids at (group|launch) boundaries, aggregate
-continuation lines per run, join back to the launch that opened the
-run. Two window passes + one groupBy, all keyed by document id.
+context, assign run-ids at (group|launch) boundaries, then ONE
+(doc_id, run) aggregation that pairs each run's launch with its
+order-joined continuations. One window pass + one groupBy, both keyed
+by document id — no self-join, so the classify stage runs once.
 """
 
 from __future__ import annotations
@@ -23,7 +24,6 @@ from pyspark.sql import functions as F
 
 from ..functions import brl_to_double, normalize_space
 from .lines import (
-    collect_joined,
     explode_lines,
     extract_all_groups,
     group_template,
@@ -109,40 +109,53 @@ def parse_bb_statement(docs: DataFrame, doc_id: str = "doc_id", text_col: str = 
         segment_id(F.col("is_group") | F.col("is_launch"), doc_id).alias("seg"),
     )
 
-    g = F.col("g")
-    launches = with_ctx.filter("is_launch").select(
+    # Single aggregation replaces the old launches⋈continuations self-join:
+    # every launch line is itself a ``seg`` boundary, so a segment holds at
+    # most ONE launch plus its continuation lines. Grouping once on
+    # (doc_id, seg) attaches the order-joined continuations to that launch
+    # directly — the join form made Spark execute the whole
+    # scan→classify→window subtree twice (DataFrame self-joins get no
+    # cross-branch reuse). Group-opened segments aggregate to a NULL
+    # launch struct and are dropped, which is exactly the old inner side.
+    out = (
+        with_ctx.filter(F.col("seg") > 0)
+        .groupBy(doc_id, "seg")
+        .agg(
+            F.max(
+                F.when(F.col("is_launch"), F.struct("line_no", "grupo", "g"))
+            ).alias("L"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_launch") & ~F.col("is_group"),
+                                F.struct(F.col("line_no"), F.col("ln")),
+                            )
+                        )
+                    ),
+                    lambda s: s["ln"],
+                ),
+                " ",
+            ).alias("complemento"),
+        )
+        .filter(F.col("L").isNotNull())
+    )
+    g = F.col("L")["g"]
+    hist = normalize_space(g[3])
+    comp = F.col("complemento")
+    valor_abs = brl_to_double(g[4])
+    sinal = g[5]
+    return out.select(
         doc_id,
-        "line_no",
-        "seg",
-        "grupo",
+        F.col("L")["line_no"].alias("line_no"),
         g[0].alias("data"),
         F.nullif(g[1], F.lit("")).alias("lote"),
         F.nullif(g[2], F.lit("")).alias("documento"),
-        normalize_space(g[3]).alias("historico"),
-        brl_to_double(g[4]).alias("valor_abs"),
-        g[5].alias("sinal"),
-    )
-
-    conts = collect_joined(
-        with_ctx.filter(~F.col("is_launch") & ~F.col("is_group") & (F.col("seg") > 0)),
-        [doc_id, "seg"],
-    ).withColumnRenamed("joined", "complemento")
-
-    out = launches.join(conts, [doc_id, "seg"], "left").withColumn(
-        "complemento", F.coalesce("complemento", F.lit(""))
-    )
-    return out.select(
-        doc_id,
-        "line_no",
-        "data",
-        "lote",
-        "documento",
-        "grupo",
-        "historico",
-        "complemento",
-        F.when(F.col("complemento") != "", F.concat_ws(" | ", "historico", "complemento"))
-        .otherwise(F.col("historico"))
-        .alias("historico_full"),
-        F.when(F.col("sinal") == "+", F.col("valor_abs")).otherwise(-F.col("valor_abs")).alias("valor"),
-        "sinal",
+        F.col("L")["grupo"].alias("grupo"),
+        hist.alias("historico"),
+        comp.alias("complemento"),
+        F.when(comp != "", F.concat_ws(" | ", hist, comp)).otherwise(hist).alias("historico_full"),
+        F.when(sinal == "+", valor_abs).otherwise(-valor_abs).alias("valor"),
+        sinal.alias("sinal"),
     )
