@@ -1025,21 +1025,35 @@ def prefix_filter_pairs(
             F.when(F.col("a.id") < F.col("b.id"), F.col("b.sz"))
             .otherwise(F.col("a.sz"))
             .alias("sz_b"),
-            F.when(F.col("a.id") < F.col("b.id"), F.col("a.pos"))
-            .otherwise(F.col("b.pos"))
-            .alias("pa"),
-            F.when(F.col("a.id") < F.col("b.id"), F.col("b.pos"))
-            .otherwise(F.col("a.pos"))
-            .alias("pb"),
+            # (pa, pb) packed into ONE long, pa in the high 32 bits —
+            # order-isomorphic to the (pa, pb) struct (positions are
+            # 0-based ints < 2^31), so min(packed) IS the lexicographic
+            # first-match. A struct min forces SortAggregate (struct is
+            # not a mutable-buffer type), which SORTED the full
+            # candidate fan-out — the largest intermediate of this
+            # operator — on both the partial and final sides; the long
+            # min hash-aggregates map-side with zero sorts (r11,
+            # guide §2.2 partial aggregation).
+            (
+                F.shiftleft(
+                    F.when(F.col("a.id") < F.col("b.id"), F.col("a.pos"))
+                    .otherwise(F.col("b.pos"))
+                    .cast("long"),
+                    32,
+                )
+                + F.when(F.col("a.id") < F.col("b.id"), F.col("b.pos")).otherwise(
+                    F.col("a.pos")
+                )
+            ).alias("pp"),
         )
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.min(F.struct("pa", "pb")).alias("fm"))
+        .agg(F.min("pp").alias("fm"))
         .withColumn(
             "ub",
             1
             + F.least(
-                F.col("sz_a") - F.col("fm.pa") - 1,
-                F.col("sz_b") - F.col("fm.pb") - 1,
+                F.col("sz_a") - F.shiftright("fm", 32) - 1,
+                F.col("sz_b") - F.col("fm").bitwiseAND(F.lit(4294967295)) - 1,
             ),
         )
         .filter(F.col("ub") >= need - 1e-9)
