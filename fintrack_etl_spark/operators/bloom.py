@@ -156,7 +156,9 @@ def bloom_prune_join(
     # Ship the bitmap ONCE via a broadcast 1-row table instead of a
     # plan literal: k probe expressions would each embed their own
     # copy, multiplying it into every stage's task binary.
-    bmdf = dim.sparkSession.createDataFrame([(bitmap,)], "__bloom_bm binary")
+    from ..io import local_rows
+
+    bmdf = local_rows(dim.sparkSession, [(bitmap,)], "__bloom_bm binary")
     pruned = (
         fact.join(F.broadcast(bmdf), F.lit(True), "inner")
         .where(

@@ -33,7 +33,9 @@ CONTROL_SCHEMA = T.StructType(
 
 def empty_control_table(spark: SparkSession) -> DataFrame:
     """D4 — bootstrap (``criar_tabela_controle``, ``:102-116``)."""
-    return spark.createDataFrame([], CONTROL_SCHEMA)
+    from ..io import local_rows
+
+    return local_rows(spark, [], CONTROL_SCHEMA)
 
 
 def read_watermarks(control: DataFrame, entity: str, inputs: list[str]) -> DataFrame:
@@ -489,7 +491,7 @@ def count_min_join_size(a: DataFrame, b: DataFrame) -> int:
             f"width={width_a}) vs right (depth={depth_b}, width={width_b})"
         )
     spark = a.sparkSession
-    rows = spark.createDataFrame([(d,) for d in range(depth_a)], ["sketch_row"])
+    rows = spark.range(depth_a).select(F.col("id").alias("sketch_row"))
     dots = (
         a.select("sketch_row", "bucket", F.col("cnt").alias("ca"))
         .join(

@@ -331,8 +331,12 @@ def sorted_neighborhood_pairs(
     for r in totals:
         offsets[r["_pid"]] = acc
         acc += r["_n"]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    from ..io import local_rows
+
+    off_df = local_rows(
+        spark,
+        [(pid, off) for pid, off in offsets.items()],
+        "_pid bigint, _offset bigint",
     )
     ranked = (
         local.join(F.broadcast(off_df), "_pid")

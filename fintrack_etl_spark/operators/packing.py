@@ -78,8 +78,12 @@ def pack_documents_by_tokens(
         offsets[r["_pid"]] = acc
         acc += r["_total"]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    from ..io import local_rows
+
+    off_df = local_rows(
+        spark,
+        [(pid, off) for pid, off in offsets.items()],
+        "_pid bigint, _offset bigint",
     )
 
     prefix_before = F.col("_offset") + F.col("_cum_local") - F.col(token_col)

@@ -4282,8 +4282,10 @@ def x38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only when b precedes c in the total order, so each unordered
     # wedge closes at most once — exactly-once triangle counting
     tri = w1.join(w2, "a").filter(F.col("b") != F.col("c")).join(probe, ["b", "c"]).count()
-    return spark.createDataFrame(
-        [(n_edges, n_nodes, tri)], "n_edges long, n_nodes long, n_triangles long"
+    from .io import local_rows
+
+    return local_rows(
+        spark, [(n_edges, n_nodes, tri)], "n_edges long, n_nodes long, n_triangles long"
     )
 
 
@@ -4561,7 +4563,10 @@ def ext_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderpriority", s["n"], 0, s["nd_priority"], None, None),
         ("o_totalprice", s["n"], s["n"] - s["nn_price"], None, s["min_price"], s["max_price"]),
     ]
-    return spark.createDataFrame(
+    from .io import local_rows
+
+    return local_rows(
+        spark,
         rows,
         "col string, n_rows long, n_nulls long, n_distinct long, "
         "min_val double, max_val double",

@@ -2282,7 +2282,10 @@ def ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("e_sum") - F.col("e_union")).alias("e_both"))
     e_both = est.first()["e_both"]
     ok = exact_both == 0 or abs(e_both - exact_both) / exact_both <= 0.15
-    return spark.createDataFrame(
+    from .io import local_rows
+
+    return local_rows(
+        spark,
         [(exact_a, exact_b, exact_both, bool(ok))],
         "n_view long, n_purchase long, n_both_exact long, hll_within_bound boolean",
     )

@@ -242,7 +242,9 @@ def r6_compare_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``compare_budget.py:47-93`` — actuals per categoria (excluding
     'Financeiro'), broadcast full-outer vs budget, overrun analytics."""
     lanc = reports.normalize_lancamentos(_lancamentos(spark, sf_dir))
-    budget = spark.createDataFrame(_BUDGET_ROWS, ["categoria", "orcado"])
+    from .io import local_rows
+
+    budget = local_rows(spark, _BUDGET_ROWS, "categoria string, orcado double")
     return reports.compare_budget(lanc, budget)
 
 
