@@ -148,17 +148,35 @@ def _frac_cap_bites(df_tab: DataFrame, sh: DataFrame, max_df: int, frac: float) 
     what materializes its blocks, and the band-empty branch then hands
     the SAME table to :func:`stop_shingles` — the corpus is exploded
     and aggregated once per call, not twice (ADVICE r9)."""
+    return _guard_profile(df_tab, sh, max_df, frac)[0]
+
+
+def _guard_profile(
+    df_tab: DataFrame, sh: DataFrame, max_df: int, frac: float
+) -> tuple[bool, bool]:
+    """One-job guard profile: ``(band_occupied, any_hot)``.
+
+    ``band_occupied`` is :func:`_frac_cap_bites`'s routing question —
+    does any shingle sit in (max_df, frac·n_reps]? ``any_hot`` rides
+    the SAME aggregate for free: does any shingle exceed the absolute
+    cap at all? When it is False the guard's hot set is provably
+    empty, so the guarded join's anti-join / per-doc hot-set
+    collection / per-pair ``array_intersect`` are algebraic no-ops —
+    the caller skips that whole subplan (two shuffles and the
+    broadcast hot joins) and runs the plain self-join, value-identical
+    by construction."""
     n_docs = sh.select(F.count(F.lit(1)).alias("n_docs"))
     row = (
         df_tab.crossJoin(F.broadcast(n_docs))
         .agg(
             F.max(
                 F.when((F.col("df") > max_df) & ~_frac_gt(frac), F.col("df"))
-            ).alias("m")
+            ).alias("band"),
+            F.max(F.when(F.col("df") > max_df, F.col("df"))).alias("hot"),
         )
         .first()
     )
-    return row["m"] is not None
+    return row["band"] is not None, row["hot"] is not None
 
 
 #: Default fraction cap paired with any absolute ``max_df`` (r9, VERDICT
@@ -342,15 +360,27 @@ def ngram_jaccard_pairs(
             if dkey is not None:
                 df_tab = df_tab.localCheckpoint(eager=False)
                 evicting_put(_SHINGLE_CACHE, _SHINGLE_CACHE_MAX, dkey, df_tab)
-        if _frac_cap_bites(df_tab, sh, max_df, max_df_frac):
+        band_occupied, any_hot = _guard_profile(df_tab, sh, max_df, max_df_frac)
+        if band_occupied:
             return _mark_route(
                 prefix_filter_pairs(df, id_col, text_col, n, threshold),
                 "routed_prefix_filter",
             )
         max_df_frac = None  # band empty: frac guard ≡ absolute guard
+        if not any_hot:
+            # The profile proved NO shingle exceeds the absolute cap:
+            # the hot set is empty, so the guard machinery below
+            # (anti-join, per-doc hot-set collection, per-pair
+            # array_intersect) would be an algebraic no-op costing two
+            # shuffles and four broadcast joins. Skip straight to the
+            # plain self-join — value-identical (an empty hot set
+            # drops nothing and contributes 0 to every intersection),
+            # and the df_guard contract holds trivially (its miss
+            # class is empty).
+            max_df = None
     empty_hot = F.array().cast("array<bigint>")
     if max_df is None and max_df_frac is None:
-        route = "exact_self_join"
+        route = "exact_self_join" if df_tab is None else "df_guard"
         sizes = sh.select("id", F.size("sh").alias("sz"), empty_hot.alias("hot"))
         rare = ex
     else:
@@ -912,9 +942,14 @@ def _collapsed_rep_sets(
         # self-contained), at the cost of a job that the first consumer
         # was about to run anyway.
         groups = groups.localCheckpoint(eager=True)
+    # ``sh`` is a trivial projection of the (checkpointed) groups —
+    # deriving it lazily instead of running a SECOND eager checkpoint
+    # job saves one full pass per cold corpus; every downstream scan
+    # re-reads the self-contained groups blocks plus one cheap
+    # element_at map, so the cross-cache lineage-safety argument for
+    # eager materialization (above) is inherited, not weakened.
     sh = groups.select(F.element_at("members", 1).alias("id"), "sh")
     if key is not None:
-        sh = sh.localCheckpoint(eager=True)
         evicting_put(_COLLAPSE_CACHE, _COLLAPSE_CACHE_MAX, key, (groups, sh))
     return groups, sh
 

@@ -2032,6 +2032,36 @@ def test_df_guard_default_is_dup_safe(spark):
         )
 
 
+def test_df_guard_empty_hot_set_skips_guard_subplan(spark):
+    """r11 optimization pin: when the one-job profile proves NO
+    shingle exceeds the absolute cap, the guard's hot set is empty and
+    the anti-join / per-doc hot-set collection / per-pair
+    array_intersect are algebraic no-ops — the guarded call must skip
+    that whole subplan (shape pinned: no LeftAnti join, no collect_set
+    aggregate in the physical plan) while keeping the ``df_guard``
+    route marker and values identical to the plain exact self-join
+    (trivially so: an empty hot set drops nothing and contributes 0 to
+    every intersection)."""
+    # 3 near-dups (4 of 6 shingles shared -> J = 2/3 >= 0.6; shared
+    # shingle df = 3, far under the cap) + unique filler docs.
+    rows = [(i, f"x y z w q v t{i}") for i in range(3)]
+    rows += [(100 + j, f"a{j} b{j} c{j} d{j} e{j} f{j}") for j in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    plain = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6)
+    guarded = DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.6, max_df=100)
+    assert DD.jaccard_route(guarded) == "df_guard"
+
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan, plan
+    assert "collect_set" not in plan, plan
+
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in plain.collect()}
+    assert len(want) == 3  # the 3 near-dup pairs
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in guarded.collect()}
+    assert got == want
+
+
 def test_jaccard_route_marker_all_branches(spark):
     """VERDICT r10 #5: ngram_jaccard_pairs is SELF-DESCRIBING — the
     branch taken rides the result's ``doc_a`` column metadata
