@@ -54,26 +54,9 @@ def _brl(col) -> F.Column:
     return F.translate(F.format_number(col, 2), ",.", ".,")
 
 
-def _doc_text(
-    lines: DataFrame,
-    doc_id: str,
-    order: str,
-    line: str,
-    header: str | None = None,
-    fanout: int | None = None,
-):
+def _doc_text(lines: DataFrame, doc_id: str, order: str, line: str, header: str | None = None):
     """Assemble per-doc text: order-stable array_sort over (order, line)
-    structs then newline-join — deterministic under any partitioning.
-
-    With ``fanout``, the input is explicitly hash-repartitioned on
-    ``doc_id`` BELOW the aggregate: collect_list gains nothing from
-    map-side partials (the partial buffer carries every value), so the
-    explicit exchange replaces the aggregate's own, REPARTITION_BY_NUM
-    is exempt from AQE coalescing (the assembled text is a few hundred
-    KB — bytes-based coalescing would shrink the regex-dense consumer
-    stage to 1-2 tasks), and everything downstream that is keyed on
-    doc_id (the per-doc parse windows / segment aggregates) reuses the
-    same partitioning with zero further shuffles."""
+    structs then newline-join — deterministic under any partitioning."""
     body = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col(order), F.col(line)))),
@@ -82,8 +65,6 @@ def _doc_text(
         "\n",
     )
     text = F.concat(F.lit(header + "\n"), body) if header else body
-    if fanout:
-        lines = lines.repartition(fanout, doc_id)
     return lines.groupBy(doc_id).agg(text.alias("text"))
 
 
@@ -132,12 +113,9 @@ def p1_bb_statement_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("ord"),
         F.concat_ws("\n", launch, cont).alias("chunk"),
     )
-    docs = _doc_text(
-        chunks, "doc_id", "ord", "chunk", header="Pix - Enviado",
-        fanout=spark.sparkContext.defaultParallelism,
-    )  # regex probes >> I/O: one explicit doc_id exchange below the
-    # text agg feeds agg + explode + regex + parse windows at full
-    # width (see _doc_text's fanout note)
+    docs = _doc_text(chunks, "doc_id", "ord", "chunk", header="Pix - Enviado").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # regex probes >> I/O: fan the ~500 docs out of the AQE-coalesced agg
     parsed = parse_bb_statement(docs)
     return parsed.select(
         "doc_id",
@@ -232,10 +210,9 @@ def p2_bb_bill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ln"),
         )
     )
-    docs = _doc_text(
-        txn.unionByName(ctx), "doc_id", "ord", "ln",
-        fanout=spark.sparkContext.defaultParallelism,
-    )  # regex probes >> I/O; one explicit doc_id exchange serves agg + parse
+    docs = _doc_text(txn.unionByName(ctx), "doc_id", "ord", "ln").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # regex probes >> I/O
     parsed = parse_bb_bill(docs)
     return parsed.select(
         "doc_id",
@@ -321,10 +298,9 @@ def p3_bradesco_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ln"),
         )
     )
-    docs = _doc_text(
-        txn.unionByName(ctx), "doc_id", "ord", "ln",
-        fanout=spark.sparkContext.defaultParallelism,
-    )  # regex probes >> I/O; one explicit doc_id exchange serves agg + parse
+    docs = _doc_text(txn.unionByName(ctx), "doc_id", "ord", "ln").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # regex probes >> I/O
     parsed = parse_bradesco_bill(docs)
     return parsed.select(
         "doc_id",
