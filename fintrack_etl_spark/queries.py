@@ -687,21 +687,36 @@ def j2_mode_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — MERGE latest-wins fallback (``mesclar_dados``,
-    ``datatrack_spark_utils.py:306-362``): union + one window shuffle on
-    the merge keys — the post-MERGE table state."""
+    ``datatrack_spark_utils.py:306-362``): the post-MERGE table state.
+
+    Fused single-window form (r11): dedup-each-side then merge-winners
+    is ONE argmax per (user_id, event_type) over the tagged union. The
+    two-phase selection (side winners by ``ts DESC, event_id ASC``;
+    final by ``ts DESC, sr ASC, event_id ASC``) equals the single-pass
+    argmax by ``ts DESC, sr ASC, event_id ASC`` over ALL rows: the
+    global winner has max ts; if any target row carries max ts the
+    final pick is the min-event_id target row at that ts on both paths
+    (``sr ASC`` outranks event_id before target/source winners are
+    ever compared by id), otherwise the min-event_id source row at max
+    ts — i.e. exactly the side winner the merge would keep. Plan: one
+    scan + one exchange + one window instead of two scans, three
+    window sorts and three exchanges (the unfused composition stays in
+    ``operators/upsert.merge_latest_wins`` for true two-table merges;
+    equality of the two forms is pinned by
+    ``test_j3_fused_equals_composed``)."""
     ev = T(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-15").cast("timestamp")
-    target = win_ops.dedup_latest(
-        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    sr = F.when(F.col("ts") >= cutoff, 1).otherwise(0)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.asc("_sr"), F.asc("event_id")
     )
-    source = win_ops.dedup_latest(
-        ev.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "ts", ["event_id"]
-    )
-    merged = upsert_ops.merge_latest_wins(
-        target, source, ["user_id", "event_type"], "ts", ["event_id"]
-    )
-    return merged.select(
-        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+    return (
+        ev.withColumn("_sr", sr)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+        )
     )
 
 

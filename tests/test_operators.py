@@ -60,6 +60,56 @@ def test_merge_idempotent(spark):
     assert got == {"k1": 10, "k2": 2, "k3": 30}
 
 
+def test_j3_fused_equals_composed(spark):
+    """j3_merge_upsert's single-window form must equal the composed
+    dedup_latest(target) + dedup_latest(source) + merge_latest_wins
+    pipeline it replaced (r11 optimization) — exercised on every tie
+    shape: max-ts in both sides (target must win via sr), max-ts only
+    in source, duplicate event-ids within a side, groups present in
+    one side only."""
+    from pyspark.sql import Window
+
+    rows = [
+        # (event_id, ts, user, etype, value)
+        (1, ts("2024-01-10T00:00:00"), 1, "a", 1.0),   # target
+        (2, ts("2024-01-20T00:00:00"), 1, "a", 2.0),   # source, newer -> wins
+        (3, ts("2024-01-14T00:00:00"), 2, "a", 3.0),   # target
+        (4, ts("2024-01-14T00:00:00"), 2, "a", 4.0),   # target, same ts, higher id
+        (5, ts("2024-01-10T00:00:00"), 3, "b", 5.0),   # target, equal-ts pair
+        (6, ts("2024-01-10T00:00:00"), 3, "b", 6.0),   # ...event_id breaks it
+        (7, ts("2024-01-15T00:00:00"), 3, "b", 7.0),   # source, newer -> wins
+        (8, ts("2024-01-16T00:00:00"), 4, "c", 8.0),   # source-only group
+        (9, ts("2024-01-12T00:00:00"), 5, "d", 9.0),   # target-only group
+        # equal ts ACROSS sides cannot occur (the cutoff partitions on
+        # ts), so the sr tie-break is vacuous for j3 itself; it is
+        # kept in the fused order purely to mirror merge_latest_wins'
+        # declared precedence
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    target = dedup_latest(
+        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    source = dedup_latest(
+        ev.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "ts", ["event_id"]
+    )
+    composed = merge_latest_wins(
+        target, source, ["user_id", "event_type"], "ts", ["event_id"]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.asc("_sr"), F.asc("event_id")
+    )
+    fused = (
+        ev.withColumn("_sr", F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    assert sorted(map(tuple, composed.collect())) == sorted(map(tuple, fused.collect()))
+
+
 def test_replace_by_source_key_idempotent(spark):
     t = spark.createDataFrame([("f1", 1), ("f1", 2), ("f2", 3)], ["landing_object_key", "v"])
     s = spark.createDataFrame([("f1", 10)], ["landing_object_key", "v"])
