@@ -226,6 +226,77 @@ def discover_fds(df: DataFrame, cols: list[str]) -> DataFrame:
     ).withColumn("holds", F.col("n_violating") == 0)
 
 
+def quality_count_batches(batches):
+    """x8 kernel — the five integer quality counts over Arrow batches.
+
+    Replaces five JVM regex passes per row (token split,
+    stopword/punct ``regexp_extract_all``, whitespace
+    ``regexp_replace``) with RE2-backed vectorized
+    ``pyarrow.compute.count_substring_regex`` calls — one C++ pass per
+    count over the whole batch, no per-row regex-machinery re-entry.
+    Emits EXACTLY the integers ``textops.quality_features`` derives;
+    the ratio/label arithmetic stays in native Columns on top, so the
+    downstream math is bit-identical by construction.
+
+    Java-regex parity notes (pinned by
+    ``test_quality_counts_arrow_matches_jvm``):
+
+    - Java ``\\s`` is ASCII ``[ \\t\\n\\x0b\\f\\r]`` while RE2's ``\\s``
+      lacks ``\\x0b`` — every class below spells the six chars out.
+    - ``n_tokens`` replicates ``size(split(trim(text), '\\s+'))`` with
+      Java ``split(..., -1)`` semantics (leading separator emits a
+      leading empty token, trailing empties are KEPT):
+      #non-ws runs + leading-ws + trailing-ws, with the empty-trimmed
+      string pinned to 1 (``"".split`` → ``[""]``).
+    - ``\\b`` is ASCII-word-boundary in both engines (Java default
+      ``\\w`` and RE2 ``\\b`` are both ``[0-9A-Za-z_]``), and both
+      count non-overlapping leftmost matches, so the stopword
+      alternation (kept in the exact original order) matches the same
+      word set.
+    - NULL text propagates NULL counts through every ``pc`` call,
+      matching the JVM NULL flow (ratios NULL, label "low_quality"
+      via the CASE fall-through downstream).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ws = " \\t\\n\\x0b\\f\\r"  # Java \s, spelled out for RE2
+    for b in batches:
+        t = b.column("text")
+        trimmed = pc.utf8_trim(t, " ")  # Spark trim strips spaces only
+        runs = pc.count_substring_regex(trimmed, f"[^{ws}]+")
+        lead = pc.match_substring_regex(trimmed, f"^[{ws}]")
+        trail = pc.match_substring_regex(trimmed, f"[{ws}]$")
+        n_tokens = pc.add_checked(
+            runs,
+            pc.add_checked(
+                pc.cast(lead, pa.int32()), pc.cast(trail, pa.int32())
+            ),
+        )
+        n_tokens = pc.if_else(
+            pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(1, pa.int32()), n_tokens
+        )
+        n_stop = pc.count_substring_regex(
+            pc.utf8_lower(t), r"\b(the|and|of|to|in|a|is)\b"
+        )
+        n_punct = pc.count_substring_regex(t, f"[^A-Za-z0-9{ws}]")
+        n_len = pc.utf8_length(t)
+        n_nospace = pc.subtract_checked(
+            n_len, pc.count_substring_regex(t, f"[{ws}]")
+        )
+        yield pa.record_batch(
+            [
+                b.column("doc_id"),
+                pc.cast(n_tokens, pa.int64()),
+                pc.cast(n_stop, pa.int64()),
+                pc.cast(n_punct, pa.int64()),
+                pc.cast(n_nospace, pa.int64()),
+                pc.cast(n_len, pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_stopwords", "n_punct", "n_nospace", "n_len"],
+        )
+
+
 def char_collision_batches(batches):
     """x90 kernel — per-doc character Simpson index over Arrow batches.
 

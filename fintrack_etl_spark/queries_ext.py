@@ -272,8 +272,23 @@ def x7_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x8_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features (length/punct/stopword ratios)."""
-    return TX.quality_features(T(spark, sf_dir, "documents"))
+    """Per-document quality features (length/punct/stopword ratios).
+
+    r11: the five integer counts run in one vectorized RE2 pass
+    (``quality.quality_count_batches`` via ``mapInArrow``; Java-regex
+    parity pinned by ``test_quality_counts_arrow_matches_jvm``); the
+    ratio/label arithmetic is the same native-Column stage the JVM
+    form uses (``textops.quality_ratio_select``). Still map-only,
+    zero shuffle."""
+    from .operators.quality import quality_count_batches
+
+    docs = T(spark, sf_dir, "documents")
+    counts = docs.select("doc_id", "text").mapInArrow(
+        quality_count_batches,
+        "doc_id bigint, n_tokens bigint, n_stopwords bigint, "
+        "n_punct bigint, n_nospace bigint, n_len bigint",
+    )
+    return TX.quality_ratio_select(counts)
 
 
 def _langid_counts_sql() -> dict[str, str]:

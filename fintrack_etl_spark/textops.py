@@ -86,6 +86,13 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("n_nospace"),
         F.length(t).cast("long").alias("n_len"),
     )
+    return quality_ratio_select(base, id_col)
+
+
+def quality_ratio_select(base: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The ratio/label stage of ``quality_features``, shared with the
+    vectorized count kernel (``operators.quality.quality_count_batches``)
+    so both forms apply bit-identical arithmetic to the same integers."""
     return base.select(
         id_col,
         "n_tokens",

@@ -456,3 +456,69 @@ def test_char_collision_arrow_matches_hof(spark):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_quality_counts_arrow_matches_jvm(spark):
+    """x8's RE2 count kernel must reproduce textops.quality_features
+    exactly — every Java-regex edge the docstring claims parity on:
+    NULL/empty/whitespace-only text, leading/trailing separators
+    (Java split keeps trailing empties), vertical tab (\\x0b is Java
+    \\s but not RE2 \\s), punctuation-adjacent and hyphen-split
+    stopwords (\\b at non-word chars), alternation-prefix words
+    ("android" must not count), unicode letters and astral chars
+    (codepoint length + non-word for \\b), and a 12-token doc that
+    crosses the "good" label threshold."""
+    rows = [
+        (1, "the cat and the dog, in a box!"),
+        (2, ""),
+        (3, None),
+        (4, "   "),
+        (5, "\tx y\t"),
+        (6, "a b\x0bc"),
+        (7, "android is-land the,and"),
+        (8, "café ÀÉ the \U0001f600"),
+        (9, "the and of to in a is the and of to in"),
+        (10, "word " * 9 + "the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from fintrack_etl_spark import textops as TX
+    from fintrack_etl_spark.operators.quality import quality_count_batches
+
+    counts = df.select("doc_id", "text").mapInArrow(
+        quality_count_batches,
+        "doc_id bigint, n_tokens bigint, n_stopwords bigint, "
+        "n_punct bigint, n_nospace bigint, n_len bigint",
+    )
+    t = F.col("text")
+    jvm_counts = df.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.stopword_count(t, "en").cast("long").alias("n_stopwords"),
+        TX.pattern_count(t, r"[^A-Za-z0-9\s]").cast("long").alias("n_punct"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("n_nospace"),
+        F.length(t).cast("long").alias("n_len"),
+    )
+    got = {r["doc_id"]: tuple(r) for r in counts.collect()}
+    want = {r["doc_id"]: tuple(r) for r in jvm_counts.collect()}
+    assert got == want, (got, want)
+
+    # Full-pipeline equality on the rows where the original is defined
+    # (ANSI div by n_len/n_tokens=0 crashes BOTH forms identically on
+    # empty text — the ratio stage is shared code either way).
+    cols = [
+        "doc_id", "n_tokens", "n_stopwords", "stop_ratio",
+        "punct_ratio", "avg_token_len", "quality_label",
+    ]
+    safe = [1, 3, 4, 5, 6, 7, 8, 9, 10]  # all but the n_len=0 row
+    got2 = {
+        r["doc_id"]: tuple(r)
+        for r in TX.quality_ratio_select(counts.filter(F.col("doc_id").isin(safe)))
+        .select(*cols).collect()
+    }
+    want2 = {
+        r["doc_id"]: tuple(r)
+        for r in TX.quality_features(df.filter(F.col("doc_id").isin(safe)))
+        .select(*cols).collect()
+    }
+    assert got2 == want2, (got2, want2)
