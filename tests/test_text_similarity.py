@@ -1443,6 +1443,58 @@ def test_sentence_stats_pinned_values(spark):
     assert got[2]["n_syllables"] == 1
 
 
+def test_sentence_stats_rewrite_matches_hof(spark):
+    """The r11 compiled-regex forms must equal the interpreted filter
+    HOFs they replaced, on every edge the rewrite note claims:
+    tab-only segments (trim strips spaces ONLY — both count them as
+    sentences), adjacent terminators (empty segments dropped),
+    space-only segments (dropped), leading/trailing separators (split
+    keeps the empty tokens; they are no-vowel words in both forms),
+    multi-vowel-group words, all-consonant words, and NULL text."""
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.textops import sentence_stats
+
+    rows = [
+        (1, "the cat sat. xyz!"),
+        (2, "a.. b!? . c"),          # adjacent terminators, space segs
+        (3, "x.\t.y"),               # tab-only segment between dots
+        (4, "\trhythm myth\t"),      # no-vowel words + empty tokens
+        (5, "queueing rhythms. ."),
+        (6, None),
+        (7, ""),
+        (8, " . ! ? "),              # only space segments
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in sentence_stats(df).collect()}
+
+    # the pre-r11 HOF forms, verbatim
+    t = F.lower(F.col("text"))
+    sent_hof = F.greatest(
+        F.expr("size(filter(split(lower(text), '[.!?]+'), s -> length(trim(s)) > 0))"),
+        F.lit(1),
+    )
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    vg = F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+    nv_hof = F.expr(
+        "size(filter(split(trim(lower(text)), '\\\\s+'), w -> NOT (w RLIKE '[aeiouy]')))"
+    )
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            sent_hof.cast("long").alias("n_sentences"),
+            n_words.cast("long").alias("n_words"),
+            (vg + nv_hof).cast("long").alias("n_syllables"),
+        ).collect()
+    }
+    for d, w in want.items():
+        g = got[d]
+        assert (g["n_sentences"], g["n_words"], g["n_syllables"]) == (
+            w["n_sentences"], w["n_words"], w["n_syllables"],
+        ), (d, g, w)
+
+
 def test_bm25_ranks_rare_terms_above_common(spark):
     """BM25: a term appearing in one doc outranks one in every doc;
     length normalization discounts tf in long docs."""
