@@ -449,10 +449,21 @@ def main() -> None:
         # The 12 M-row unsalted shuffle is the most bandwidth-sensitive
         # op in the file — the designated weather victim (VERDICT r9
         # #2: 51.2 s under load vs a 3.0–3.6 calm band). When the START
-        # gauge shows contention, re-run it ONCE with its own fresh
-        # bracketing gauge so the artifact carries a second point
-        # instead of a single storm-distorted row.
-        if skew is not None and gauge_calm(calib_start) is False:
+        # gauge shows contention — or when any skew join row lands
+        # above its sealed band DESPITE a calm start (r11: a calm-start
+        # run carried join_unsalted 19.4 s from a mid-run storm and no
+        # rerun fired; same-session re-measurement read 3.1–3.7 s) —
+        # re-run it ONCE with its own fresh bracketing gauge so the
+        # artifact carries a second point instead of a single
+        # storm-distorted row.
+        skew_above_band = skew is not None and any(
+            skew.get(k) is not None and skew[k] > band
+            for k, band in FAMILY_BAND_MAX_SF01.items()
+            if k.startswith("join_")
+        )
+        if skew is not None and (
+            gauge_calm(calib_start) is False or skew_above_band
+        ):
             calib_skew_rerun = calibrate(spark, sf_dir)
             skew_rerun = _run_skew()
 
