@@ -465,6 +465,106 @@ def rle8_decode(data: bytes, width: int, height: int) -> bytes:
     raise ValueError("rle8: missing end-of-bitmap")
 
 
+def _rle8_encode_many(frames: list[bytes], width: int, height: int) -> list[bytes] | None:
+    """Vectorized MS-RLE8 encode of uniform frames — byte-identical to
+    per-frame ``rle8_encode`` (pinned by
+    ``test_rle8_vectorized_matches_loop``), one numpy pass over ALL
+    frames instead of a per-pixel Python loop per frame (guide §4.4:
+    x78's profile put ~80 % of its Python time inside the two codec
+    loops). Returns None for shapes the loop must handle (width > 255
+    needs run capping; degenerate dims): caller falls back.
+
+    Layout trick: the output buffer starts zeroed, and EOL is 00 00 —
+    so only run pairs and the EOB 01 bytes are scattered."""
+    import numpy as np
+
+    nf = len(frames)
+    if nf == 0 or width == 0 or width > 255 or height == 0:
+        return None
+    blob = b"".join(frames)
+    if len(blob) != nf * height * width:
+        return None  # malformed input: keep the loop's behavior
+    arr = np.frombuffer(blob, np.uint8).reshape(nf, height, width)
+    rows = arr[:, ::-1, :].reshape(nf * height, width)  # bottom-up rows
+    nrows = rows.shape[0]
+    mask = np.ones(rows.shape, dtype=bool)
+    mask[:, 1:] = rows[:, 1:] != rows[:, :-1]
+    flat = np.flatnonzero(mask.ravel())
+    vals = rows.reshape(-1)[flat]
+    lengths = np.diff(flat, append=rows.size)  # runs never cross rows (col 0 always starts one)
+    row_of_run = flat // width
+    runs_per_row = np.bincount(row_of_run, minlength=nrows)
+    row_bytes = 2 * runs_per_row + 2  # pairs + EOL
+    row_start = np.concatenate(([0], np.cumsum(row_bytes)[:-1])) + 2 * (
+        np.arange(nrows) // height
+    )  # + EOB of every previous frame
+    first_run_of_row = np.concatenate(([0], np.cumsum(runs_per_row)[:-1]))
+    pos = row_start[row_of_run] + 2 * (
+        np.arange(flat.size) - first_run_of_row[row_of_run]
+    )
+    frame_sizes = row_bytes.reshape(nf, height).sum(axis=1) + 2
+    out = np.zeros(int(frame_sizes.sum()), np.uint8)
+    out[pos] = lengths.astype(np.uint8)
+    out[pos + 1] = vals
+    frame_ends = np.cumsum(frame_sizes)
+    out[frame_ends - 1] = 1  # EOB = 00 01 (the 00 is already there)
+    ob = out.tobytes()
+    offs = np.concatenate(([0], frame_ends))
+    return [ob[offs[i] : offs[i + 1]] for i in range(nf)]
+
+
+def _rle8_decode_many(bodies: list[bytes], width: int, height: int) -> list[bytes] | None:
+    """Vectorized MS-RLE8 decode of runs-only streams (the shape our
+    encoder emits: 2-byte-aligned run pairs, exactly ``height`` EOLs
+    per chunk each closing a row that sums to ``width``, EOB last) —
+    value-identical to per-chunk ``rle8_decode`` on that shape (pinned
+    by ``test_rle8_vectorized_matches_loop``). Returns None the moment
+    anything else appears (absolute/delta escapes, odd sizes, early or
+    missing EOB, short/overfull rows, runs after the last EOL): the
+    caller falls back to the full four-mode loop decoder, which
+    handles foreign streams and raises the proper errors. Detection is
+    sound because every escape in a runs-only prefix sits on a pair
+    boundary — the first non-run byte pair is seen as written."""
+    import numpy as np
+
+    n = len(bodies)
+    if n == 0 or width == 0 or height == 0:
+        return None
+    sizes = np.fromiter((len(b) for b in bodies), np.int64, n)
+    if np.any(sizes < 2) or np.any(sizes % 2):
+        return None
+    pairs = np.frombuffer(b"".join(bodies), np.uint8).reshape(-1, 2)
+    c = pairs[:, 0].astype(np.int64)
+    v = pairs[:, 1]
+    esc = c == 0
+    if np.any(esc & (v > 1)):
+        return None  # delta / absolute mode
+    ends = np.cumsum(sizes) // 2 - 1  # pair index of each chunk's last pair
+    eob_idx = np.flatnonzero(esc & (v == 1))
+    if eob_idx.size != n or not np.array_equal(eob_idx, ends):
+        return None  # early or missing EOB
+    eol = esc & (v == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    if not np.all(np.add.reduceat(eol.astype(np.int64), starts) == height):
+        return None  # wrong row count somewhere
+    run = ~esc
+    grow = np.cumsum(eol) - eol  # EOLs strictly before each pair = global row id
+    run_idx = np.flatnonzero(run)
+    if run_idx.size == 0:
+        return None  # all-empty rows: loop decoder (zero fill) is authoritative
+    chunk_of_run = np.searchsorted(ends, run_idx)
+    run_rows = grow[run_idx]
+    if np.any(run_rows >= (chunk_of_run + 1) * height):
+        return None  # run after its chunk's last EOL
+    rowsum = np.bincount(run_rows, weights=c[run_idx], minlength=n * height)
+    if not np.all(rowsum == width):
+        return None  # short or overfull row (incl. zero-fill semantics)
+    px = np.repeat(v[run_idx], c[run_idx])  # stream order = bottom-up rows
+    ab = px.reshape(n, height, width)[:, ::-1, :].tobytes()
+    fs = width * height
+    return [ab[i * fs : (i + 1) * fs] for i in range(n)]
+
+
 def encode_avi(
     frames: list[bytes],
     width: int,
@@ -535,9 +635,13 @@ def encode_avi(
 
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     fourcc = b"00dc" if rle else b"00db"
+    rle_bodies = _rle8_encode_many(frames, width, height) if rle else None
     movi_body, idx_entries, off = b"", [], 4  # first chunk 4 bytes past 'movi'
-    for f in frames:
-        body = rle8_encode(f, width, height) if rle else dib(f)
+    for fi, f in enumerate(frames):
+        if rle:
+            body = rle_bodies[fi] if rle_bodies is not None else rle8_encode(f, width, height)
+        else:
+            body = dib(f)
         movi_body += chunk(fourcc, body)
         idx_entries.append(struct.pack("<4sIII", fourcc, _AVIIF_KEYFRAME, off, len(body)))
         off += 8 + len(body) + (len(body) & 1)
@@ -610,14 +714,19 @@ def parse_avi(blob: bytes) -> dict:
     assert len(chunks) == meta["n_frames"] == len(idx), (len(chunks), meta, len(idx))
     assert [(o, len(d)) for o, d in chunks] == idx, "idx1 disagrees with movi"
     frames = []
-    for _, body in chunks:
-        if meta.get("codec") == "rle8":
-            frames.append(rle8_decode(body, w, h))
-        else:
-            assert len(body) == stride * h, (len(body), stride, h)
-            frames.append(
-                b"".join(body[r * stride : r * stride + w] for r in range(h - 1, -1, -1))
-            )
+    if meta.get("codec") == "rle8" and chunks:
+        fast = _rle8_decode_many([body for _, body in chunks], w, h)
+        if fast is not None:
+            frames = fast
+    if not frames:
+        for _, body in chunks:
+            if meta.get("codec") == "rle8":
+                frames.append(rle8_decode(body, w, h))
+            else:
+                assert len(body) == stride * h, (len(body), stride, h)
+                frames.append(
+                    b"".join(body[r * stride : r * stride + w] for r in range(h - 1, -1, -1))
+                )
     meta["frames"] = frames
     meta["frame_bytes"] = [len(body) for _, body in chunks]
     return meta

@@ -1762,6 +1762,50 @@ def test_rle8_codec_roundtrip_all_modes():
         rle8_decode(bytes([2, 5]), 8, 2)  # missing end-of-bitmap
 
 
+def test_rle8_vectorized_matches_loop():
+    """The r11 vectorized encode/decode fast paths must be
+    byte-identical to the per-frame loops on every accepted shape, and
+    must REFUSE (None → caller falls back) every stream shape the
+    four-mode loop decoder owns."""
+    import random
+
+    from fintrack_etl_spark.multimodal import (
+        _rle8_decode_many,
+        _rle8_encode_many,
+        rle8_decode,
+        rle8_encode,
+    )
+
+    random.seed(23)
+    for w, h, nf in [(8, 8, 5), (1, 1, 3), (255, 4, 2), (13, 7, 4), (8, 8, 1)]:
+        frames = [
+            bytes(random.choice([0, 0, 0, 5, 9, 255]) for _ in range(w * h))
+            for _ in range(nf)
+        ]
+        fast = _rle8_encode_many(frames, w, h)
+        loop = [rle8_encode(f, w, h) for f in frames]
+        assert fast == loop, (w, h, nf)
+        dec = _rle8_decode_many(loop, w, h)
+        assert dec == [rle8_decode(b, w, h) for b in loop] == frames, (w, h, nf)
+
+    # width > 255 needs run capping: encoder must decline
+    wide = [bytes([3]) * 300]
+    assert _rle8_encode_many(wide, 300, 1) is None
+    # decoder declines everything the loop owns: absolute mode,
+    # delta skip, odd-size stream, early EOB, short row (zero-fill)
+    absolute = bytes([0, 3, 1, 2, 3, 0, 0, 0, 8, 7, 0, 0, 0, 1])
+    assert _rle8_decode_many([absolute], 3, 2) is None
+    delta = bytes([0, 2, 1, 1, 2, 9, 0, 0, 0, 0, 0, 1])
+    assert _rle8_decode_many([delta], 2, 2) is None
+    assert _rle8_decode_many([bytes([2, 5, 0])], 2, 1) is None
+    early_eob = bytes([2, 5, 0, 1, 0, 0])
+    assert _rle8_decode_many([early_eob], 2, 1) is None
+    short_row = bytes([1, 5, 0, 0, 0, 1])  # 1 of 2 px, rest zero-fill
+    assert _rle8_decode_many([short_row], 2, 1) is None
+    # ...and the loop decoder remains authoritative for those shapes
+    assert rle8_decode(short_row, 2, 1) == bytes([5, 0])
+
+
 def test_adpcm_codec_contracts():
     import math
 
