@@ -726,14 +726,27 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-bit LSH block (first
     ``block_bits`` dims) then exact cosine within blocks — the
-    embedding-space analog of fingerprint-then-verify."""
+    embedding-space analog of fingerprint-then-verify.
+
+    r11 (guide §3.4 avoid self-join recompute): the block self-join is
+    HINTED to sort-merge. Under the default broadcast plan the two
+    join branches are separate subtrees (a BroadcastExchange never
+    reuses the probe side's pipeline), so the interpreted norm fold
+    and the sign-block concat ran TWICE per vector; with a shuffle
+    join both sides are the identical hash exchange on ``blk`` and AQE
+    stage reuse computes the base ONCE (`ReusedExchange` — the x63
+    lesson). Measured 0.27 → 0.08 s steady at sf0.1. Sort-merge is
+    also the right 100 TB strategy: equally-sized self-join sides, no
+    per-partition hash-build memory risk on a hot block."""
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     blk = F.concat_ws(
         "",
         *[F.when(F.element_at(v, i + 1) >= 0, "1").otherwise("0") for i in range(block_bits)],
     )
-    base = df.select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"), blk.alias("blk"))
+    base = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"), blk.alias("blk")
+    ).hint("merge")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
