@@ -1714,14 +1714,23 @@ def x29_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's pandas canonicalizer can sort/hash the column (python
     lists are unhashable there); the raw ``array<tinyint>`` form
     stays available via ``quantize_embeddings_array`` for downstream
-    ADC scoring."""
-    q = quantize_embeddings_array(T(spark, sf_dir, "embeddings"))
-    return q.select(
-        "vec_id",
-        "label",
-        "scale_nano",
-        F.concat_ws(",", F.col("q8").cast("array<string>")).alias("q8_csv"),
-        "mae_nano",
+    ADC scoring.
+
+    r11: the three interpreted per-element HOF passes run as ONE
+    vectorized Arrow kernel (``similarity.quantize_batches`` — still
+    map-only, zero shuffle); bit-parity with the Column form
+    (HALF_UP round, sequential mae fold) is argued in the kernel
+    docstring and pinned by ``test_quantize_batches_matches_hof``."""
+    from .similarity import quantize_batches
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    label_ddl = emb.schema["label"].dataType.simpleString()
+    return emb.mapInArrow(
+        quantize_batches,
+        f"vec_id bigint, label {label_ddl}, "
+        "scale_nano bigint, q8_csv string, mae_nano bigint",
     )
 
 

@@ -1435,3 +1435,88 @@ def mmr_rerank_batch(
         )
 
     return cand.groupBy("query_id").applyInPandas(_rerank, schema)
+
+
+def quantize_batches(batches):
+    """x29 kernel — int8 symmetric per-vector quantization over Arrow
+    batches, bit-identical to the Column-HOF form it replaces
+    (``queries_ext.quantize_embeddings_array``; the three interpreted
+    per-element passes — scale transform, q8 transform, mae fold —
+    were the whole cost of a zero-shuffle map query).
+
+    Bit-parity arguments (pinned by
+    ``test_quantize_batches_matches_hof``):
+
+    * ``scale`` — max of |x| then one divide by 127.0: same selection,
+      same correctly-rounded ops in the same order.
+    * ``q8 = round(x/scale, 0)`` — Spark's Round is HALF_UP over
+      ``BigDecimal.valueOf(double)`` (the SHORTEST round-tripping
+      decimal). For round-to-integer that decision equals the binary
+      frac-vs-0.5 compare: if the double sits strictly on one side of
+      k±0.5 its shortest repr sits on the same side (it must
+      round-trip), and exact halves are representable and spelled
+      "k.5" — so ``floor + (x−floor ≥ 0.5)`` (mirrored for negatives,
+      away-from-zero) reproduces it exactly; the fractional parts are
+      exact by Sterbenz. NO ``np.rint`` (half-even) and NO
+      ``floor(x+0.5)`` (the add can round across the boundary).
+    * ``mae`` — the JVM fold is a sequential left-to-right double sum;
+      per-row ``np.cumsum(...)[-1]`` reproduces the same chain
+      (prefix i = prefix i−1 + e_i, and 0.0+e_0 == e_0), where a
+      whole-array ``np.sum`` (pairwise) would not.
+    * NULL embedding → NULL scale/mae, ``q8_csv`` '' (concat_ws skips
+      null args). All-zero or empty vectors are NOT handled (the JVM
+      form itself NaN-poisons / raises ANSI divide-by-zero there; the
+      fixture has neither) — feed real vectors.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        emb = b.column("embedding")
+        n = len(emb)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        isnull = np.asarray(pc.is_null(emb).to_numpy(zero_copy_only=False), dtype=bool)
+        lens = np.where(isnull, 0, lens).astype(np.int64)
+        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ends = np.cumsum(lens)
+        nz = lens > 0
+        rowmax = np.zeros(n, np.float64)
+        if vals.size:
+            absv = np.abs(vals)
+            rm = np.maximum.reduceat(absv, starts[nz]) if nz.any() else absv[:0]
+            rowmax[nz] = rm
+        scale = rowmax / 127.0
+        srep = np.repeat(scale, lens)
+        xs = vals / np.where(srep == 0, np.nan, srep)
+        # HALF_UP round-to-integer on the exact binary value
+        f = np.floor(xs)
+        q = np.where(xs >= 0, f + (xs - f >= 0.5), np.ceil(xs) - (np.ceil(xs) - xs >= 0.5))
+        q8 = q.astype(np.int8)
+        err = np.abs(vals - q * srep)
+        mae = np.full(n, np.nan)
+        for i in np.flatnonzero(nz):
+            mae[i] = np.cumsum(err[starts[i] : ends[i]])[-1] / lens[i]
+        scale_nano = np.floor(scale * 1e9)
+        mae_nano = np.floor(mae * 1e9)
+
+        off32 = np.concatenate(([0], ends)).astype(np.int32)
+        q8_list = pa.ListArray.from_arrays(
+            pa.array(off32), pa.array(q8, pa.int8()).cast(pa.string())
+        )
+        csv = pc.binary_join(q8_list, ",")
+        sn = scale_nano.astype(object)
+        mn = mae_nano.astype(object)
+        sn[isnull] = None
+        mn[isnull] = None
+        yield pa.record_batch(
+            [
+                b.column("vec_id").cast(pa.int64()),
+                b.column("label"),  # passed through with its own dtype
+                pa.array(sn.tolist(), pa.int64()),
+                csv.cast(pa.string()),
+                pa.array(mn.tolist(), pa.int64()),
+            ],
+            names=["vec_id", "label", "scale_nano", "q8_csv", "mae_nano"],
+        )

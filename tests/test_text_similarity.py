@@ -2244,3 +2244,50 @@ def test_df_guard_frac_is_replication_invariant(spark):
             ).collect()
         }
         assert frac_pairs == complete
+
+
+def test_quantize_batches_matches_hof(spark):
+    """x29's Arrow kernel must equal the Column-HOF form bit-for-bit
+    on the shapes its docstring argues parity for: exact half-way
+    codes (positive and negative, HALF_UP = away from zero),
+    shortest-repr traps (2.675 is really 2.67499…), values at the
+    ±127 boundary, mixed-sign vectors, and NULL embedding (NULL
+    audits, empty q8_csv)."""
+    from pyspark.sql import functions as F
+
+    from fintrack_etl_spark.queries_ext import quantize_embeddings_array
+    from fintrack_etl_spark.similarity import quantize_batches
+
+    rows = [
+        (1, "a", [127.0, -127.0, 63.5, -63.5, 0.0]),   # scale 1.0: exact halves
+        (2, "b", [2.675, -2.675, 1.0, 254.0]),          # scale 2.0: shortest-repr trap
+        (3, "c", [0.1, 0.2, 0.30000000000000004, -0.7]),
+        (4, "d", None),
+        (5, "e", [1e-9, -1e-9, 5e-10]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    cols = ["vec_id", "label", "scale_nano", "q8_csv", "mae_nano"]
+    got = {
+        r["vec_id"]: tuple(r)
+        for r in df.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .mapInArrow(
+            quantize_batches,
+            "vec_id bigint, label string, scale_nano bigint, q8_csv string, mae_nano bigint",
+        )
+        .collect()
+    }
+    q = quantize_embeddings_array(df)
+    want = {
+        r["vec_id"]: tuple(r)
+        for r in q.select(
+            "vec_id",
+            "label",
+            "scale_nano",
+            F.concat_ws(",", F.col("q8").cast("array<string>")).alias("q8_csv"),
+            "mae_nano",
+        ).collect()
+    }
+    assert got == want, (got, want)
