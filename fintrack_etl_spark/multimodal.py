@@ -975,36 +975,74 @@ def _ima_step(predictor: int, index: int, code: int) -> tuple[int, int]:
     return predictor, index
 
 
-def adpcm_encode_block(samples: list[int], index: int = 0) -> bytes:
+def _adpcm_encode_block_ex(samples: list[int], index: int = 0) -> tuple[bytes, int]:
     """Encode one block (<= _ADPCM_SAMPLES_PER_BLOCK PCM16 samples):
     4-byte header (predictor int16 = sample 0 stored EXACTLY, step
     index, reserved 0) + one 4-bit code per remaining sample, low
-    nibble first, zero-padded to the block's nibble capacity."""
+    nibble first, zero-padded to the block's nibble capacity.
+
+    Returns ``(block_bytes, end_index)`` — the encoder tracks the
+    decoder's state exactly (that is what makes IMA
+    self-synchronizing), so the end-of-block step index is already
+    here; r11 exposes it so ``encode_wav_adpcm`` no longer re-DECODES
+    every block (505 extra state steps per block) just to recover it.
+    The inner loop inlines ``_ima_step`` (integer-identical by
+    construction; the shared function stays as the reference the unit
+    vectors pin) with the tables bound to locals — the per-sample
+    call overhead was the hottest line in x79's profile (guide §4.4).
+    """
     import struct
 
+    steps = _IMA_STEPS
+    adjust = _IMA_INDEX_ADJUST
     predictor = samples[0]
     out = bytearray(struct.pack("<hBB", predictor, index, 0))
     nibbles: list[int] = []
+    append = nibbles.append
     for s in samples[1:]:
-        step = _IMA_STEPS[index]
+        step = steps[index]
         diff = s - predictor
         code = 8 if diff < 0 else 0
         diff = abs(diff)
         if diff >= step:
             code |= 4
             diff -= step
-        if diff >= step >> 1:
+        half = step >> 1
+        if diff >= half:
             code |= 2
-            diff -= step >> 1
+            diff -= half
         if diff >= step >> 2:
             code |= 1
-        predictor, index = _ima_step(predictor, index, code)
-        nibbles.append(code)
+        # _ima_step inlined
+        vpdiff = step >> 3
+        if code & 4:
+            vpdiff += step
+        if code & 2:
+            vpdiff += half
+        if code & 1:
+            vpdiff += step >> 2
+        predictor = predictor - vpdiff if code & 8 else predictor + vpdiff
+        if predictor > 32767:
+            predictor = 32767
+        elif predictor < -32768:
+            predictor = -32768
+        index += adjust[code & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+        append(code)
     cap = (_ADPCM_BLOCK_ALIGN - 4) * 2
     nibbles += [0] * (cap - len(nibbles))
     for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
         out.append(lo | (hi << 4))
-    return bytes(out)
+    return bytes(out), index
+
+
+def adpcm_encode_block(samples: list[int], index: int = 0) -> bytes:
+    """Public single-block encode (bytes only); see
+    ``_adpcm_encode_block_ex`` for the state-returning form."""
+    return _adpcm_encode_block_ex(samples, index)[0]
 
 
 def encode_wav_adpcm(samples: list[int], sample_rate: int = 8000) -> bytes:
@@ -1019,12 +1057,16 @@ def encode_wav_adpcm(samples: list[int], sample_rate: int = 8000) -> bytes:
     index = 0
     for i in range(0, len(samples), _ADPCM_SAMPLES_PER_BLOCK):
         chunk = samples[i : i + _ADPCM_SAMPLES_PER_BLOCK]
-        blocks.append(adpcm_encode_block(chunk, index))
         # carry the ADAPTED (end-of-block) step index into the next
-        # block header — re-derived by replaying the block, so the
-        # state lives in exactly one place; blocks stay independently
-        # decodable because each header stores its own start state
-        _, index = adpcm_decode_block(blocks[-1], len(chunk))
+        # block header. r11: taken from the encoder's own state track
+        # (bit-identical to a decoder replay — the encoder steps the
+        # same (predictor, index) machine on the same codes; pinned by
+        # test_adpcm_encoder_end_index_matches_decoder_replay) instead
+        # of re-decoding the block, which doubled encode cost. Blocks
+        # stay independently decodable: each header stores its start
+        # state.
+        block, index = _adpcm_encode_block_ex(chunk, index)
+        blocks.append(block)
     data = b"".join(blocks)
     byte_rate = sample_rate * _ADPCM_BLOCK_ALIGN // _ADPCM_SAMPLES_PER_BLOCK
     fmt = struct.pack(
@@ -1042,18 +1084,47 @@ def encode_wav_adpcm(samples: list[int], sample_rate: int = 8000) -> bytes:
 
 
 def adpcm_decode_block(block: bytes, n_samples: int) -> tuple[list[int], int]:
-    """Decode one block; returns (samples, end index state)."""
+    """Decode one block; returns (samples, end index state).
+
+    r11: the per-sample ``_ima_step`` call is inlined with the tables
+    bound to locals (integer-identical; the shared function remains
+    the unit-vector reference) and the nibble fan-out only expands the
+    bytes actually consumed — same per-sample cost discipline as the
+    encoder (guide §4.4)."""
     import struct
 
+    steps = _IMA_STEPS
+    adjust = _IMA_INDEX_ADJUST
     predictor, index, _ = struct.unpack_from("<hBB", block, 0)
     out = [predictor]
-    nibbles = []
-    for byte in block[4:]:
-        nibbles.append(byte & 0xF)
-        nibbles.append(byte >> 4)
-    for code in nibbles[: n_samples - 1]:
-        predictor, index = _ima_step(predictor, index, code)
-        out.append(predictor)
+    append = out.append
+    nb = n_samples - 1
+    nibbles: list[int] = []
+    nap = nibbles.append
+    for byte in block[4 : 4 + (nb + 1) // 2]:
+        nap(byte & 0xF)
+        nap(byte >> 4)
+    for code in nibbles[:nb]:
+        # _ima_step inlined
+        step = steps[index]
+        vpdiff = step >> 3
+        if code & 4:
+            vpdiff += step
+        if code & 2:
+            vpdiff += step >> 1
+        if code & 1:
+            vpdiff += step >> 2
+        predictor = predictor - vpdiff if code & 8 else predictor + vpdiff
+        if predictor > 32767:
+            predictor = 32767
+        elif predictor < -32768:
+            predictor = -32768
+        index += adjust[code & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+        append(predictor)
     return out, index
 
 

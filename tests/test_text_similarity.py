@@ -2291,3 +2291,33 @@ def test_quantize_batches_matches_hof(spark):
         ).collect()
     }
     assert got == want, (got, want)
+
+
+def test_adpcm_encoder_end_index_matches_decoder_replay():
+    """The r11 encode path takes the next block's step index from the
+    encoder's own state track instead of re-decoding the block; both
+    must be bit-identical on adapting, clamped, and short-block
+    signals (the multi-block WAV roundtrip depends on it)."""
+    import math
+    import random
+
+    from fintrack_etl_spark.multimodal import (
+        _adpcm_encode_block_ex,
+        adpcm_decode_block,
+        adpcm_encode_block,
+    )
+
+    random.seed(31)
+    signals = [
+        [int(8000 * math.sin(2 * math.pi * 100 * i / 8000)) for i in range(505)],
+        [random.randint(-32768, 32767) for _ in range(505)],  # max adaptation
+        [0] * 505,                                            # index floor
+        [32767, -32768] * 252 + [0],                          # clamp ping-pong
+        [random.randint(-2000, 2000) for _ in range(17)],     # short final block
+    ]
+    for sig in signals:
+        for start in (0, 44, 88):
+            blk, end_enc = _adpcm_encode_block_ex(sig, start)
+            assert blk == adpcm_encode_block(sig, start)
+            dec, end_dec = adpcm_decode_block(blk, len(sig))
+            assert end_enc == end_dec, (start, end_enc, end_dec)
