@@ -349,6 +349,9 @@ def main() -> None:
 
         def work() -> None:
             try:
+                # label the jobs so the Spark UI / event log attributes
+                # every stage to its query (guide §1.3)
+                spark.sparkContext.setJobDescription(f"bench:{name}")
                 df = qs[name](spark, sf_dir)
                 # executes the full physical plan JVM-side (no
                 # Python-side row transfer) and reuses the cached plan
