@@ -458,8 +458,12 @@ def main() -> None:
         # rerun fired; same-session re-measurement read 3.1–3.7 s) —
         # re-run it ONCE with its own fresh bracketing gauge so the
         # artifact carries a second point instead of a single
-        # storm-distorted row.
-        skew_above_band = skew is not None and any(
+        # storm-distorted row. The band compare is gated on sf == 0.1
+        # (ADVICE r11): the sealed bands are sf0.1 maxima, so at any
+        # other scale factor every join row would read "above band"
+        # and the ONCE-rerun plus its calibration would fire on every
+        # run; other scales keep the calm-gauge-only trigger.
+        skew_above_band = sf == "0.1" and skew is not None and any(
             skew.get(k) is not None and skew[k] > band
             for k, band in FAMILY_BAND_MAX_SF01.items()
             if k.startswith("join_")

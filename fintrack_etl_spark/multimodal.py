@@ -1086,6 +1086,14 @@ def encode_wav_adpcm(samples: list[int], sample_rate: int = 8000) -> bytes:
 def adpcm_decode_block(block: bytes, n_samples: int) -> tuple[list[int], int]:
     """Decode one block; returns (samples, end index state).
 
+    ``n_samples`` must be >= 1: the block header itself carries the
+    first sample (the predictor), so "decode zero samples of a block"
+    is not a meaningful request — a well-formed reader never issues it
+    (``decode_adpcm_wav`` breaks before a zero-take block). Raising
+    states the contract explicitly (ADVICE r11: the old behavior for
+    n_samples=0 was incidental — ~503 garbage padding samples before
+    r11, a single [predictor] row after).
+
     r11: the per-sample ``_ima_step`` call is inlined with the tables
     bound to locals (integer-identical; the shared function remains
     the unit-vector reference) and the nibble fan-out only expands the
@@ -1093,6 +1101,11 @@ def adpcm_decode_block(block: bytes, n_samples: int) -> tuple[list[int], int]:
     encoder (guide §4.4)."""
     import struct
 
+    if n_samples < 1:
+        raise ValueError(
+            f"adpcm_decode_block: n_samples must be >= 1, got {n_samples} "
+            "(the block header carries the first sample)"
+        )
     steps = _IMA_STEPS
     adjust = _IMA_INDEX_ADJUST
     predictor, index, _ = struct.unpack_from("<hBB", block, 0)

@@ -253,6 +253,16 @@ def quality_count_batches(batches):
       count non-overlapping leftmost matches, so the stopword
       alternation (kept in the exact original order) matches the same
       word set.
+    - KNOWN LIMIT (ADVICE r11): the stopword count lowercases with
+      pyarrow's utf8proc (``pc.utf8_lower``) while the JVM form uses
+      Java ``toLowerCase``; the two case mappings disagree on a few
+      locale-sensitive/special codepoints (e.g. U+0130 LATIN CAPITAL
+      LETTER I WITH DOT ABOVE — utf8proc maps it to a single 'i',
+      Java to "i̇" with a combining dot), which can shift an ASCII
+      ``\\b`` boundary adjacent to such a codepoint and change the
+      count on exotic Unicode text. The stopword alternation and both
+      fixtures are pure ASCII, where the mappings agree exactly; the
+      parity pytest pins that class.
     - NULL text propagates NULL counts through every ``pc`` call,
       matching the JVM NULL flow (ratios NULL, label "low_quality"
       via the CASE fall-through downstream).

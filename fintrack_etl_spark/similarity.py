@@ -1464,9 +1464,12 @@ def quantize_batches(batches):
       (prefix i = prefix i−1 + e_i, and 0.0+e_0 == e_0), where a
       whole-array ``np.sum`` (pairwise) would not.
     * NULL embedding → NULL scale/mae, ``q8_csv`` '' (concat_ws skips
-      null args). All-zero or empty vectors are NOT handled (the JVM
+      null args). All-zero or empty vectors are NOT supported (the JVM
       form itself NaN-poisons / raises ANSI divide-by-zero there; the
-      fixture has neither) — feed real vectors.
+      fixture has neither) — the kernel raises a ValueError naming the
+      offending ``vec_id`` up front (ADVICE r11: letting the NaN
+      propagate produced garbage int8 codes and a confusing
+      ArrowInvalid far from the cause at the int64 conversion).
     """
     import numpy as np
     import pyarrow as pa
@@ -1488,6 +1491,15 @@ def quantize_batches(batches):
             rm = np.maximum.reduceat(absv, starts[nz]) if nz.any() else absv[:0]
             rowmax[nz] = rm
         scale = rowmax / 127.0
+        bad = np.flatnonzero(~isnull & (scale == 0.0))
+        if bad.size:
+            bad_id = b.column("vec_id")[int(bad[0])].as_py()
+            raise ValueError(
+                f"quantize_batches: vec_id={bad_id} has a non-null "
+                "all-zero or empty embedding (scale == 0); int8 "
+                "symmetric quantization is undefined there, matching "
+                "the JVM form's ANSI divide-by-zero"
+            )
         srep = np.repeat(scale, lens)
         xs = vals / np.where(srep == 0, np.nan, srep)
         # HALF_UP round-to-integer on the exact binary value

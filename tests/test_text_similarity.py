@@ -2293,6 +2293,72 @@ def test_quantize_batches_matches_hof(spark):
     assert got == want, (got, want)
 
 
+def test_quantize_batches_rejects_zero_scale_vectors():
+    """ADVICE r11: a non-null all-zero (or empty) embedding has
+    scale == 0 — quantization is undefined there and the JVM form
+    fails with an ANSI divide-by-zero. The kernel must raise a clear
+    ValueError naming the vec_id up front instead of letting NaN
+    propagate into int8/int64 conversions (an opaque ArrowInvalid far
+    from the cause)."""
+    import pyarrow as pa
+    import pytest
+
+    from fintrack_etl_spark.similarity import quantize_batches
+
+    batch = pa.record_batch(
+        [
+            pa.array([7, 8], pa.int64()),
+            pa.array(["a", "b"]),
+            pa.array([[1.0, 2.0], [0.0, 0.0]], pa.list_(pa.float64())),
+        ],
+        names=["vec_id", "label", "embedding"],
+    )
+    with pytest.raises(ValueError, match="vec_id=8"):
+        list(quantize_batches(iter([batch])))
+
+    empty = pa.record_batch(
+        [
+            pa.array([9], pa.int64()),
+            pa.array(["c"]),
+            pa.array([[]], pa.list_(pa.float64())),
+        ],
+        names=["vec_id", "label", "embedding"],
+    )
+    with pytest.raises(ValueError, match="vec_id=9"):
+        list(quantize_batches(iter([empty])))
+
+    # NULL embeddings stay the supported NULL flow, not an error
+    nulls = pa.record_batch(
+        [
+            pa.array([10], pa.int64()),
+            pa.array(["d"]),
+            pa.array([None], pa.list_(pa.float64())),
+        ],
+        names=["vec_id", "label", "embedding"],
+    )
+    (out,) = list(quantize_batches(iter([nulls])))
+    assert out.column("scale_nano")[0].as_py() is None
+
+
+def test_adpcm_decode_block_rejects_nonpositive_n_samples():
+    """ADVICE r11: the n_samples<=0 contract was incidental (1 row
+    returned, not 0). It is now an explicit ValueError — the block
+    header carries the first sample, so decoding zero samples of a
+    block is never a meaningful request."""
+    import struct
+
+    import pytest
+
+    from fintrack_etl_spark.multimodal import _ADPCM_BLOCK_ALIGN, adpcm_decode_block
+
+    block = struct.pack("<hBB", 123, 0, 0) + bytes(_ADPCM_BLOCK_ALIGN - 4)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="n_samples must be >= 1"):
+            adpcm_decode_block(block, bad)
+    samples, _ = adpcm_decode_block(block, 1)
+    assert samples == [123]
+
+
 def test_adpcm_encoder_end_index_matches_decoder_replay():
     """The r11 encode path takes the next block's step index from the
     encoder's own state track instead of re-decoding the block; both
