@@ -13,6 +13,12 @@ from pyspark.sql import functions as F
 
 from .aggregate import mode_per_group
 
+#: sorted_neighborhood_pairs: widest partition layout whose rank
+#: offsets are attached as a literal-array lookup; wider layouts fall
+#: back to the broadcast-join form (a 100k-element literal array would
+#: bloat analysis/codegen, while 4096 longs is a ~32 KiB expression).
+_LITERAL_OFFSET_MAX = 4096
+
 
 def budget_vs_actual(
     budget: DataFrame,
@@ -284,16 +290,35 @@ def sorted_neighborhood_pairs(
 
     1. ``repartitionByRange`` + in-partition sort on ``(key, id)``
        gives a total order across partitions; the global rank is the
-       per-partition ``row_number`` plus a prefix-sum of partition
-       counts (one O(#partitions) driver collect, same discipline as
-       ``packing.pack_documents_by_tokens``).
+       per-partition row index plus a prefix-sum of partition counts
+       (one O(#partitions) driver collect, same discipline as
+       ``packing.pack_documents_by_tokens``). r12: the per-partition
+       index comes from ``monotonically_increasing_id`` evaluated
+       above the in-partition sort (pid in the upper 31 bits, row
+       index in partition order in the lower 33 — nondeterministic-
+       flagged, so the optimizer cannot move it below the Sort, and
+       the localCheckpoint pins one materialization exactly as it
+       already did for the range layout) instead of
+       ``row_number() OVER (PARTITION BY pid)``, which forced a
+       second, hash-on-pid exchange of every row plus a window sort.
+       One exchange total, down from two (guide §2.4).
     2. In-window pairs (rank gap 1..window-1) come from ONE equi-join:
        with ``step = window - 1``, ranks at most ``step`` apart have
-       bucket ids ``floor(rank/step)`` differing by at most 1, so the
+       bucket ids ``rank div step`` differing by at most 1, so the
        probe side is duplicated into its own bucket and the previous
        one (2x fanout, pigeonhole-complete) and the join is a plain
        shuffle equi-join on the bucket id — never an all-pairs
-       product, never a driver sort.
+       product, never a driver sort. r12: the bucket is integer
+       ``div``, not ``FLOOR(double/double)`` (same value for the
+       nonnegative ranks, no double round-trip), and the prefix-sum
+       offsets are attached as a LITERAL array lookup
+       (``element_at(array<offsets>, pid+1)``) rather than a
+       broadcast join — the offsets are already on the driver from
+       the totals collect, and the join forced a broadcast exchange
+       + hash join per consumer subtree (two in the x66 plan, 26
+       nodes → 14). Above ``_LITERAL_OFFSET_MAX`` partitions the
+       literal would bloat the plan, so huge layouts keep the
+       broadcast-join form.
 
     Output: ``src`` / ``dst`` (id pairs, src rank < dst rank),
     ``key_l`` / ``key_r``, ``gap`` (rank distance, 1..window-1).
@@ -306,62 +331,64 @@ def sorted_neighborhood_pairs(
     parts = num_partitions or spark.sparkContext.defaultParallelism
     key_expr = F.col(key_col) if isinstance(key_col, str) else key_col
     keyed = df.select(F.col(id_col).alias("_id"), key_expr.alias("_key"))
-    ranged = keyed.repartitionByRange(parts, "_key", "_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # explicit hash repartition on _pid so the rank window's per-task
-    # sort stays caller-bounded rather than hashing `parts` pids into
-    # the session-default shuffle width — see
-    # packing.pack_documents_by_tokens (the x80/r9 window-exchange
-    # lesson)
-    ranged = ranged.repartition(parts, "_pid")
-    w = Window.partitionBy("_pid").orderBy("_key", "_id")
     # localCheckpoint pins one materialization: repartitionByRange
     # samples boundaries per execution, so without the pin the count
-    # pass and the rank pass could see different _pid layouts. LAZY:
-    # the totals collect below is the first action and persists the
+    # pass and the rank pass could see different layouts. LAZY: the
+    # totals collect below is the first action and persists the
     # blocks in the same pass (one fewer full-data job per call).
-    local = ranged.withColumn("_rn_local", F.row_number().over(w)).localCheckpoint(
-        eager=False
+    local = (
+        keyed.repartitionByRange(parts, "_key", "_id")
+        .sortWithinPartitions("_key", "_id")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
     )
+    pid = F.shiftright(F.col("_mid"), 33)
+    rn_local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
     totals = (
-        local.groupBy("_pid").agg(F.max("_rn_local").alias("_n")).orderBy("_pid").collect()
+        local.groupBy(pid.alias("_pid")).agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy("_pid")
+        .collect()
     )
     offsets, acc = {}, 0
     for r in totals:
-        offsets[r["_pid"]] = acc
+        offsets[int(r["_pid"])] = acc
         acc += r["_n"]
-    from ..io import local_rows
-
-    off_df = local_rows(
-        spark,
-        [(pid, off) for pid, off in offsets.items()],
-        "_pid bigint, _offset bigint",
-    )
-    ranked = (
-        local.join(F.broadcast(off_df), "_pid")
-        .select(
-            "_id",
-            "_key",
-            (F.col("_offset") + F.col("_rn_local")).alias("_rank"),
+    n_pids = (max(offsets) + 1) if offsets else 1
+    if n_pids <= _LITERAL_OFFSET_MAX:
+        off_arr = F.array(
+            *[F.lit(offsets.get(p, 0)).cast("long") for p in range(n_pids)]
         )
-    )
+        rank = F.element_at(off_arr, (pid + F.lit(1)).cast("int")) + rn_local
+        ranked = local.select("_id", "_key", rank.alias("_rank"))
+    else:  # plan-bloat guard: keep the broadcast-join form at extreme widths
+        from ..io import local_rows
+
+        off_df = local_rows(
+            spark,
+            [(p, off) for p, off in offsets.items()],
+            "_pid bigint, _offset bigint",
+        )
+        ranked = (
+            local.withColumn("_pid", pid)
+            .join(F.broadcast(off_df), "_pid")
+            .select(
+                "_id",
+                "_key",
+                (F.col("_offset") + rn_local).alias("_rank"),
+            )
+        )
+    bkt = F.expr(f"_rank div {step}")
     anchor = ranked.select(
         F.col("_id").alias("src"),
         F.col("_key").alias("key_l"),
         F.col("_rank").alias("_ra"),
-        F.floor(F.col("_rank") / step).alias("_bkt"),
+        bkt.alias("_bkt"),
     )
     probe = ranked.select(
         F.col("_id").alias("dst"),
         F.col("_key").alias("key_r"),
         F.col("_rank").alias("_rb"),
-        F.explode(
-            F.array(
-                F.floor(F.col("_rank") / step),
-                F.floor(F.col("_rank") / step) - 1,
-            )
-        ).alias("_bkt"),
+        F.explode(F.array(bkt, bkt - 1)).alias("_bkt"),
     )
     return (
         anchor.join(probe, "_bkt")

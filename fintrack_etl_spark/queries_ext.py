@@ -2503,21 +2503,29 @@ def x41_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the oversized-document guard). The pair count is a second
     (partial-agg) shuffle on the pair key, and the top-20 is
     TakeOrderedAndProject — no global sort. No all-pairs-of-catalog
-    join exists at any scale."""
+    join exists at any scale.
+
+    r12: the pair expansion is two chained codegen generators
+    (``posexplode`` anchor + ``explode(slice(...))`` tail) instead of
+    one nested ``transform``/``flatten``/``struct`` higher-order
+    expression — HOF lambdas are CodegenFallback, so the old Generate
+    ran interpreted per basket AND split the whole-stage-codegen span
+    between the basket agg and the pair count; the generator pair
+    enumerates the identical i<j combinations of the same sorted
+    array fully codegen'd, with no per-pair struct allocation (guide
+    §1.2 per-task work, §4.1 prefer built-ins)."""
     li = T(spark, sf_dir, "lineitem")
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") <= 1000)
     )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) -> "
-        "transform(slice(parts, i + 2, size(parts)), "
-        "y -> struct(x AS part_a, y AS part_b))))"
-    )
     pairs = (
-        baskets.select(F.explode(pair_expr).alias("p"))
-        .select("p.part_a", "p.part_b")
+        baskets.select(F.posexplode("parts").alias("_i", "part_a"), "parts")
+        .select(
+            "part_a",
+            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
     )

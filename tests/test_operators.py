@@ -679,6 +679,39 @@ def test_sorted_neighborhood_matches_naive_window(spark):
             assert got == expect, (w, parts)
 
 
+def test_sorted_neighborhood_broadcast_fallback_matches_literal(spark, monkeypatch):
+    """r12: rank offsets ride a literal-array lookup up to
+    _LITERAL_OFFSET_MAX partitions and a broadcast join beyond it (the
+    plan-bloat guard). Both routes must emit identical pairs — the
+    fallback is forced by shrinking the threshold, since no test-sized
+    layout reaches 4096 partitions."""
+    import random
+
+    from fintrack_etl_spark.operators import joins as J
+
+    rng = random.Random(11)
+    rows = [(i, "".join(rng.choice("abc") for _ in range(4))) for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+
+    literal = {
+        (r["src"], r["dst"], r["gap"])
+        for r in J.sorted_neighborhood_pairs(df, "id", "k", window=4).collect()
+    }
+    monkeypatch.setattr(J, "_LITERAL_OFFSET_MAX", 0)
+    fallback = {
+        (r["src"], r["dst"], r["gap"])
+        for r in J.sorted_neighborhood_pairs(df, "id", "k", window=4).collect()
+    }
+    assert literal == fallback
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    expect = {
+        (ordered[i][0], ordered[j][0], j - i)
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + 4, len(ordered)))
+    }
+    assert literal == expect
+
+
 def test_sorted_neighborhood_rejects_degenerate_window(spark):
     import pytest as _pytest
 
