@@ -157,102 +157,88 @@ _JUDGE_VERIFIED = frozenset({
 
 
 # Entries needing a FRESH driver row this round even though they hold
-# green rows — round 11: entries whose code paths changed this round
-# but do NOT fit the exactly-50 staleness rotation below (they are all
-# r10-fresh). They sort immediately AFTER the 50-slot window, so the
-# driver's cap keeps the rotation intact while anything beyond 50
-# would hit these first. Their values are expected IDENTICAL and each
-# was re-verified by the local dtype-faithful replica sweep this
-# round: (a) x3 runs ngram_jaccard_pairs, which is now route
-# SELF-DESCRIBING (VERDICT r10 #5 — the branch taken rides the doc_a
-# column METADATA plus a log line; no column, no value, no schema-name
-# change); (b) x18/x21 run kmeans_centroids and x20/x21 run pq_train,
-# whose SAMPLED regime gained the ADVICE r10 fixes (8-hex-digit
-# threshold so cap/n never underflows to keep-nothing, eager sample
-# pin + empty-sample fallback, compact-numpy BLAS closures under a
-# 64 MiB ceiling with JVM broadcast-join fallback, errstate-quieted
-# zero-norm NaNs with the tie-break parity documented) — all strictly
-# above the 4096-vector floor, so every gate-scale build stays the
-# bit-identical full-corpus JVM loop (tripwire-pinned).
-_RECHECK = frozenset({
+# green rows but do NOT fit in the exactly-50 rotation window below.
+# Round 12: EMPTY — every code-touched entry fits inside the window
+# (the whole point of this round's rotation, VERDICT r11 #1).
+_RECHECK = frozenset()
+
+
+# ROUND-12 ROTATION (VERDICT r11 "Next round" #1): code-touched
+# entries FIRST — the full r11 touch list (~30 query paths whose last
+# driver-green row predates their rewrite: the percentile family, j3,
+# the bb_statement consumers, p8–p10, the x22/x49/x52 codec fusions,
+# x63, x6, x29, x59, x90, ext_ewma, the 5 not-yet-reverified
+# local_rows consumers, the x3/x18/x20/x21 _RECHECK leftovers the r11
+# cap pushed out, and x80 whose suffix engine changed in 7b676f1)
+# plus this round's two rewrites (x41 pair expansion, x66
+# sorted-neighborhood ranking). Backfill to exactly 50 with the
+# STALEST remaining rows: 18 of the 28 remaining r7-stale entries, in
+# registry order. Values of every touched entry are expected
+# IDENTICAL — each was verified by the dtype-faithful replica
+# (232/232 at sf0.01 this round) and the r11 builder's parity
+# pytests; the fresh driver rows convert that secondary evidence into
+# ground truth.
+# Target: CORRECTNESS_r12 50/50 green; every r11/r12-touched path
+# carries a driver row on its CURRENT code; 232/232 cumulative holds.
+#
+# R13 PRE-STAGE: the stalest rows will then be the 10 leftover
+# r7-stale entries (ext_merge_evolving, x19, x28, x32, x33, x34, x39,
+# x74, x88, x89) + the oldest r8 rows — rotate those in, code-touched
+# entries first as always.
+_WINDOW_FIRST = (
+    # --- r12 code-touched ---
+    "x41_copurchase_pairs",
+    "x66_sorted_neighborhood",
+    # --- r11 code-touched, last driver-verified pre-rewrite ---
+    "ext_percentiles",
+    "ext_percentiles_approx",
+    "ext_anomaly_mad",
+    "ext_incremental_quantiles",
+    "j3_merge_upsert",
+    "p1_bb_statement_roundtrip",
+    "p11_bank_pipeline_e2e",
+    "r7_forms_normalize",
+    "r8_payments_report",
+    "p8_real_pdf_roundtrip",
+    "p9_cid_pdf_roundtrip",
+    "p10_encrypted_pdf_roundtrip",
+    "x22_media_metadata",
+    "x49_audio_segments",
+    "x52_png_roundtrip",
+    "x63_ppjoin_pairs",
+    "x6_embedding_near_dup",
+    "x29_quantize_embeddings",
+    "x59_readability",
+    "x90_char_collision",
+    "ext_ewma",
+    "x38_triangle_count",
+    "ext_profile_table",
+    "ext_audience_overlap",
+    "ext_pack_documents",
     "x3_ngram_jaccard",
     "x18_knn_ivf_kmeans",
     "x20_knn_ivf_pq",
     "x21_knn_ivfpq",
-})
-
-
-# ROUND-11 ROTATION (VERDICT r10 "Next round" #1): all 232 entries are
-# cumulatively driver-green; the 50-slot window = ALL 37 entries whose
-# newest driver row is r6 + the 13 OLDEST r7 rows (first in registry
-# order) — exactly 50, recomputed here from the r1..r10 unions and
-# matching the judge's prescription set-for-set. Code-touched entries
-# first as always: x14 is the one in-window entry living in
-# similarity.py, the file that gained the ADVICE r10 sampled-regime
-# fixes this round (label_centroids itself is untouched and every
-# gate-scale build sits below the 4096-vector sample floor, so its
-# values cannot move — the fresh row is the family evidence; the
-# directly-touched builders x18/x20/x21 are r10-fresh and sit in
-# _RECHECK just past the cap). The rest run in registry order.
-# Target: CORRECTNESS_r11 50/50 green, staleness floor rises to r7,
-# 232/232 cumulative holds.
-#
-# R12 PRE-STAGE: once CORRECTNESS_r11 lands, the stalest rows become
-# the 34 remaining r7 entries + the 16 oldest r8 rows — rotate those
-# in, code-touched entries first as always.
-_WINDOW_FIRST = (
-    # r11 code-touch family representative (similarity.py)
-    "x14_label_centroids",
-    # newest driver row is r6, or one of the 13 oldest r7 — registry order
-    "o1_top_abs",
-    "ext_gap_fill",
-    "ext_min_max_by",
-    "ext_session_window",
-    "ext_bloom_prune_join",
-    "ext_sql_entry_q3",
-    "ext_sql_entry_q10",
-    "ext_promo_share_q14",
-    "ext_top_supplier_q15",
-    "ext_avg_subquery_q17",
-    "ext_min_cost_supplier_q2",
-    "ext_volume_shipping_q7",
-    "ext_market_share_q8",
-    "ext_profit_by_nation_q9",
-    "x7_token_stats",
-    "x8_quality_scores",
-    "ext_incremental_agg_merge",
-    "ext_zorder_skipping",
-    "ext_heavy_hitters",
-    "ext_incremental_distinct",
-    "x30_quality_gate",
-    "x84_temperature_mixture",
-    "x85_ngram_novelty",
-    "x86_token_frequency_spectrum",
-    "x68_fd_discovery",
-    "x69_bitemporal_revision",
-    "x70_dsir_select",
-    "x71_phrase_search",
-    "x72_association_rules",
-    "x73_random_walks",
-    "x76_substring_dedup",
-    "x78_rle_video_roundtrip",
-    "x79_adpcm_audio_roundtrip",
-    "x81_incremental_substring_dedup",
-    "x82_winnowing_fingerprints",
-    "r6_compare_budget",
-    "a1_group_sum_flagship",
-    "a2_group_sum_composite",
-    "a3_filtered_agg",
-    "a4_watermark_max",
-    "a6_global_sums",
-    "a7_value_counts",
-    "a8_mode_per_group",
-    "a9_describe_stats",
-    "ext_rollup",
-    "ext_cube",
-    "ext_approx_distinct",
-    "ext_sql_entry_q5",
-    "ext_salted_agg",
+    "x80_suffix_ranks",
+    # --- staleness backfill: oldest (r7) rows, registry order ---
+    "ext_salted_join",
+    "ext_pivot",
+    "j1_budget_vs_actual",
+    "j2_mode_backfill",
+    "ext_setops",
+    "w1_dedup_latest",
+    "w2_forward_fill",
+    "w3_per_group_head",
+    "ext_running_sum",
+    "ext_lag_lead",
+    "ext_array_agg",
+    "ext_cohort_retention",
+    "ext_referential_integrity",
+    "x83_cc_largestar",
+    "x4_minhash_lsh",
+    "x15_multimodal_features",
+    "ext_stratified_sample",
+    "ext_data_quality",
 )
 
 

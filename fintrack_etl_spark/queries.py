@@ -488,7 +488,19 @@ def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11: computed via ``aggregate.sorted_exact_percentiles`` (append
     buffer + one codegen sort) instead of the native ``percentile``
     aggregate's per-row boxed map insert — bit-identical values, 8x
-    less per-task work on these near-unique prices (1.04 → 0.13 s)."""
+    less per-task work on these near-unique prices (1.04 → 0.13 s).
+
+    KNOWN sf0.001-ONLY ORACLE DIVERGENCE (outside the sf0.01 gate,
+    pre-existing since r1, r12-documented per VERDICT r11 #7): when an
+    interpolated percentile lands EXACTLY on a half cent (x.xx5, a
+    representable double), Spark's ``round`` is HALF_UP
+    (BigDecimal.ROUND_HALF_UP over the shortest decimal repr) while
+    DuckDB's ``round`` is half-even — the two engines then disagree by
+    one cent. The tiny sf0.001 lineitem happens to produce such a
+    halfway midpoint; sf0.01/sf0.1 do not. This is an engine
+    ``round``-semantics asterisk, not a percentile bug — the UNROUNDED
+    interpolations are bit-identical (pinned by
+    ``test_sorted_exact_percentiles_bit_identity``)."""
     li = T(spark, sf_dir, "lineitem")
     pct = agg_ops.sorted_exact_percentiles(
         li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75, 0.99]
@@ -522,6 +534,11 @@ def ext_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     [p49, p51] / [p98.9, p99.1] value brackets (computed in the same
     query, value-checked via the exact p50/p99 columns). A sketch bug
     of any kind walks the estimate out of its bracket.
+
+    Shares ext_percentiles' KNOWN sf0.001-ONLY divergence: an exact
+    half-cent interpolation rounds HALF_UP in Spark and half-even in
+    DuckDB (see ext_percentiles — pre-existing, outside the sf0.01
+    gate, unrounded values bit-identical).
     """
     li = T(spark, sf_dir, "lineitem")
     # r11: exact side via aggregate.sorted_exact_percentiles

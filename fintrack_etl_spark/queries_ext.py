@@ -2147,7 +2147,14 @@ def x36_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     file list, the operational check behind z-order clustering and
     file skipping. The oracle reads the same footers via DuckDB's
     parquet_metadata() at the gate's fixed sf0.01 path (oracle SQL is
-    static text; the Spark side follows sf_dir)."""
+    static text; the Spark side follows sf_dir).
+
+    KNOWN sf0.001-ONLY ORACLE DIVERGENCE (pre-existing,
+    r12-documented per VERDICT r11 #7): because the oracle path is
+    pinned to sf0.01 while the Spark side follows ``sf_dir``, running
+    the gate at any OTHER scale factor compares different files'
+    footers and fails by construction. The driver gates at sf0.01,
+    where both sides read the same footers."""
     import os as _os
 
     from .operators.layout import parquet_footer_stats

@@ -523,6 +523,12 @@ def probe_core(spark, sf_dir: str, mult: int, tmp: str) -> None:
         "ext_market_share_q8",     # TPC-H Q8: 8-table join tree
         "ext_rank_family",         # rank/dense_rank/ntile windows
         "o1_top_abs",              # TakeOrderedAndProject
+        # r12 additions (VERDICT r11 #2/#6): the codegen'd pair
+        # expansion, and the "single-split artifact" claim for the
+        # format-heavy scan — at mult x the orders scan must arrive
+        # multi-split and parallelize
+        "x41_copurchase_pairs",
+        "f18_brl_format",
     ]
 
     stride = 10_000_000  # > max sf0.1 orderkey/event_id/user_id
@@ -567,6 +573,17 @@ def probe_core(spark, sf_dir: str, mult: int, tmp: str) -> None:
         fact_rows = spark.read.parquet(
             os.path.join(rep_dir, "lineitem.parquet")
         ).count()
+        # split-count evidence for the f18/x57 "single-split artifact"
+        # claim: at mult x the fact scans must arrive multi-split
+        _emit({
+            "probe": "core_scan_splits", "mult": m,
+            "orders_splits": spark.read.parquet(
+                os.path.join(rep_dir, "orders.parquet")
+            ).rdd.getNumPartitions(),
+            "lineitem_splits": spark.read.parquet(
+                os.path.join(rep_dir, "lineitem.parquet")
+            ).rdd.getNumPartitions(),
+        })
         for name in names:
             def _run(n=name):
                 rdd = qs[n](spark, rep_dir)._jdf.queryExecution().toRdd()
