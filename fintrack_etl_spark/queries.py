@@ -1543,7 +1543,14 @@ def ext_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.windows.grouped_global_rank`` (+ the ntile formula
     x77 uses, + percent_rank = (rank−1)/(cnt−1) off the same
     broadcast counts) — every per-task sort capped at one range
-    partition; x54/x77 run that form."""
+    partition; x54/x77 run that form.
+
+    r12 10× probe (VERDICT r11 #9, `plans/r12/probe_core.jsonl`):
+    0.61 → 1.04 s warm for 10× the orders — sub-linear at this scale,
+    i.e. the 5-task cap is not yet the wall at 10×; it WILL become
+    the wall once corpus/5 rows exceed one task's sort budget, which
+    is exactly when to migrate to the grouped_global_rank form
+    above."""
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), "o_orderkey"
     )

@@ -130,9 +130,16 @@ def running_totals_stream(
     State is one (n, total) pair per key — O(distinct keys), bounded;
     Arrow batches keep the Python hop vectorized. Use the built-in agg
     when plain sums suffice; this exists for the genuinely custom case.
+
+    r12 (guide §4.1): the input is pre-projected to the two columns
+    the fold reads — ``applyInPandasWithState`` is opaque to Catalyst,
+    so without the select every column of ``events`` rides the state
+    shuffle and both Arrow crossings for nothing.
     """
     import pandas as pd  # local import: only the executors need it here
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = events.select(key_col, value_col)
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
@@ -455,9 +462,14 @@ def scd2_stream(
     the source is per-key ordered across batches (the CDC-log
     guarantee). A genuinely out-of-order source needs the watermarked
     batch job instead; this operator does not time-travel history.
+
+    r12 (guide §4.1): pre-projected to the four columns the fold
+    reads (key, ts, tracked, tie) — see running_totals_stream.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = events.select(key_col, ts_col, tracked_col, tie_col)
 
     def fold(key, pdfs, state: GroupState):
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
@@ -662,8 +674,11 @@ def first_seen_stream(
     same honest-gap discipline as the Iceberg-only procedures.
 
     Scale: state is one tombstone bit per distinct key (RocksDB,
-    spilled), the shuffle is the single groupBy(keys) exchange, and
-    the Python hop is Arrow-batched per key group."""
+    spilled), the shuffle is the single groupBy(keys) exchange
+    (r12, guide §4.1: pre-projected to the key columns — the operator
+    emits only key rows, so any payload column would cross the state
+    shuffle and the Arrow boundary for nothing), and the Python hop is
+    Arrow-batched per key group."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -671,6 +686,7 @@ def first_seen_stream(
     )
 
     key_cols = list(keys)
+    events = events.select(*key_cols)
 
     class _FirstSeen(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
