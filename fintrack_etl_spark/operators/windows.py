@@ -301,10 +301,20 @@ def grouped_global_rank(
     partitions, and within a group the partition order IS the row
     order — rank locally per (partition, group), then add per-(group,
     partition) prefix counts collected as O(#groups · #partitions)
-    metadata. The local window consumes an explicit hash repartition
-    on ``_pid`` (clustering satisfied, no session-default exchange —
-    the r9 window-exchange lesson), so per-task sort input is one
-    range partition at any corpus size. ``order_cols`` must be a total
+    metadata. r12 (guide §2.4, the x66 lesson): the local rank is
+    derived from ``monotonically_increasing_id`` evaluated above an
+    in-partition sort on (group, order) — groups are contiguous
+    within the sorted partition, so ``_mid − min(_mid) per (pid,
+    group)`` IS the local row_number, and the per-(pid, group) min
+    rides the SAME offsets collect. This deletes the former explicit
+    hash-on-``_pid`` re-exchange of every row plus the window
+    machinery (the window could not consume the range partitioning
+    directly — the r9 window-exchange lesson) while keeping the same
+    per-task sort bound: one range partition, now with no pid
+    hash-collision stacking at all. The id is
+    nondeterministic-flagged, so the optimizer cannot move it below
+    the Sort, and the localCheckpoint pins one materialization
+    exactly as before. ``order_cols`` must be a total
     order within each group for deterministic output (callers append a
     unique id, as every oracle-gated query here does); entries may be
     column names (ascending) or Column sort expressions (e.g.
@@ -325,30 +335,27 @@ def grouped_global_rank(
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(
-            parts, *[F.col(c) for c in group_cols], *order_exprs
-        )
-        .withColumn("_pid", F.spark_partition_id())
-        .repartition(parts, "_pid")
-    )
-    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
+    group_exprs = [F.col(c) for c in group_cols]
     # lazy checkpoint: the counts collect below materializes the blocks
     # in the same pass AND pins the sampled range boundaries, so the
-    # offsets and the final rows see the same _pid layout
-    local = ranged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint(
-        eager=False
+    # offsets and the final rows see the same partition layout
+    local = (
+        df.repartitionByRange(parts, *group_exprs, *order_exprs)
+        .sortWithinPartitions(*group_exprs, *order_exprs)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
     )
+    pid = F.shiftright(F.col("_mid"), 33)
     counts = (
-        local.groupBy("_pid", *group_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        local.groupBy(pid.alias("_pid"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("_mid").alias("_m0"))
         .collect()
     )
     if not counts:  # empty input: nothing to offset (and nothing to infer)
-        return local.withColumn(rank_col, F.col("_lrn").cast("long")).drop(
-            "_pid", "_lrn"
+        return local.withColumn(rank_col, F.lit(1).cast("long")).drop(
+            "_mid"
         )
-    offsets: dict[tuple, int] = {}
+    offsets: dict[tuple, tuple[int, int]] = {}
     acc: dict[tuple, int] = {}
     # null-first sort key: NULL is a group like any other, and a bare
     # value key raised TypeError on mixed None/str (ADVICE r9)
@@ -357,26 +364,30 @@ def grouped_global_rank(
 
     for r in sorted(counts, key=lambda r: (_gkey(r), r["_pid"])):
         g = tuple(r[g2] for g2 in group_cols)
-        offsets[(r["_pid"], *g)] = acc.get(g, 0)
+        # fold the (pid, group) min id into the prefix offset: local
+        # row number = _mid - _m0 + 1 (group rows are contiguous in
+        # the sorted partition), so joined value = offset - _m0 + 1
+        offsets[(r["_pid"], *g)] = acc.get(g, 0) - r["_m0"] + 1
         acc[g] = acc.get(g, 0) + r["_n"]
     from pyspark.sql.types import LongType, StructField, StructType
 
     # explicit schema lifted from the checkpointed frame: inference
     # cannot type an all-NULL group column (ADVICE r9)
     off_schema = StructType(
-        [local.schema["_pid"]]
+        [StructField("_pid", LongType(), False)]
         + [local.schema[g] for g in group_cols]
         + [StructField("_offset", LongType(), False)]
     )
     off_df = spark.createDataFrame(
-        [(pid, *rest, off) for (pid, *rest), off in offsets.items()], off_schema
+        [(pid_, *rest, off) for (pid_, *rest), off in offsets.items()], off_schema
     )
-    cond = local["_pid"] == off_df["_pid"]
+    with_pid = local.withColumn("_pid", pid)
+    cond = with_pid["_pid"] == off_df["_pid"]
     for g in group_cols:  # null-safe: null-group rows must not drop
-        cond = cond & local[g].eqNullSafe(off_df[g])
+        cond = cond & with_pid[g].eqNullSafe(off_df[g])
     return (
-        local.join(F.broadcast(off_df), cond)
+        with_pid.join(F.broadcast(off_df), cond)
         .drop(off_df["_pid"], *[off_df[g] for g in group_cols])
-        .withColumn(rank_col, (F.col("_lrn") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_lrn", "_offset")
+        .withColumn(rank_col, (F.col("_mid") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_mid", "_offset")
     )
