@@ -1088,11 +1088,15 @@ def adpcm_decode_block(block: bytes, n_samples: int) -> tuple[list[int], int]:
 
     ``n_samples`` must be >= 1: the block header itself carries the
     first sample (the predictor), so "decode zero samples of a block"
-    is not a meaningful request — a well-formed reader never issues it
-    (``decode_adpcm_wav`` breaks before a zero-take block). Raising
-    states the contract explicitly (ADVICE r11: the old behavior for
-    n_samples=0 was incidental — ~503 garbage padding samples before
-    r11, a single [predictor] row after).
+    is not a meaningful request. On a WELL-FORMED file
+    (``parse_wav_adpcm``) every take is >= 1 — ``remaining`` hits 0
+    only at a block boundary, where the loop breaks before the next
+    call; a MALFORMED file (fact n_samples=0 with a non-empty data
+    chunk) now fails here with a clear message instead of falling
+    through to the length assert. Raising states the contract
+    explicitly (ADVICE r11: the old behavior for n_samples=0 was
+    incidental — ~503 garbage padding samples before r11, a single
+    [predictor] row after).
 
     r11: the per-sample ``_ima_step`` call is inlined with the tables
     bound to locals (integer-identical; the shared function remains

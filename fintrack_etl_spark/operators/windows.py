@@ -355,7 +355,7 @@ def grouped_global_rank(
         return local.withColumn(rank_col, F.lit(1).cast("long")).drop(
             "_mid"
         )
-    offsets: dict[tuple, tuple[int, int]] = {}
+    offsets: dict[tuple, int] = {}
     acc: dict[tuple, int] = {}
     # null-first sort key: NULL is a group like any other, and a bare
     # value key raised TypeError on mixed None/str (ADVICE r9)

@@ -1500,8 +1500,10 @@ def quantize_batches(batches):
                 "symmetric quantization is undefined there, matching "
                 "the JVM form's ANSI divide-by-zero"
             )
+        # srep has no zeros: non-null zero-scale rows raised above, and
+        # null rows contribute no elements (lens forced to 0)
         srep = np.repeat(scale, lens)
-        xs = vals / np.where(srep == 0, np.nan, srep)
+        xs = vals / srep
         # HALF_UP round-to-integer on the exact binary value
         f = np.floor(xs)
         q = np.where(xs >= 0, f + (xs - f >= 0.5), np.ceil(xs) - (np.ceil(xs) - xs >= 0.5))

@@ -122,7 +122,6 @@ def main():
     from fintrack_etl_spark.queries_ext import x41_copurchase_pairs, x66_sorted_neighborhood
 
     spark = get_spark("ab_r12")
-    res = {}
     # construction wall matters for x66 (checkpoint + collect run there)
     for label, builder in (
         ("x41_old", lambda: x41_old(spark)),
@@ -136,7 +135,6 @@ def main():
             df = builder()
             build = round(time.time() - t0, 3)
             runs = timed(df)
-            res.setdefault(label, []).append({"build_sec": build, "runs": runs})
             print(json.dumps({"label": label, "rep": rep, "build_sec": build, "runs": runs}), flush=True)
     # value parity spot check (order-insensitive multiset)
     a = sorted(map(tuple, x41_old(spark).collect()))
